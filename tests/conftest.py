@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tp1_distribuidos_mapreduce_spark.session import get_spark
+from tp1_distribuidos_mapreduce_spark.sources.tables import TABLE_NAMES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("tp1-tests")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with fixture tables registered as views at sf0.001,
+    mirroring the driver's oracle setup (__spark_entry__.py docstring)."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMOKE}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def assert_df_matches_oracle(sdf, duck, sql, float_tol=1e-9):
+    """Order-insensitive comparison of a Spark DataFrame vs DuckDB SQL —
+    the same discipline as the driver's t2 gate (and the reference's
+    sequential-oracle comparison, tests/test_wc.py:30-39)."""
+    spark_cols = sorted(sdf.columns)
+    spark_rows = sorted(
+        tuple(row[c] for c in spark_cols) for row in sdf.collect()
+    )
+    rel = duck.sql(sql)
+    duck_cols = sorted(rel.columns)
+    assert spark_cols == duck_cols, f"columns differ: {spark_cols} vs {duck_cols}"
+    idx = [rel.columns.index(c) for c in duck_cols]
+    duck_rows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+    assert len(spark_rows) == len(duck_rows), (
+        f"row counts differ: {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    for sr, dr in zip(spark_rows, duck_rows):
+        for sv, dv in zip(sr, dr):
+            if isinstance(sv, float) and isinstance(dv, float):
+                assert abs(sv - dv) <= float_tol * max(1.0, abs(sv), abs(dv)), (sr, dr)
+            else:
+                assert sv == dv, (sr, dr)

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are chosen for correctness-vs-oracle (UTC timestamps, ANSI off to
+match DuckDB's permissive casts) and for scale (AQE on, Arrow on, shuffle
+partitions sized to cores locally — on a real cluster AQE coalesces the
+post-shuffle partition count at runtime, so the static number only needs to
+be a sane upper bound).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "tp1-mapreduce-spark") -> SparkSession:
+    """Build (or reuse) a local SparkSession with engine defaults.
+
+    On a cluster the same configs apply; only ``master`` changes. AQE is the
+    load-bearing setting at scale: it coalesces small shuffle partitions,
+    re-plans skewed joins, and converts sort-merge joins to broadcast when a
+    runtime size estimate drops under the threshold.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Settings any externally-provided session needs for oracle parity."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

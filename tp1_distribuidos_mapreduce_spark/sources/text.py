@@ -1,0 +1,48 @@
+"""Text-corpus sources: the reference's input model re-expressed in Spark.
+
+The reference reads whole text files, one file = one map task, and the map
+function receives ``(filename, contents)`` (cmd/worker/worker.go:41-48,
+seq/sequential.go:21-27; one-file-one-task at cmd/coordinator/coordinator.go:55-61).
+
+Spark-first equivalents:
+
+- line-granular: ``spark.read.text(glob)`` + ``input_file_name()`` — scales
+  to files larger than memory because Spark splits them into FilePartitions
+  (the reference buffers whole files in RAM, SURVEY.md §4.3);
+- whole-file identity only matters when the query keys on the document
+  (inverted index, plugins/ii/ii.go:20) — the filename column preserves that
+  without forcing whole-file-in-one-record.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text_corpus(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Read raw text files into ``(doc_id string, value string)`` rows.
+
+    ``doc_id`` is the source file basename (SURVEY.md §7.4: the reference
+    uses the full path, plugins/ii/ii.go:20, but ``input_file_name()``
+    returns a URI — basename keeps doc IDs stable across filesystems).
+    One row per line; a "document" is the union of its lines, which is
+    exactly what a tokenizing query observes since newlines are non-letters.
+    """
+    return (
+        spark.read.text(path_or_glob)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("doc_id"),
+            F.col("value"),
+        )
+    )
+
+
+def read_documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture `documents` table in corpus shape: (doc_id string, value string)."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("value"))
+    )
