@@ -34,15 +34,22 @@ def assert_df_matches_oracle(sdf, duck, sql, float_tol=1e-9):
     """Order-insensitive comparison of a Spark DataFrame vs DuckDB SQL —
     the same discipline as the driver's t2 gate (and the reference's
     sequential-oracle comparison, tests/test_wc.py:30-39)."""
+    def row_key(row):
+        # None-safe, type-stable sort key; identical values get identical
+        # keys in both engines so rows pair up correctly.
+        return tuple((v is None, str(v)) for v in row)
+
     spark_cols = sorted(sdf.columns)
     spark_rows = sorted(
-        tuple(row[c] for c in spark_cols) for row in sdf.collect()
+        (tuple(row[c] for c in spark_cols) for row in sdf.collect()), key=row_key
     )
     rel = duck.sql(sql)
     duck_cols = sorted(rel.columns)
     assert spark_cols == duck_cols, f"columns differ: {spark_cols} vs {duck_cols}"
     idx = [rel.columns.index(c) for c in duck_cols]
-    duck_rows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+    duck_rows = sorted(
+        (tuple(r[i] for i in idx) for r in rel.fetchall()), key=row_key
+    )
     assert len(spark_rows) == len(duck_rows), (
         f"row counts differ: {len(spark_rows)} vs {len(duck_rows)}"
     )

@@ -1,0 +1,437 @@
+"""Relational query plans over the TPC-H-ish fixture star schema.
+
+The reference has NO relational operators — no joins, windows, set ops,
+having, pivot, or top-k (SURVEY.md §2 "negative space"). These plans are the
+new engine's additive surface, expressed declaratively so Catalyst provides
+pushdown/pruning/join-selection and AQE re-plans at runtime.
+
+Scale notes (100 TB discipline):
+- ``nation``/``region`` are broadcast explicitly — their cardinality is
+  architecture-fixed (25/5 rows), so the broadcast is correct at any SF.
+- Fact-fact joins (lineitem ⋈ orders) are equi-joins on the leading key;
+  at scale these become sort-merge joins with AQE skew splitting, and both
+  sides shuffle on o_orderkey/l_orderkey once, reusable by later stages.
+- Aggregates are algebraic (sum/count/avg) → Catalyst partial aggregation
+  keeps shuffle volume at O(groups), never O(rows).
+- Top-k uses orderBy+limit, which Spark executes as TakeOrderedAndProject —
+  a per-partition heap + driver merge of k rows, NOT a global sort.
+- Double-typed aggregates are rounded in plan AND oracle so the driver's
+  value-hash is insensitive to float summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1: pricing summary report (groupBy 2 cols + 8 aggregates)."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       round(avg(l_quantity), 4)                                          AS avg_qty,
+       round(avg(l_extendedprice), 4)                                     AS avg_price,
+       round(avg(l_discount), 4)                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue for one segment.
+
+    customer is small at every SF relative to the facts → broadcast hint;
+    lineitem ⋈ orders stays a shuffle join on the order key. The top-k is
+    TakeOrderedAndProject (no global sort). Tie-broken by o_orderkey for
+    determinism vs the oracle.
+    """
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    return (
+        lineitem.where(F.col("l_shipdate") > cutoff)
+        .join(orders.where(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')                                  AS orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate  > TIMESTAMP '1998-07-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation inside one region, where the
+    supplier and customer share a nation (the classic 6-way join).
+
+    nation/region broadcast unconditionally (25/5 rows at any SF);
+    supplier is broadcast-eligible and left to AQE's runtime size check.
+    """
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def monthly_order_stats(orders: DataFrame) -> DataFrame:
+    """Calendar rollup: per-month order count / total / avg value."""
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+        )
+        .orderBy("month")
+    )
+
+
+MONTHLY_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m')       AS month,
+       count(*)                             AS n_orders,
+       round(sum(o_totalprice), 2)          AS total_value,
+       round(avg(o_totalprice), 4)          AS avg_value
+FROM orders
+GROUP BY month
+ORDER BY month
+"""
+
+
+def brand_stats_having(part: DataFrame) -> DataFrame:
+    """GROUP BY + HAVING over part: brands whose avg retail price above the median-ish cut."""
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .where(F.col("avg_price") > 910.0)
+        .orderBy("p_brand")
+    )
+
+
+BRAND_HAVING_ORACLE = """
+SELECT p_brand,
+       count(*)                        AS n_parts,
+       round(avg(p_retailprice), 4)    AS avg_price,
+       max(p_size)                     AS max_size
+FROM part
+GROUP BY p_brand
+HAVING round(avg(p_retailprice), 4) > 910.0
+ORDER BY p_brand
+"""
+
+
+def top_customers_per_nation(customer: DataFrame, orders: DataFrame, nation: DataFrame) -> DataFrame:
+    """Window top-k: 3 highest-spending customers per nation (row_number).
+
+    The canonical distributed top-k-per-group: shuffle once on the group
+    key, rank within partitions — never a global sort.
+    """
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("n_name", "rank", "c_custkey", "c_name", "spend")
+        .orderBy("n_name", "rank")
+    )
+
+
+TOP_CUSTOMERS_ORACLE = """
+SELECT n_name, rank, c_custkey, c_name, spend
+FROM (
+  SELECT n_name, c_custkey, c_name, spend,
+         CAST(row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey ASC) AS INTEGER) AS rank
+  FROM (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+  )
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+WHERE rank <= 3
+ORDER BY n_name, rank
+"""
+
+
+def order_priority_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts by status × priority (fixed pivot values so the
+    plan is static — required for a deterministic schema at scale)."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aliases = ["urgent", "high", "medium", "not_specified", "low"]
+    pivoted = orders.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count()
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a) for p, a in zip(prios, aliases)],
+    ).orderBy("o_orderstatus")
+
+
+PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set operations: customers active in 1996 but NOT in 1997 (EXCEPT),
+    labeled, unioned with those active in both (INTERSECT)."""
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    only_96 = active(1996).exceptAll(active(1997)).withColumn("cohort", F.lit("only_1996"))
+    both = active(1996).intersect(active(1997)).withColumn("cohort", F.lit("both_years"))
+    return only_96.unionAll(both).orderBy("cohort", "custkey")
+
+
+SET_OPS_ORACLE = """
+WITH a96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996),
+     a97 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT custkey, 'only_1996' AS cohort FROM (SELECT custkey FROM a96 EXCEPT SELECT custkey FROM a97)
+UNION ALL
+SELECT custkey, 'both_years' AS cohort FROM (SELECT custkey FROM a96 INTERSECT SELECT custkey FROM a97)
+ORDER BY cohort, custkey
+"""
+
+
+def top_parts_by_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Join fact→dim + top-20: revenue per part. part is broadcast-eligible
+    (grows with SF but stays dim-sized; AQE confirms at runtime)."""
+    return (
+        lineitem.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "p_brand", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+TOP_PARTS_ORACLE = """
+SELECT p_partkey, p_name, p_brand, revenue
+FROM (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_partkey
+)
+JOIN part ON l_partkey = p_partkey
+ORDER BY revenue DESC, p_partkey ASC
+LIMIT 20
+"""
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a session break is a >gap pause per user.
+
+    lag + conditional-sum window — one shuffle on user_id; the same logic
+    streaming exposes via session_window (streaming/windows.py).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    with_breaks = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_s),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        with_breaks.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_ORACLE = """
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*)                         AS n_events
+FROM (
+  SELECT user_id, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def events_json_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction from the props string column + aggregate per type."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type,
+       count(*)                                                      AS n_events,
+       round(avg(value), 4)                                          AS avg_value,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER))       AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def purchase_asof_last_click(events: DataFrame) -> DataFrame:
+    """As-of join (Spark has no native one): for each purchase, the most
+    recent preceding click timestamp of the same user — expressed as a
+    last_value-ignore-nulls running window over the interleaved stream.
+
+    This is the scalable formulation: one shuffle on user_id, no
+    self-join explosion; works identically at 100 TB because state per
+    user is O(1) within the sorted partition.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        events.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_ORACLE = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM events
+)
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""

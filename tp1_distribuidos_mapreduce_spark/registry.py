@@ -15,7 +15,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.mapreduce import II_JOB, WC_JOB, run_mapreduce
 from .operators.wordcount import inverted_index, word_count
+from .plans import relational as R
+from .sources.tables import load_table
 from .sources.text import read_documents_as_corpus
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -83,3 +86,127 @@ def q_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index (reference plugins/ii/ii.go) over documents."""
     return inverted_index(read_documents_as_corpus(spark, sf_dir)).select("word", "docs")
+
+
+@register(
+    "mr_wc",
+    oracle=f"""
+    SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '{_TOK}')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY key
+    """,
+)
+def q_mr_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wc via the generic MapReduce plugin API (reference O12 contract,
+    seq/sequential.go:14-15) — proves the plugin surface reproduces the
+    native-DataFrame result."""
+    return run_mapreduce(read_documents_as_corpus(spark, sf_dir), WC_JOB)
+
+
+@register(
+    "mr_ii",
+    oracle=f"""
+    SELECT word AS key,
+           array_to_string(list_sort(array_agg(DISTINCT CAST(doc_id AS VARCHAR))), ',') AS value
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '{_TOK}')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY key
+    """,
+)
+def q_mr_ii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ii via the generic MapReduce plugin API (reference O12 contract)."""
+    return run_mapreduce(read_documents_as_corpus(spark, sf_dir), II_JOB)
+
+
+# --------------------------------------------------------------------------
+# Relational suite (plans/relational.py) — additive surface beyond the
+# reference (SURVEY.md §2 negative space): joins, windows, set ops, pivot,
+# having, top-k, sessionization, JSON, as-of.
+# --------------------------------------------------------------------------
+
+
+@register("q1_pricing_summary", oracle=R.Q1_ORACLE)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("q3_shipping_priority", oracle=R.Q3_ORACLE)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q3_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("q5_revenue_by_nation", oracle=R.Q5_ORACLE)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q5_revenue_by_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register("monthly_order_stats", oracle=R.MONTHLY_ORACLE)
+def q_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.monthly_order_stats(load_table(spark, sf_dir, "orders"))
+
+
+@register("brand_stats_having", oracle=R.BRAND_HAVING_ORACLE)
+def q_brand_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.brand_stats_having(load_table(spark, sf_dir, "part"))
+
+
+@register("top_customers_per_nation", oracle=R.TOP_CUSTOMERS_ORACLE)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_customers_per_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("order_priority_pivot", oracle=R.PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.order_priority_pivot(load_table(spark, sf_dir, "orders"))
+
+
+@register("customer_set_ops", oracle=R.SET_OPS_ORACLE)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_set_ops(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register("top_parts_by_revenue", oracle=R.TOP_PARTS_ORACLE)
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_parts_by_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register("sessionize_events", oracle=R.SESSIONIZE_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.sessionize_events(load_table(spark, sf_dir, "events"))
+
+
+@register("events_json_stats", oracle=R.EVENTS_JSON_ORACLE)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.events_json_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("purchase_asof_last_click", oracle=R.ASOF_ORACLE)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.purchase_asof_last_click(load_table(spark, sf_dir, "events"))
