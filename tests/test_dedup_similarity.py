@@ -1,0 +1,116 @@
+"""Property tests for the sketch-based dedup/similarity operators (the ones
+without SQL oracles) + sanity for exact variants on constructed corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from tp1_distribuidos_mapreduce_spark.operators import dedup as D
+from tp1_distribuidos_mapreduce_spark.operators import similarity as S
+from tp1_distribuidos_mapreduce_spark.operators import textstats as T
+
+from conftest import SF_SMOKE
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+NEAR_DUP_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about spark catalyst optimizer plans"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "spark catalyst optimizer rewrites logical plans into physical ones"),
+]
+
+
+def test_dedup_exact_groups_identical_texts(spark):
+    out = D.dedup_exact(docs(spark, NEAR_DUP_ROWS))
+    rows = {r.keep_doc_id: r.n_copies for r in out.collect()}
+    assert rows[1] == 2  # docs 1 and 4 identical, survivor = min id
+    assert out.count() == 4
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    out = D.ngram_jaccard_pairs(docs(spark, NEAR_DUP_ROWS), threshold=0.5)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert pairs[(1, 4)] == 1.0  # identical
+    assert (1, 2) in pairs  # near-dup
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_recall_of_true_near_dups(spark):
+    """LSH candidates must include every high-jaccard pair (recall property
+    on real fixture data) and estimates must correlate with exact."""
+    documents = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(documents, threshold=0.5).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(documents, threshold=0.2).collect()
+    }
+    missed = exact - approx
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_minhash_identical_docs_get_identical_signatures(spark):
+    out = D.minhash_lsh_pairs(docs(spark, NEAR_DUP_ROWS), threshold=0.9)
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in out.collect()}
+    assert pairs.get((1, 4)) == 1.0
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    out = D.simhash_pairs(docs(spark, NEAR_DUP_ROWS), max_hamming=3)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    # identical docs -> identical fingerprints; detection is GUARANTEED for
+    # hamming <= 3 (4-chunk pigeonhole); larger distances are best-effort.
+    assert pairs.get((1, 4)) == 0
+    # dissimilar docs must not appear at a tight threshold
+    assert (1, 3) not in pairs and (3, 5) not in pairs
+
+
+def test_embedding_near_dup_pairs_symmetric_free(spark):
+    out = D.embedding_near_dup_pairs(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"), threshold=0.4
+    ).collect()
+    assert all(r.id_a < r.id_b for r in out)
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    """Bucketed ANN must recover a reasonable fraction of true top-5.
+    With 16 hyperplanes on random data recall is limited by single-probe
+    LSH; we pin a floor to catch regressions, not SOTA recall."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.knn_bruteforce(emb, 10, 5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in S.knn_lsh(emb, 10, 5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"LSH recall collapsed: {recall}"
+
+
+def test_doc_fingerprint_properties(spark):
+    out = {r.doc_id: r for r in T.doc_fingerprint(docs(spark, NEAR_DUP_ROWS)).collect()}
+    # identical docs -> identical fingerprint sets
+    assert out[1].fingerprints == out[4].fingerprints
+    # near-dup docs share most fingerprints
+    a, b = set(out[1].fingerprints), set(out[2].fingerprints)
+    assert len(a & b) / len(a | b) > 0.5
+    # disjoint docs share few
+    c = set(out[3].fingerprints)
+    assert len(a & c) / len(a | c) < 0.3
+
+
+def test_language_id_on_constructed_texts(spark):
+    rows = [
+        (1, "the cat and the dog of a house is here"),
+        (2, "el perro y la casa de los gatos en madrid"),
+        (3, "der hund und die katze ist von berlin mit"),
+        (4, "le chien et la maison les chats est dans paris"),
+        (5, "xyzzy plugh"),
+    ]
+    out = {r.doc_id: r.pred_lang for r in T.language_id(docs(spark, rows)).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "und"}

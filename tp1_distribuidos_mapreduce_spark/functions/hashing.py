@@ -32,13 +32,16 @@ def minhash_signature_expr(shingles: Column, num_hashes: int = 32) -> Column:
     Hash family: xxhash64 seeded by position via an extra literal column —
     standard "k independent hashes from one keyed hash" construction.
     min() over the shingle set per seed = the MinHash estimator.
+
+    NB: the per-seed lambda must take exactly ONE parameter — pyspark's
+    ``transform`` passes the array index to a two-parameter lambda, which
+    would silently replace the seed and collapse the hash family.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
-    )
+
+    def min_hash(seed: int) -> Column:
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s)))
+
+    return F.array(*[min_hash(i) for i in range(num_hashes)])
 
 
 def simhash_expr(tokens: Column, bits: int = 64) -> Column:
@@ -50,15 +53,37 @@ def simhash_expr(tokens: Column, bits: int = 64) -> Column:
     negative bigint is fine — the value is an opaque fingerprint.
     """
     zeros = F.array_repeat(F.lit(0).cast("long"), bits)
-    bit_vec = lambda tok: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda j: F.when(F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).cast("long"),
-    )
-    sums = F.aggregate(tokens, zeros, lambda acc, tok: F.zip_with(acc, bit_vec(tok), lambda a, b: a + b))
+
+    def bit_vec(tok: Column) -> Column:
+        # shift amounts must be Python ints (shiftright takes no Column);
+        # static unrolling also keeps the whole thing inside codegen.
+        h = F.xxhash64(tok)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for j in range(bits)
+            ]
+        )
+
+    def finish(sums: Column) -> Column:
+        # `sums` is a lambda variable here (aggregate's finish), so the 64
+        # references don't duplicate the accumulation expression.
+        acc = F.lit(0).cast("long")
+        for j in range(bits):
+            bitval = -(1 << 63) if j == 63 else (1 << j)
+            acc = acc.bitwiseOR(
+                F.when(F.element_at(sums, j + 1) > 0, F.lit(bitval).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        return acc
+
     return F.aggregate(
-        F.zip_with(sums, F.sequence(F.lit(0), F.lit(bits - 1)), lambda s, j: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
+        tokens,
+        zeros,
+        lambda acc, tok: F.zip_with(acc, bit_vec(tok), lambda a, b: a + b),
+        finish,
     )
 
 

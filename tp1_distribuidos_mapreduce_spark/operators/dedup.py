@@ -1,0 +1,289 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No counterpart in the reference (its only grouping is wc/ii's groupBy-key);
+these are the additive LLM-pipeline surface (BASELINE.md). All signature
+computation is Catalyst-expression-based (functions/hashing.py) so the
+expensive per-document work happens map-side inside whole-stage codegen;
+only compact signatures/buckets ever shuffle.
+
+Scale design:
+- exact:    shuffle O(docs) × O(16-byte hash), never full text.
+- jaccard:  shuffle O(doc·shingles); the classic inverted-index self-join.
+            ``max_shingle_df`` caps hot-shingle blowup (a shingle shared by
+            d docs generates d² candidate pairs — at web scale stopword-ish
+            shingles must be dropped, the standard df-cut).
+- minhash:  shuffle O(docs × bands) fixed-width rows; candidate pairs only
+            within equal band-buckets (LSH), verified by signature overlap.
+- simhash:  shuffle O(docs × 4) 16-bit chunk buckets; Hamming-verify within
+            buckets (exact for distance ≤ 3 by pigeonhole over 4 chunks).
+- embedding: bucketed by coarse quantization would be the 100 TB path; the
+            exact variant here is the oracle-checkable baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    hamming_distance64,
+    minhash_signature_expr,
+    ngram_shingles,
+    simhash_expr,
+)
+from ..functions.tokenize import tokenize
+from ..functions.vectors import cosine_similarity
+
+
+def _tokens(text_col: str = "text") -> F.Column:
+    return F.filter(tokenize(text_col), lambda t: t != "")
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text.
+
+    Returns (text_hash, keep_doc_id, n_copies) — keep the smallest doc_id,
+    the standard deterministic survivor rule. Grouping on md5(text) rather
+    than text keeps shuffle rows fixed-width regardless of document size.
+    """
+    return (
+        documents.select(
+            F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id"
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text)      AS text_hash,
+       min(doc_id)    AS keep_doc_id,
+       count(*)       AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY text_hash
+"""
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted-index self-join.
+
+    doc → distinct word-n-gram shingles → join on shingle → |A∩B| per pair
+    → Jaccard = inter / (|A| + |B| - inter) → filter ≥ threshold.
+
+    ``max_shingle_df`` (off by default for oracle parity) drops shingles
+    appearing in more than df documents before the join — the mandatory
+    skew guard at web scale.
+    """
+    toks = documents.select("doc_id", _tokens().alias("toks"))
+    shingled = (
+        toks.where(F.size("toks") > 0)
+        .select("doc_id", F.explode(F.array_distinct(ngram_shingles(F.col("toks"), n))).alias("sh"))
+    )
+    if max_shingle_df is not None:
+        hot = (
+            shingled.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        shingled = shingled.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# DuckDB formulation of the same pipeline. Tokens = letter runs, lowered,
+# empties dropped; shingles = distinct word 3-grams (whole doc if < n toks).
+NGRAM_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS t
+  FROM documents
+),
+shingled AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
+  WHERE len(t) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate candidates (the scale path for Jaccard).
+
+    shingle → 32-hash MinHash signature (map-side) → 8 bands × 4 rows →
+    bucket-join on (band, band-slice hash) → candidate pairs → estimated
+    Jaccard = fraction of agreeing signature components ≥ threshold.
+
+    Estimator, not exact → no SQL oracle (driver rows-only check); the
+    pytest property test validates recall against ngram_jaccard_pairs.
+    """
+    rows_per_band = num_hashes // bands
+    toks = documents.select("doc_id", _tokens().alias("toks")).where(F.size("toks") > 0)
+    sigs = toks.select(
+        "doc_id",
+        minhash_signature_expr(
+            F.array_distinct(ngram_shingles(F.col("toks"), n)), num_hashes
+        ).alias("sig"),
+    )
+
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
+        / F.lit(num_hashes),
+        4,
+    )
+    return (
+        cands.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs, exact for Hamming ≤ 3 via 4-chunk pigeonhole.
+
+    64-bit fingerprint map-side; split into 4×16-bit chunks; two docs within
+    Hamming distance 3 must agree on ≥1 chunk → bucket-join per chunk, then
+    verify with popcount(xor). Shuffle: 4 fixed-width rows per doc.
+    """
+    fp = documents.select(
+        "doc_id", simhash_expr(_tokens()).alias("fp")
+    )
+    chunked = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "fp", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming_distance64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline).
+
+    Output has no float column — pair identity only — so the oracle compare
+    is insensitive to last-ulp cosine differences between engines. The
+    all-pairs join is the correctness baseline; the LSH-bucketed variant in
+    operators/similarity.py is the 100 TB path.
+    """
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cosine_similarity(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+EMBEDDING_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+ORDER BY id_a, id_b
+"""

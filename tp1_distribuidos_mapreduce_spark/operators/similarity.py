@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Additive LLM-pipeline surface (BASELINE.md): brute-force cosine top-k as
+the exact baseline, and a random-hyperplane LSH variant as the scale path.
+
+Scale design:
+- Brute force broadcasts the (small) query set and streams the corpus once;
+  cosine is a Catalyst expression (functions/vectors.py) inside codegen.
+  The rank step shuffles only (query × corpus) candidate rows — at 100 TB
+  you bound that by pre-filtering with the LSH variant, not by giving the
+  exact operator more memory.
+- LSH: 16 signed random hyperplanes → 16-bit bucket key computed map-side;
+  join on bucket co-locates only plausible neighbors. Recall is tunable by
+  bands/probes; the pytest property test pins a floor vs brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot
+
+
+def _as_double(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector (vec_id < n_queries), the
+    k nearest other vectors. Returns (query_id, rank, neighbor_id)."""
+    e = _as_double(embeddings)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+KNN_BRUTEFORCE_ORACLE = """
+SELECT query_id, rank, neighbor_id
+FROM (
+  SELECT q.vec_id AS query_id,
+         c.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.vec_id ASC) AS INTEGER) AS rank
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+_N_BANDS = 8
+_BITS_PER_BAND = 8
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (seed 42) shared by every executor
+    as plan literals — no driver-side state, no closure capture."""
+    rng = np.random.RandomState(42)
+    return rng.randn(_N_BANDS * _BITS_PER_BAND, dim).tolist()
+
+
+def _band_buckets_expr(vec, dim: int):
+    """Array of (band, bucket) structs: band b's bucket is the 8-bit sign
+    pattern of its 8 hyperplane projections. Banding is the OR-construction
+    that makes hyperplane LSH recall-tunable: a candidate needs to match on
+    ANY band, so P(candidate) = 1-(1-p^bits)^bands with p = 1 - θ/π."""
+    planes = _hyperplanes(dim)
+    structs = []
+    for b in range(_N_BANDS):
+        acc = F.lit(0)
+        for i in range(_BITS_PER_BAND):
+            plane = planes[b * _BITS_PER_BAND + i]
+            proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+            acc = acc + F.when(proj >= 0, 1 << i).otherwise(0)
+        structs.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
+    return F.array(*structs)
+
+
+def knn_lsh(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5, dim: int = 64
+) -> DataFrame:
+    """Approximate cosine top-k via banded random-hyperplane LSH.
+
+    Candidates = corpus vectors sharing ≥1 of 8 8-bit sign-bands with the
+    query; exact cosine rank within candidates. Shuffle is on (band,
+    bucket) keys — 8 fixed-width rows per vector — and unrelated vectors
+    collide on a band with P ≈ 8/256, so the candidate join stays sparse
+    at any corpus size while true neighbors (smaller angle → higher
+    per-bit agreement) are recalled with tunable probability.
+    """
+    e = _as_double(embeddings)
+    banded = e.select(
+        "vec_id",
+        "v",
+        F.explode(_band_buckets_expr(F.col("v"), dim)).alias("bb"),
+    ).select("vec_id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    q = banded.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("band").alias("qband"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = (
+        banded.join(
+            F.broadcast(q),
+            (F.col("band") == F.col("qband"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,230 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting (the LLM-pipeline text surface, BASELINE.md).
+
+Everything except the fingerprint is pure Catalyst expressions with a DuckDB
+oracle. The fingerprint uses xxhash64 (engine-specific) → rows-only check +
+pytest properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+# Tiny per-language stopword profiles for the n-gram-free heuristic
+# language-ID: score = number of tokens in each profile, argmax with a fixed
+# priority order on ties. Deterministic and SQL-expressible.
+_LANG_PROFILES = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "est", "dans"),
+}
+
+
+def _toks() -> F.Column:
+    return F.filter(tokenize("text"), lambda t: t != "")
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    """Per-document quality signals: length, token stats, punctuation and
+    stopword ratios, alpha ratio, and a composite score.
+
+    Map-only (no shuffle): at 100 TB this runs at scan speed and the score
+    is typically used as a pushed-down filter for downstream stages.
+    """
+    toks = _toks()
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[\p{L}\s]", ""))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / safe_tokens, 4)
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4)
+    avg_tok_len = F.round(n_alpha / safe_tokens, 4)
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        # composite: long-enough, mostly-alpha, not punctuation-soup.
+        # Built from UNROUNDED ratios: multiplying 4-dp-rounded factors
+        # lands on exact .00005 boundaries (e.g. 0.3×0.8205) where Spark
+        # and DuckDB round differently.
+        F.round(
+            F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+            * (n_alpha / F.greatest(n_chars, F.lit(1)))
+            * (1 - n_punct / F.greatest(n_chars, F.lit(1))),
+            4,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+_SW = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+TEXT_QUALITY_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '') AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\p{{L}}\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+       n_chars,
+       len(t) AS n_tokens,
+       round(n_alpha / greatest(len(t), 1), 4) AS avg_token_len,
+       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(len(list_filter(t, x -> x IN ({_SW}))) / greatest(len(t), 1), 4) AS stopword_ratio,
+       round(n_alpha / greatest(n_chars, 1), 4) AS alpha_ratio,
+       round(least(len(t) / 50.0, 1.0)
+             * (n_alpha / greatest(n_chars, 1))
+             * (1 - n_punct / greatest(n_chars, 1)), 4) AS quality_score
+FROM base
+ORDER BY doc_id
+"""
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language-ID: stopword-profile hit counts, argmax with
+    fixed priority (en > es > de > fr), 'und' when all scores are zero."""
+    toks = _toks()
+
+    def profile_hits(words: tuple[str, ...]) -> F.Column:
+        # single-parameter lambda only: pyspark's filter() feeds the array
+        # index to a second lambda parameter, clobbering defaults.
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: profile_hits(words) for lang, words in _LANG_PROFILES.items()}
+    s_en, s_es, s_de, s_fr = (scores[k] for k in ("en", "es", "de", "fr"))
+    best = F.greatest(s_en, s_es, s_de, s_fr)
+    pred = (
+        F.when(best == 0, "und")
+        .when(s_en == best, "en")
+        .when(s_es == best, "es")
+        .when(s_de == best, "de")
+        .otherwise("fr")
+    )
+    return documents.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        s_en.alias("s_en"),
+        s_es.alias("s_es"),
+        s_de.alias("s_de"),
+        s_fr.alias("s_fr"),
+    ).orderBy("doc_id")
+
+
+def _profile_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> x IN ({inlist})))"
+
+
+LANGUAGE_ID_ORACLE = rf"""
+WITH scored AS (
+  SELECT doc_id,
+         {_profile_sql(_LANG_PROFILES['en'])} AS s_en,
+         {_profile_sql(_LANG_PROFILES['es'])} AS s_es,
+         {_profile_sql(_LANG_PROFILES['de'])} AS s_de,
+         {_profile_sql(_LANG_PROFILES['fr'])} AS s_fr
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '') AS t
+        FROM documents)
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_es, s_de, s_fr) THEN 'es'
+            WHEN s_de = greatest(s_de, s_fr) THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       s_en, s_es, s_de, s_fr
+FROM scored
+ORDER BY doc_id
+"""
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+_BPE_REGEX = r"[\p{L}]+|[0-9]+|[^\p{L}0-9\s]"
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-style
+    pre-tokenizer regex (letters | digits | single symbol), plus distinct
+    word count. Map-only."""
+    ws_tokens = F.split(F.trim(F.col("text")), r"\s+")
+    bpe_tokens = F.regexp_extract_all(F.col("text"), F.lit(_BPE_REGEX), 0)
+    words = _toks()
+    return documents.select(
+        "doc_id",
+        F.size(ws_tokens).alias("n_ws_tokens"),
+        F.size(bpe_tokens).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS n_bpe_tokens,
+       len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> ''))) AS n_distinct_words
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(documents: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint (rolling hash + window minima).
+
+    Char k-grams of the normalized text are hashed (xxhash64); each sliding
+    window of ``window`` consecutive gram-hashes contributes its minimum —
+    the classic winnowing selection, guaranteeing any shared substring of
+    length ≥ k+window-1 yields a shared fingerprint. Output is the distinct
+    fingerprint set per doc (count + a stable sample).
+
+    xxhash64 values are engine-specific → no SQL oracle (rows-only check);
+    properties (identity ⇒ equal sets, containment) are pytest-tested.
+
+    Evaluation-cost note: each stage (norm → grams → minima) is bound as a
+    single-element-array lambda variable before the next stage consumes it
+    per-element. Referencing the raw expression inside ``transform`` would
+    let Catalyst inline it per element — O(len²·regexp) per document — since
+    common-subexpression elimination does not cross lambda boundaries.
+    """
+
+    def winnow(norm: F.Column) -> F.Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.substring(norm, i, k)),
+        )
+
+        def minima(g: F.Column) -> F.Column:
+            return F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(g) - window, F.lit(0))),
+                lambda i: F.array_min(F.slice(g, i + 1, window)),
+            )
+
+        return F.get(F.transform(F.array(grams), minima), 0)
+
+    norm = F.lower(F.regexp_replace(F.col("text"), r"[^\p{L}]+", " "))
+    fps_raw = F.get(F.transform(F.array(norm), winnow), 0)
+    return (
+        documents.select(
+            "doc_id", F.array_sort(F.array_distinct(fps_raw)).alias("fingerprints")
+        )
+        .select(
+            "doc_id",
+            F.size("fingerprints").alias("n_fingerprints"),
+            F.element_at("fingerprints", 1).alias("min_fingerprint"),
+            "fingerprints",
+        )
+        .orderBy("doc_id")
+    )

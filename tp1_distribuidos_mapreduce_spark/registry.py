@@ -210,3 +210,72 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("purchase_asof_last_click", oracle=R.ASOF_ORACLE)
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.purchase_asof_last_click(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (BASELINE.md): dedup, similarity search,
+# text analysis. Sketch-based ops (minhash/simhash/LSH/fingerprint) use
+# engine-specific hashes → rows-only driver check; properties are pinned
+# by pytest against the exact variants.
+# --------------------------------------------------------------------------
+
+from .operators import dedup as D  # noqa: E402
+from .operators import similarity as S  # noqa: E402
+from .operators import textstats as T  # noqa: E402
+
+
+@register("dedup_exact", oracle=D.DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", oracle=D.NGRAM_JACCARD_ORACLE)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_cosine", oracle=D.EMBEDDING_NEAR_DUP_ORACLE)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("knn_bruteforce", oracle=S.KNN_BRUTEFORCE_ORACLE)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_bruteforce(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("knn_lsh")
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("text_quality", oracle=T.TEXT_QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register("language_id", oracle=T.LANGUAGE_ID_ORACLE)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("token_stats", oracle=T.TOKEN_STATS_ORACLE)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprint")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_fingerprints", "min_fingerprint"
+    )
