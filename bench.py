@@ -1,0 +1,63 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query wall-clock seconds.
+
+Each query is fully materialized through the noop sink (df.write.format
+("noop")) so Catalyst cannot prune work the way .count() would, and no
+rows cross to the driver — the number measures the distributed plan, not
+py4j transfer. One warmup query amortizes JVM/codegen startup out of the
+per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from tp1_distribuidos_mapreduce_spark import registry
+from tp1_distribuidos_mapreduce_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    # Warmup: run the cheapest query once to pay JVM/codegen startup.
+    materialize(qs["dedup_exact"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # keep the bench line parseable on failure
+            print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
