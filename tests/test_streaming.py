@@ -1,0 +1,182 @@
+"""Structured Streaming tests: the batch transforms in streaming/ replayed
+through a real file-source stream (availableNow trigger, memory sink) must
+agree with their batch-mode results; watermarks must drop late data; the
+applyInPandasWithState operator must converge to the batch aggregate.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tp1_distribuidos_mapreduce_spark.sources.tables import (
+    load_table,
+    stream_events as _stream_events,
+)
+from tp1_distribuidos_mapreduce_spark.streaming import stateful as ST
+from tp1_distribuidos_mapreduce_spark.streaming import windows as W
+
+from conftest import SF_SMOKE
+
+EVENTS = f"{SF_SMOKE}/events.parquet"
+
+
+def run_stream(sdf, mode: str):
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the sink rows."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_events(spark, path, max_files=None):
+    return _stream_events(spark, path, max_files_per_trigger=max_files)
+
+
+def batch_events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The streaming file source requires a directory; rewrite the fixture
+    events (micros timestamps) into one, once per module."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    batch_events(spark).write.mode("overwrite").parquet(d)
+    return d
+
+
+def norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    batch = W.tumbling_event_counts(batch_events(spark)).collect()
+    stream = run_stream(
+        W.tumbling_event_counts(stream_events(spark, events_dir)), "complete"
+    ).collect()
+    assert norm(stream) == norm(batch)
+
+
+def test_session_window_stream_matches_batch(spark, events_dir):
+    batch = W.session_window_stats(batch_events(spark)).collect()
+    stream = run_stream(
+        W.session_window_stats(stream_events(spark, events_dir)), "complete"
+    ).collect()
+    assert norm(stream) == norm(batch)
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Three micro-batches: early data, a watermark-raising anchor (which
+    finalizes and emits the early windows), then one event arriving 29 days
+    late. The append contract — an emitted window never changes — requires
+    the engine to drop that row, observable both in the state-operator
+    metrics and in the emitted counts."""
+    import glob
+    import os
+    import time
+
+    events = batch_events(spark)
+    d = str(tmp_path / "stream_in")
+    batches = [
+        events.where(F.col("ts") < "2024-01-02"),
+        events.where(F.col("ts") >= "2024-01-29"),
+        events.where(F.col("ts") < "2024-01-01 01:00:00").limit(1),
+    ]
+    # The file source orders its initial listing by modification time; pin
+    # mtimes so each write becomes its own micro-batch, in order.
+    now, seen = time.time(), set()
+    for i, df in enumerate(batches):
+        df.coalesce(1).write.mode("append").parquet(d)
+        new = set(glob.glob(f"{d}/part-*")) - seen
+        for f in new:
+            os.utime(f, (now - 300 + i * 100,) * 2)
+        seen |= new
+
+    sdf = W.tumbling_event_counts(
+        stream_events(spark, path=d, max_files=1), watermark="1 hour"
+    )
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1
+    # The late event's window was emitted from batch-1 data only: per-type
+    # counts for the first hour must match the on-time events exactly.
+    got = {
+        (r.event_type, r.n_events)
+        for r in spark.sql(f"SELECT * FROM {name}")
+        .where(F.col("window_start") == "2024-01-01 00:00:00")
+        .collect()
+    }
+    want = {
+        (r.event_type, r.n_events)
+        for r in W.tumbling_event_counts(batches[0])
+        .where(F.col("window_start") == "2024-01-01 00:00:00")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_totals_converge_to_batch(spark, events_dir):
+    """applyInPandasWithState over the full replay: last update per user ==
+    batch groupBy totals."""
+    out = run_stream(
+        ST.running_user_totals(stream_events(spark, events_dir)), "update"
+    ).collect()
+    # memory sink accumulates one row per (batch, user) update; with a
+    # single availableNow batch each user appears once, already final.
+    got = {r.user_id: (r.n_events, r.sum_value) for r in out}
+    want = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in ST.user_event_totals(batch_events(spark)).collect()
+    }
+    assert got == want
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    """State must persist across micro-batches: split the input into two
+    files, one batch each; final per-user emission equals the full total."""
+    events = batch_events(spark)
+    d = str(tmp_path / "stream_in2")
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(d)
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    out = run_stream(
+        ST.running_user_totals(stream_events(spark, path=d, max_files=1)), "update"
+    )
+    # Several updates per user (one per batch that touched it): keep the
+    # one with the highest n_events — state is monotone.
+    rows = out.collect()
+    final: dict[int, tuple] = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.sum_value)
+    want = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in ST.user_event_totals(events).collect()
+    }
+    assert final == want
+    # and at least one user really did span both batches
+    assert len(rows) > len(want)

@@ -279,3 +279,33 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_fingerprint(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "n_fingerprints", "min_fingerprint"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming surface (streaming/) — registered in BATCH mode (Structured
+# Streaming's unified model: same plan, same results on bounded input);
+# tests/test_streaming.py replays them as real streams and pins agreement.
+# --------------------------------------------------------------------------
+
+from .streaming import stateful as ST  # noqa: E402
+from .streaming import windows as W  # noqa: E402
+
+
+@register("tumbling_event_counts", oracle=W.TUMBLING_ORACLE)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_event_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("sliding_event_stats", oracle=W.SLIDING_ORACLE)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_event_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("session_window_stats", oracle=W.SESSION_ORACLE)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_window_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("user_event_totals", oracle=ST.USER_TOTALS_ORACLE)
+def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.user_event_totals(load_table(spark, sf_dir, "events"))
