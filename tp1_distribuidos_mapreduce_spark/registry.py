@@ -282,6 +282,43 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multimodal surface (operators/multimodal.py) — binary media columns with
+# decode/feature/resize/frame-sample via mapInPandas. Blob synthesis is
+# numpy-seeded (not SQL-expressible) → rows-only driver checks; values are
+# pinned against numpy ground truth in tests/test_multimodal.py.
+# --------------------------------------------------------------------------
+
+from .operators import multimodal as MM  # noqa: E402
+
+
+@register("media_summary")
+def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.media_summary(MM.synthesize_media(load_table(spark, sf_dir, "documents")))
+
+
+@register("image_stats")
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.image_stats(
+        MM.synthesize_media(load_table(spark, sf_dir, "documents"))
+    ).select("media_id", "height", "width", "mean", "std")
+
+
+@register("audio_stats")
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.audio_stats(MM.synthesize_media(load_table(spark, sf_dir, "documents")))
+
+
+@register("video_frame_sample")
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        MM.sample_frames(MM.synthesize_media(load_table(spark, sf_dir, "documents")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("media_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming surface (streaming/) — registered in BATCH mode (Structured
 # Streaming's unified model: same plan, same results on bounded input);
 # tests/test_streaming.py replays them as real streams and pins agreement.
