@@ -1,0 +1,263 @@
+"""Relational coverage extension: rollup/cube, semi/anti joins, exact
+percentiles, window frames (moving average), correlated EXISTS, array and
+date functions.
+
+These fill the remainder of the reference's negative space (SURVEY.md §2:
+"joins of any kind, window functions, set ops beyond union, grouping
+sets/cube/rollup, limits/top-k, date/math/array/map/JSON functions" —
+absent from the reference, required of a complete engine). All pure
+DataFrame compositions; Catalyst handles pushdown/broadcast planning.
+
+Column-name discipline as in plans/relational.py: every computed column
+aliased identically in Spark and oracle SQL; doubles rounded to 4dp on
+both sides so value-hashes agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_lineitem_flags(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal,
+    and grand total in one aggregation pass. Subtotal rows' NULL keys are
+    rewritten to 'ALL' via grouping() so they stay distinguishable from
+    real NULLs (and hash-stable across engines)."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping() is only legal inside the aggregate list, so the
+            # 'ALL' rewrite happens here rather than in a later select.
+            F.when(F.grouping("l_returnflag") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("returnflag"),
+            F.when(F.grouping("l_linestatus") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_linestatus"))
+            .alias("linestatus"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select("returnflag", "linestatus", "n", "sum_qty")
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def cube_order_status_priority(orders: DataFrame) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping-set combos."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.when(F.grouping("o_orderstatus") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(F.grouping("o_orderpriority") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .select("status", "priority", "n", "sum_price")
+        .orderBy("status", "priority")
+    )
+
+
+CUBE_ORACLE = """
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def supplier_activity(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Semi/anti join pair: per nation, how many suppliers shipped at least
+    one lineitem vs none. Both joins hash only the distinct supplier keys
+    of lineitem (Catalyst builds the join on the aggregated key set)."""
+    active = supplier.join(
+        lineitem, supplier.s_suppkey == lineitem.l_suppkey, "left_semi"
+    )
+    idle = supplier.join(
+        lineitem, supplier.s_suppkey == lineitem.l_suppkey, "left_anti"
+    )
+    a = active.groupBy("s_nationkey").agg(F.count("*").alias("n_active"))
+    i = idle.groupBy("s_nationkey").agg(F.count("*").alias("n_idle"))
+    return (
+        a.join(i, "s_nationkey", "full_outer")
+        .select(
+            "s_nationkey",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_idle", F.lit(0)).alias("n_idle"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SUPPLIER_ACTIVITY_ORACLE = """
+SELECT s_nationkey,
+       count(*) FILTER (WHERE EXISTS (
+           SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)) AS n_active,
+       count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)) AS n_idle
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+def order_price_quantiles(orders: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) + sample stddev per
+    priority. ``percentile`` is Spark's exact linear-interpolation
+    aggregate — same definition as DuckDB's quantile_cont."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUANTILES_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       round(stddev_samp(o_totalprice), 4) AS sd_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def daily_revenue_moving_avg(lineitem: DataFrame) -> DataFrame:
+    """Window-frame aggregation: daily revenue with a trailing 7-row
+    moving average (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) — ordered
+    frame over a pre-aggregated series, so the window input is one row per
+    day, not per lineitem."""
+    from pyspark.sql import Window
+
+    daily = lineitem.groupBy(
+        F.to_date("l_shipdate").alias("ship_date")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy("ship_date").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "ship_date",
+            "revenue",
+            F.round(F.avg("revenue").over(w), 4).alias("ma7"),
+        )
+        .orderBy("ship_date")
+    )
+
+
+MOVING_AVG_ORACLE = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT ship_date, revenue,
+       round(avg(revenue) OVER (ORDER BY ship_date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily
+ORDER BY ship_date
+"""
+
+
+def priorities_with_big_items(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Correlated-EXISTS shape: orders having ≥1 lineitem above a price
+    threshold, counted per priority — expressed as a semi join, which is
+    exactly what Catalyst rewrites EXISTS subqueries into."""
+    big = lineitem.where(F.col("l_extendedprice") > 5000).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+EXISTS_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_extendedprice > 5000)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def brand_type_vocabulary(part: DataFrame) -> DataFrame:
+    """Array-function pipeline: per brand, the sorted distinct vocabulary
+    of p_type words (split → flatten → distinct → sort → join) and its
+    size — the collect/flatten/array-op surface."""
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.split("p_type", " "))))
+            ).alias("words")
+        )
+        .select(
+            "p_brand",
+            F.size("words").alias("n_words"),
+            F.array_join("words", ",").alias("vocabulary"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_VOCAB_ORACLE = """
+SELECT p_brand,
+       len(list_sort(list_distinct(flatten(list(str_split(p_type, ' ')))))) AS n_words,
+       array_to_string(list_sort(list_distinct(flatten(list(str_split(p_type, ' '))))), ',') AS vocabulary
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def weekday_order_stats(orders: DataFrame) -> DataFrame:
+    """Date-function surface: per weekday (1=Sunday..7=Saturday), order
+    count and average price."""
+    return (
+        orders.groupBy(F.dayofweek("o_orderdate").alias("weekday"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("weekday")
+    )
+
+
+WEEKDAY_ORACLE = """
+SELECT CAST(date_part('dow', o_orderdate) + 1 AS INTEGER) AS weekday,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY weekday
+"""

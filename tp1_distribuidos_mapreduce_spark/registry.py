@@ -213,6 +213,60 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Relational extension (plans/relational_ext.py): rollup/cube, semi/anti,
+# percentiles, window frames, EXISTS, array + date functions.
+# --------------------------------------------------------------------------
+
+from .plans import relational_ext as RX  # noqa: E402
+
+
+@register("rollup_lineitem_flags", oracle=RX.ROLLUP_ORACLE)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.rollup_lineitem_flags(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("cube_order_status_priority", oracle=RX.CUBE_ORACLE)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.cube_order_status_priority(load_table(spark, sf_dir, "orders"))
+
+
+@register("supplier_activity", oracle=RX.SUPPLIER_ACTIVITY_ORACLE)
+def q_supplier_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.supplier_activity(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("order_price_quantiles", oracle=RX.QUANTILES_ORACLE)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.order_price_quantiles(load_table(spark, sf_dir, "orders"))
+
+
+@register("daily_revenue_moving_avg", oracle=RX.MOVING_AVG_ORACLE)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.daily_revenue_moving_avg(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("priorities_with_big_items", oracle=RX.EXISTS_ORACLE)
+def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.priorities_with_big_items(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("brand_type_vocabulary", oracle=RX.BRAND_VOCAB_ORACLE)
+def q_brand_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.brand_type_vocabulary(load_table(spark, sf_dir, "part"))
+
+
+@register("weekday_order_stats", oracle=RX.WEEKDAY_ORACLE)
+def q_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.weekday_order_stats(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline operators (BASELINE.md): dedup, similarity search,
 # text analysis. Sketch-based ops (minhash/simhash/LSH/fingerprint) use
 # engine-specific hashes → rows-only driver check; properties are pinned
