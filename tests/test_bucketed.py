@@ -1,0 +1,69 @@
+"""Bucketed-table layout tests: a join of two tables bucketed on the join
+key must plan with zero Exchange (no shuffle) and produce the same result
+as the plain join."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tp1_distribuidos_mapreduce_spark.sinks.bucketed import read_bucketed, write_bucketed
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bucketed")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    write_bucketed(
+        orders, "orders_b", str(d / "orders_b"), ["o_orderkey"], 8, ["o_orderkey"]
+    )
+    write_bucketed(
+        lineitem, "lineitem_b", str(d / "lineitem_b"), ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def joined(spark, bucketed_tables):
+    ot, lt = bucketed_tables
+    o = read_bucketed(spark, ot)
+    l = read_bucketed(spark, lt)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must consider partitioning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined(spark, bucketed_tables)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the ONLY exchange allowed is the one for the final groupBy; the
+        # join itself must read both sides pre-partitioned from storage.
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_part, join_part[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    got = {(r.o_orderpriority, r.rev) for r in joined(spark, bucketed_tables).collect()}
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    want = {
+        (r.o_orderpriority, r.rev)
+        for r in o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,46 @@
+"""SQL front-end surface: queries authored as ANSI SQL text and executed
+via ``spark.sql`` over the registered fixture views.
+
+The same SQL string doubles as its own DuckDB oracle — one text, two
+engines — which pins Spark's SQL parser/analyzer surface (joins, CTEs,
+window functions, DISTINCT aggregates) rather than just the DataFrame API.
+The reference has no query language at all (a query is a compiled Go
+plugin, SURVEY.md §3); this is the declarative replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import register_views
+
+REVENUE_BY_REGION_SQL = """
+SELECT r_name,
+       count(DISTINCT c_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS total_revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+TOP_BALANCES_SQL = """
+WITH ranked AS (
+  SELECT n_name, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+)
+SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal, CAST(rk AS INTEGER) AS rk
+FROM ranked
+WHERE rk <= 3
+ORDER BY n_name, rk
+"""
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

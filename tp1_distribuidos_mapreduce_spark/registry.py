@@ -267,6 +267,24 @@ def q_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SQL front-end surface (plans/sql_surface.py): the SQL text runs verbatim
+# on Spark AND serves as its own DuckDB oracle — one text, two engines.
+# --------------------------------------------------------------------------
+
+from .plans import sql_surface as SQ  # noqa: E402
+
+
+@register("sql_revenue_by_region", oracle=SQ.REVENUE_BY_REGION_SQL)
+def q_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SQ.run_sql(spark, sf_dir, SQ.REVENUE_BY_REGION_SQL)
+
+
+@register("sql_top_balances_per_nation", oracle=SQ.TOP_BALANCES_SQL)
+def q_sql_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SQ.run_sql(spark, sf_dir, SQ.TOP_BALANCES_SQL)
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline operators (BASELINE.md): dedup, similarity search,
 # text analysis. Sketch-based ops (minhash/simhash/LSH/fingerprint) use
 # engine-specific hashes → rows-only driver check; properties are pinned
