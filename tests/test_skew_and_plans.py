@@ -1,0 +1,128 @@
+"""Skew-utility correctness + plan-quality guards.
+
+The plan tests pin the scale properties the engine relies on: dimension
+joins broadcast, scans get pushed filters and pruned schemas, aggregations
+do map-side partial combine, and no relational query falls back to a
+nested-loop join or a row-at-a-time Python UDF.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tp1_distribuidos_mapreduce_spark import registry
+from tp1_distribuidos_mapreduce_spark.operators.skew import (
+    salted_collect_set,
+    salted_join,
+)
+from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+# --------------------------------------------------------------------------- #
+# salted skew utilities
+# --------------------------------------------------------------------------- #
+
+
+def test_salted_join_matches_plain_join(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    # event_type has 5 hot values over 2k rows -> maximally skewed key
+    types = events.groupBy("event_type").agg(F.count("*").alias("n_of_type"))
+    plain = (
+        events.join(types, "event_type")
+        .groupBy("event_type", "n_of_type")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(events, types, "event_type", num_salts=4)
+        .groupBy("event_type", "n_of_type")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    types = events.select("event_type").distinct()
+    big_s = events.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in events.columns]), F.lit(4)).cast("int"),
+    )
+    per_subkey = big_s.groupBy("event_type", "__salt").count().collect()
+    # every hot key must actually occupy >1 salt bucket
+    from collections import defaultdict
+
+    buckets = defaultdict(set)
+    for r in per_subkey:
+        buckets[r.event_type].add(r["__salt"])
+    assert all(len(s) == 4 for s in buckets.values())
+
+
+def test_salted_collect_set_matches_direct(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    direct = {
+        r.event_type: sorted(r.vs)
+        for r in events.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("vs"))
+        .collect()
+    }
+    two_phase = {
+        r.event_type: list(r.values)
+        for r in salted_collect_set(events, "event_type", "user_id", 4).collect()
+    }
+    assert two_phase == direct
+
+
+# --------------------------------------------------------------------------- #
+# plan-quality guards over the registered relational queries
+# --------------------------------------------------------------------------- #
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q5_revenue_by_nation", "top_parts_by_revenue"]
+)
+def test_dim_joins_broadcast_and_scans_prune(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [" in plan
+    # scans must not read every column
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "lineitem" in line:
+            assert "l_tax" not in line  # never referenced by these queries
+
+
+def test_wc_has_partial_aggregation(spark):
+    plan = plan_of(spark, "wc")
+    # partial + final HashAggregate pair around the exchange — the combiner
+    # the reference lacks (SURVEY.md §4.2 'No combiner').
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_revenue_by_nation",
+        "rollup_lineitem_flags",
+        "supplier_activity",
+        "daily_revenue_moving_avg",
+        "wc",
+        "ii",
+        "text_quality",
+    ],
+)
+def test_relational_hot_paths_have_no_python_udf(spark, name):
+    plan = plan_of(spark, name)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{name} fell off the JVM fast path: {marker}"
