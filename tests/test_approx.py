@@ -1,0 +1,46 @@
+"""Sketch-aggregate accuracy tests: approximate results must stay within
+the sketches' error bounds of the exact aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tp1_distribuidos_mapreduce_spark.plans.approx import (
+    approx_price_quantiles,
+    approx_user_counts,
+)
+from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_hll_distinct_within_rsd(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    approx = {r.event_type: r.approx_users for r in approx_user_counts(events).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(0.05 * n, 2), (t, approx[t], n)
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    approx = {r.o_orderpriority: (r.ap50, r.ap90) for r in approx_price_quantiles(orders).collect()}
+    exact = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for pr, (e50, e90) in exact.items():
+        a50, a90 = approx[pr]
+        assert abs(a50 - e50) <= 0.02 * e50 + 1, (pr, a50, e50)
+        assert abs(a90 - e90) <= 0.02 * e90 + 1, (pr, a90, e90)

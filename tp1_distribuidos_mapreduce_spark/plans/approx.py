@@ -1,0 +1,46 @@
+"""Approximate (sketch) aggregates: HyperLogLog distinct counts and
+approximate quantiles.
+
+At 100 TB exact COUNT(DISTINCT) and exact percentiles are shuffle-heavy
+(all distinct values / all rows must meet); the sketch versions are
+single-pass, mergeable, fixed-size state — the interactive-analytics path.
+Sketch outputs are engine-specific (no DuckDB oracle; driver rows-only
+check); tests/test_approx.py pins relative error against the exact
+aggregates instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_user_counts(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Per-event-type approx distinct users (HyperLogLog++, target relative
+    standard deviation ``rsd``) next to the event count."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_price_quantiles(orders: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Approximate median/p90/p99 of order price per priority
+    (Greenwald-Khanna sketch with the given accuracy)."""
+    q = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), accuracy
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.element_at(q, 1), 2).alias("ap50"),
+            F.round(F.element_at(q, 2), 2).alias("ap90"),
+            F.round(F.element_at(q, 3), 2).alias("ap99"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -284,6 +284,27 @@ def q_sql_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQ.run_sql(spark, sf_dir, SQ.TOP_BALANCES_SQL)
 
 
+@register("sql_grouping_sets", oracle=SQ.GROUPING_SETS_SQL)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SQ.run_sql(spark, sf_dir, SQ.GROUPING_SETS_SQL)
+
+
+# Sketch aggregates (plans/approx.py): engine-specific estimates → rows-only
+# driver check; accuracy pinned vs exact aggregates in tests/test_approx.py.
+
+from .plans import approx as AX  # noqa: E402
+
+
+@register("approx_user_counts")
+def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AX.approx_user_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("approx_price_quantiles")
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AX.approx_price_quantiles(load_table(spark, sf_dir, "orders"))
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators (BASELINE.md): dedup, similarity search,
 # text analysis. Sketch-based ops (minhash/simhash/LSH/fingerprint) use
