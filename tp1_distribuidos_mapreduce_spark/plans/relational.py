@@ -415,7 +415,12 @@ def purchase_asof_last_click(events: DataFrame) -> DataFrame:
             "event_id",
             "user_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            # 'none' (not NULL) for purchases with no preceding click: a
+            # NULL here breaks None-unaware row-sort comparators downstream,
+            # and the sentinel is hash-identical across engines.
+            F.coalesce(
+                F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("none")
+            ).alias("click_ts"),
         )
         .orderBy("event_id")
     )
@@ -424,7 +429,7 @@ def purchase_asof_last_click(events: DataFrame) -> DataFrame:
 ASOF_ORACLE = """
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+       coalesce(strftime(last_click_ts, '%Y-%m-%d %H:%M:%S'), 'none') AS click_ts
 FROM (
   SELECT event_id, user_id, ts, event_type,
          last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
