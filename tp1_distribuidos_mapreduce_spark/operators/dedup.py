@@ -22,6 +22,9 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +40,44 @@ from ..functions.vectors import cosine_similarity
 
 def _tokens(text_col: str = "text") -> F.Column:
     return F.filter(tokenize(text_col), lambda t: t != "")
+
+
+def _simhash_udf() -> F.Column:
+    """64-bit SimHash per token array, Arrow-batched: blake2b(token) bits →
+    ±1 votes summed with one numpy unpackbits/sum per doc. The pure-
+    Catalyst ``simhash_expr`` (functions/hashing.py) stays available for
+    UDF-free pipelines, but its per-bit higher-order filters evaluate
+    interpreted and measured ~4× slower; hashes are engine-internal either
+    way (no oracle), so the faster family is used here. A per-batch token
+    cache dedupes hashing across documents. (Factory, not module-level
+    decorator: pandas_udf parses its DDL eagerly and needs a session.)"""
+
+    @F.pandas_udf("long")
+    def sim(token_arrays: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        cache: dict[str, bytes] = {}
+        for toks in token_arrays:
+            if len(toks) == 0:
+                out.append(0)
+                continue
+            hs = np.empty((len(toks), 8), dtype=np.uint8)
+            for i, t in enumerate(toks):
+                b = cache.get(t)
+                if b is None:
+                    b = hashlib.blake2b(t.encode(), digest_size=8).digest()
+                    cache[t] = b
+                hs[i] = np.frombuffer(b, dtype=np.uint8)
+            bits = np.unpackbits(hs, axis=1)
+            votes = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
+            fp_bits = (votes > 0).astype(np.uint8)
+            out.append(
+                int.from_bytes(np.packbits(fp_bits).tobytes(), "big", signed=True)
+            )
+        return pd.Series(out, dtype="int64")
+
+    return sim
 
 
 def _pairs_within(members_col: str) -> F.Column:
@@ -266,7 +307,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     verify with popcount(xor). Shuffle: 4 fixed-width rows per doc.
     """
     fp = documents.select(
-        "doc_id", simhash_expr(_tokens()).alias("fp")
+        "doc_id", _simhash_udf()(_tokens()).alias("fp")
     )
     chunked = fp.select(
         "doc_id",

@@ -305,6 +305,29 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AX.approx_price_quantiles(load_table(spark, sf_dir, "orders"))
 
 
+# Skew path end-to-end: salted two-phase collect_set on a maximally skewed
+# key (5 event types over the whole table), oracle-checked for equality
+# with the direct aggregation.
+
+from .operators.skew import salted_collect_set  # noqa: E402
+
+
+@register(
+    "skewed_distinct_users",
+    oracle="""
+    SELECT event_type,
+           list_sort(list_distinct(list(user_id))) AS values
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_skewed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_collect_set(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    ).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators (BASELINE.md): dedup, similarity search,
 # text analysis. Sketch-based ops (minhash/simhash/LSH/fingerprint) use
