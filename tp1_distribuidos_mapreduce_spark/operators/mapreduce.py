@@ -86,16 +86,20 @@ def run_mapreduce(
     kv = corpus.select(doc_col, text_col).mapInPandas(run_map, schema=KV_SCHEMA)
 
     if combine_fn is not None:
-        # Map-side combine: group within the current (narrow) partitioning
-        # by (spark_partition_id, key) so no shuffle happens before it.
-        kv = (
-            kv.withColumn("_p", F.spark_partition_id())
-            .groupBy("_p", "key")
-            .applyInPandas(
-                lambda pdf: make_reducer(combine_fn)(pdf),
-                schema=KV_SCHEMA,
-            )
-        )
+        # Map-side combine, genuinely narrow: pandas-groupby inside each
+        # Arrow batch via mapInPandas. (A groupBy(partition_id, key).
+        # applyInPandas formulation still hash-exchanges on the group key —
+        # an extra full shuffle of the uncombined stream, the exact cost a
+        # combiner exists to avoid.)
+        def run_combine(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            for pdf in batches:
+                rows = [
+                    (k, combine_fn(k, list(vs)))
+                    for k, vs in pdf.groupby("key", sort=False)["value"]
+                ]
+                yield pd.DataFrame(rows, columns=["key", "value"])
+
+        kv = kv.mapInPandas(run_combine, schema=KV_SCHEMA)
 
     reduced = (
         kv.repartition(job.num_partitions, "key")
