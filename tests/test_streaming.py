@@ -17,6 +17,7 @@ from tp1_distribuidos_mapreduce_spark.sources.tables import (
     load_table,
     stream_events as _stream_events,
 )
+from tp1_distribuidos_mapreduce_spark.streaming import joins as SJ
 from tp1_distribuidos_mapreduce_spark.streaming import stateful as ST
 from tp1_distribuidos_mapreduce_spark.streaming import windows as W
 
@@ -153,6 +154,24 @@ def test_stateful_running_totals_converge_to_batch(spark, events_dir):
         for r in ST.user_event_totals(batch_events(spark)).collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream inner join with watermarks + time-range bound: a full
+    replay must produce exactly the batch range-join pairs."""
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in SJ.click_purchase_attribution(batch_events(spark)).collect()
+    }
+    stream_df = SJ.click_purchase_attribution(
+        stream_events(spark, events_dir), watermark="1 hour"
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in run_stream(stream_df, "append").collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
 
 
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path):

@@ -440,6 +440,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_streaming.py replays them as real streams and pins agreement.
 # --------------------------------------------------------------------------
 
+from .streaming import joins as SJ  # noqa: E402
 from .streaming import stateful as ST  # noqa: E402
 from .streaming import windows as W  # noqa: E402
 
@@ -462,3 +463,8 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("user_event_totals", oracle=ST.USER_TOTALS_ORACLE)
 def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.user_event_totals(load_table(spark, sf_dir, "events"))
+
+
+@register("click_purchase_attribution", oracle=SJ.ATTRIBUTION_ORACLE)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SJ.click_purchase_attribution(load_table(spark, sf_dir, "events"))
