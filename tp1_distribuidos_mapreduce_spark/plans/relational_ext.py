@@ -261,3 +261,109 @@ FROM orders
 GROUP BY 1
 ORDER BY weekday
 """
+
+
+def returned_item_revenue(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+    lineitem filter pushes to the scan; nation broadcasts."""
+    returned = lineitem.where(F.col("l_returnflag") == "R")
+    return (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def parts_above_brand_avg(part: DataFrame) -> DataFrame:
+    """Correlated-scalar-subquery shape (price > its brand's average),
+    expressed as a window average — the decorrelated plan Catalyst would
+    produce, with one shuffle on brand instead of a re-scanning subquery."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ABOVE_AVG_ORACLE = """
+SELECT p_brand, count(*) AS n_above, round(max(p_retailprice), 2) AS max_price
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
+                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def customer_order_gaps(orders: DataFrame) -> DataFrame:
+    """lag + date arithmetic: average days between a customer's consecutive
+    orders, for customers with ≥ 5 orders."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.withColumn(
+        "gap_days",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("gap_days"), 2).alias("avg_gap_days"),
+        )
+        .where(F.col("n_orders") >= 5)
+        .orderBy("o_custkey")
+    )
+
+
+ORDER_GAPS_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       round(avg(gap_days), 2) AS avg_gap_days
+FROM gaps
+GROUP BY o_custkey
+HAVING count(*) >= 5
+ORDER BY o_custkey
+"""

@@ -266,6 +266,26 @@ def q_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RX.weekday_order_stats(load_table(spark, sf_dir, "orders"))
 
 
+@register("returned_item_revenue", oracle=RX.Q10_ORACLE)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.returned_item_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("parts_above_brand_avg", oracle=RX.ABOVE_AVG_ORACLE)
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.parts_above_brand_avg(load_table(spark, sf_dir, "part"))
+
+
+@register("customer_order_gaps", oracle=RX.ORDER_GAPS_ORACLE)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.customer_order_gaps(load_table(spark, sf_dir, "orders"))
+
+
 # --------------------------------------------------------------------------
 # SQL front-end surface (plans/sql_surface.py): the SQL text runs verbatim
 # on Spark AND serves as its own DuckDB oracle — one text, two engines.
