@@ -114,3 +114,66 @@ def test_language_id_on_constructed_texts(spark):
     ]
     out = {r.doc_id: r.pred_lang for r in T.language_id(docs(spark, rows)).collect()}
     assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "und"}
+
+
+def test_connected_components_on_constructed_graph(spark):
+    # chain 1-2-3, pair 5-6, chain 10-11-12-13 (long diameter), isolated-by-absence 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    # a 30-edge path needs ~diameter rounds; must still converge under max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in D.connected_components(pairs, max_iter=40).collect()}
+    assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_near_dup_clusters_label_is_component_min(spark):
+    documents = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(documents).collect()}
+    clusters = {
+        r.doc_id: r.cluster_id for r in D.near_dup_clusters(documents).collect()
+    }
+    # every paired doc is clustered, and pair members share a cluster
+    for a, b in pairs:
+        assert clusters[a] == clusters[b]
+    # cluster label is a member and the minimum of its members
+    members: dict[int, list[int]] = {}
+    for d, c in clusters.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+
+
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    """IVF with n_probe=4 of 16 lists scans ~25% of the corpus; on random
+    synthetic embeddings (weak cluster structure) recall is bounded by the
+    data — pin a floor to catch regressions, not SOTA recall."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.knn_bruteforce(emb, 10, 5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in S.knn_ivf(emb, 10, 5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_knn_ivf_probe_monotonicity(spark):
+    """Probing every list must recover brute-force exactly (same tie-break)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.knn_bruteforce(emb, 5, 3).collect()
+    ]
+    full = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.knn_ivf(emb, 5, 3, n_lists=8, n_probe=8).collect()
+    ]
+    assert full == exact

@@ -1,0 +1,70 @@
+"""Property tests for the training-data pipeline operators (split/chunk).
+
+Oracle parity is covered by the auto-parametrized differential test in
+test_relational.py; these pin the semantic properties that matter for a
+corpus freeze: determinism, partition, coverage, overlap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tp1_distribuidos_mapreduce_spark.operators import pipeline as P
+
+from conftest import SF_SMOKE
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_is_deterministic_and_partitions(spark):
+    documents = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = {(r.doc_id, r.split) for r in P.train_val_test_split(documents).collect()}
+    b = {(r.doc_id, r.split) for r in P.train_val_test_split(documents).collect()}
+    assert a == b
+    assert len(a) == documents.count()  # every doc assigned exactly once
+    assert {s for _, s in a} <= {"train", "val", "test"}
+
+
+def test_split_fractions_near_nominal(spark):
+    # 5000 ids through a uniform hash: 80/10/10 ± a few points.
+    documents = spark.range(5000).select(F.col("id").alias("doc_id"))
+    counts = {
+        r.split: r.n
+        for r in P.train_val_test_split(documents)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert abs(counts["train"] / 5000 - 0.80) < 0.03
+    assert abs(counts["val"] / 5000 - 0.10) < 0.02
+    assert abs(counts["test"] / 5000 - 0.10) < 0.02
+
+
+def test_split_independent_of_row_order_and_extra_rows(spark):
+    # Pure function of doc_id: adding unrelated docs never reassigns others.
+    small = spark.range(100).select(F.col("id").alias("doc_id"))
+    big = spark.range(1000).select(F.col("id").alias("doc_id"))
+    small_map = {r.doc_id: r.split for r in P.train_val_test_split(small).collect()}
+    big_map = {r.doc_id: r.split for r in P.train_val_test_split(big).collect()}
+    assert all(big_map[d] == s for d, s in small_map.items())
+
+
+def test_chunks_cover_every_token_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(150))
+    out = P.chunk_documents(docs(spark, [(1, text)]), chunk_size=64, stride=48).collect()
+    # starts 0,48,96,144 -> sizes 64,64,54,6
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in out] == [64, 64, 54, 6]
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    out = P.chunk_documents(docs(spark, [(1, "a b c")]), chunk_size=64, stride=48).collect()
+    assert len(out) == 1 and out[0].n_chunk_tokens == 3
+
+
+def test_nonoverlapping_chunks_partition_tokens(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    out = P.chunk_documents(docs(spark, [(1, text)]), chunk_size=32, stride=32).collect()
+    assert sum(r.n_chunk_tokens for r in out) == 100

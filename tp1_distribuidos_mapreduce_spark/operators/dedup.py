@@ -428,3 +428,109 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
 ORDER BY id_a, id_b
 """
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: min-label propagation
+    connected components. Returns (doc_id, cluster_id) for every doc that
+    appears in a pair, cluster_id = smallest doc_id in its component.
+
+    This is the step that turns pairwise dedup output into an actionable
+    keep/drop list (keep doc_id == cluster_id, drop the rest). Pure
+    DataFrame iteration: each round every vertex takes the min of its own
+    label and its neighbors' labels — one shuffle per round, converging in
+    O(component diameter) rounds. Near-dup graphs are dense blobs with
+    tiny diameters, so 3-4 rounds typically suffice; ``max_iter`` bounds
+    adversarial chains. Each round is localCheckpoint()ed: without it the
+    unioned-join lineage doubles per iteration and the planner, not the
+    data, becomes the bottleneck. The convergence check is a single
+    sum(label) aggregate (labels only ever decrease, so an unchanged sum
+    ⇔ a fixed point).
+
+    At 100 TB scale this is the standard alternating-contraction shape
+    (cf. the large-star/small-star algorithm); min-propagation keeps it
+    oracle-checkable and is optimal for small-diameter dedup graphs.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionAll(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .dropDuplicates(["s", "d"])
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.s == labels.id).select(
+            F.col("d").alias("id"), "label"
+        )
+        labels = (
+            labels.unionAll(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def near_dup_clusters(documents: DataFrame) -> DataFrame:
+    """End-to-end dedup clustering: exact n-gram Jaccard pairs →
+    connected components → (doc_id, cluster_id) membership."""
+    return connected_components(ngram_jaccard_pairs(documents))
+
+
+# The oracle recomputes the Jaccard pairs (same text as
+# NGRAM_JACCARD_ORACLE) and closes them transitively with a recursive CTE:
+# reach(id, label) enumerates every vertex reachable from every vertex
+# (edges both directions), so min(label) per id is the component minimum.
+NEAR_DUP_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS t
+  FROM documents
+),
+shingled AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
+  WHERE len(t) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id
+FROM reach
+GROUP BY id
+ORDER BY doc_id
+"""

@@ -153,3 +153,105 @@ def knn_lsh(
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     )
+
+
+def _lloyd_centroids(
+    sample: np.ndarray, n_lists: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded sample (seed 42).
+
+    IVF training universally runs on a sample (faiss-style): driver memory
+    is O(sample × dim) regardless of corpus size, and the resulting
+    centroids broadcast to executors inside the UDF closure. Unit-norm
+    centroids make the assignment argmax a dot product ⇔ cosine."""
+    rng = np.random.RandomState(42)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    X = sample / np.maximum(norms, 1e-12)
+    C = X[rng.choice(len(X), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def _nearest_lists_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow-batched assignment: one matmul per record batch scores every
+    vector against every centroid; top-n_probe list ids per vector."""
+
+    @F.pandas_udf("array<int>")
+    def lists(vs: pd.Series) -> pd.Series:
+        M = np.vstack(vs.to_numpy())
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ centroids.T
+        top = np.argsort(-S, axis=1)[:, :n_probe]
+        return pd.Series(list(top.astype("int32")))
+
+    return lists
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index — the
+    classic ANN scale path alongside LSH (knn_lsh).
+
+    Build: spherical k-means centroids trained on a deterministic bounded
+    sample; every corpus vector is assigned to its single nearest centroid
+    (one fixed-width (vec_id, list_id) row — the inverted file). Search:
+    each query probes its n_probe nearest lists; candidates = corpus
+    vectors in those lists; exact cosine rank within candidates.
+
+    Scale shape: the corpus is scanned once for assignment and shuffled on
+    list_id only; queries broadcast; per-query work drops from O(N) to
+    O(N · n_probe / n_lists) with recall tunable by n_probe (the pytest
+    property pins a recall floor vs knn_bruteforce). At 100 TB the
+    inverted file would persist bucketed-by-list (sinks/bucketed.py) so
+    repeated searches skip assignment entirely.
+    """
+    e = _as_double(embeddings)
+    sample = np.vstack(
+        [
+            np.asarray(r.v)
+            for r in e.orderBy("vec_id").limit(sample_size).select("v").collect()
+        ]
+    )
+    C = _lloyd_centroids(sample, n_lists)
+
+    assigned = e.select(
+        "vec_id",
+        "v",
+        F.element_at(_nearest_lists_udf(C, 1)(F.col("v")), 1).alias("list_id"),
+    )
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("qlist"),
+    )
+    cands = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("list_id") == F.col("qlist"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )

@@ -395,6 +395,29 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("knn_ivf")
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_clusters", oracle=D.NEAR_DUP_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.near_dup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+from .operators import pipeline as P  # noqa: E402
+
+
+@register("train_val_test_split", oracle=P.TRAIN_VAL_TEST_ORACLE)
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.train_val_test_split(load_table(spark, sf_dir, "documents"))
+
+
+@register("chunk_documents", oracle=P.CHUNK_DOCUMENTS_ORACLE)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 @register("text_quality", oracle=T.TEXT_QUALITY_ORACLE)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.text_quality(load_table(spark, sf_dir, "documents"))
