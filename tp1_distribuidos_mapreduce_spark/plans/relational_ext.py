@@ -367,3 +367,202 @@ GROUP BY o_custkey
 HAVING count(*) >= 5
 ORDER BY o_custkey
 """
+
+
+def promo_revenue_by_month(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts per ship month.
+    Conditional aggregation over a fact-dim join; part broadcasts."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(
+                100
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+PROMO_REVENUE_ORACLE = """
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+       round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY month
+"""
+
+
+def supplier_part_variety(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers shipping each (brand, size band),
+    excluding suppliers in bad standing (NOT IN → broadcast anti-join).
+    The supplier link comes from lineitem (the fixtures carry no partsupp)."""
+    excluded = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    size_band = (
+        (F.floor((F.col("p_size") - 1) / 10) * 10 + 1).cast("int").alias("size_band")
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            lineitem.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", size_band)
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), "p_brand", "size_band")
+    )
+
+
+SUPPLIER_VARIETY_ORACLE = """
+SELECT p_brand,
+       CAST(floor((p_size - 1) / 10) * 10 + 1 AS INTEGER) AS size_band,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY n_suppliers DESC, p_brand, size_band
+"""
+
+
+def large_quantity_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: int = 180
+) -> DataFrame:
+    """TPC-H Q18 shape: top-100 big-ticket orders whose total line quantity
+    exceeds a threshold. The HAVING pre-aggregate reduces lineitem to
+    qualifying orderkeys BEFORE the 3-way join — the order that keeps the
+    join build sides small at scale."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 1).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+LARGE_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS VARCHAR)  AS o_orderdate,
+       round(o_totalprice, 2)        AS o_totalprice,
+       round(sum(l_quantity), 1)     AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 180
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def disjunctive_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand/size/quantity
+    conjunctions. One scan of each table: the disjunction is a single
+    post-join filter Catalyst can partially push (common l_quantity bounds
+    reach the lineitem scan)."""
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(25, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+DISJUNCTIVE_ORACLE = """
+SELECT p_brand, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 25 AND 50 AND l_quantity BETWEEN 20 AND 50)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def order_value_deciles(orders: DataFrame) -> DataFrame:
+    """ntile window: decile boundaries and averages of order totalprice.
+    Deterministic tie-break on o_orderkey so both engines tile identically.
+
+    Scale note: an unpartitioned window funnels all rows through one task —
+    exact and oracle-checkable here, but at 100 TB you'd swap the ntile for
+    approx_percentile boundary cuts (plans/approx.py shows the sketch path)
+    and keep this shape only for per-key windows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILES_ORACLE = """
+SELECT decile, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY decile
+ORDER BY decile
+"""

@@ -286,6 +286,43 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RX.customer_order_gaps(load_table(spark, sf_dir, "orders"))
 
 
+@register("promo_revenue_by_month", oracle=RX.PROMO_REVENUE_ORACLE)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.promo_revenue_by_month(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("supplier_part_variety", oracle=RX.SUPPLIER_VARIETY_ORACLE)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.supplier_part_variety(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register("large_quantity_orders", oracle=RX.LARGE_ORDERS_ORACLE)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.large_quantity_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("disjunctive_brand_revenue", oracle=RX.DISJUNCTIVE_ORACLE)
+def q_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.disjunctive_brand_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("order_value_deciles", oracle=RX.DECILES_ORACLE)
+def q_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.order_value_deciles(load_table(spark, sf_dir, "orders"))
+
+
 # --------------------------------------------------------------------------
 # SQL front-end surface (plans/sql_surface.py): the SQL text runs verbatim
 # on Spark AND serves as its own DuckDB oracle — one text, two engines.
