@@ -199,3 +199,40 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     assert final == want
     # and at least one user really did span both batches
     assert len(rows) > len(want)
+
+
+def test_stream_dedup_collapses_duplicate_delivery(spark, tmp_path):
+    """At-least-once delivery (every file written twice) through
+    dropDuplicatesWithinWatermark must yield exactly the distinct ids."""
+    from tp1_distribuidos_mapreduce_spark.streaming import dedup as SD
+
+    d = str(tmp_path / "dup_events")
+    ev = batch_events(spark).limit(500)
+    ev.write.mode("overwrite").parquet(d)
+    ev.write.mode("append").parquet(d)
+
+    out = run_stream(SD.dedup_events(stream_events(spark, d)), "append")
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == 500
+    assert len(set(ids)) == 500
+
+
+def test_stream_dedup_batch_and_stream_agree(spark, tmp_path):
+    from tp1_distribuidos_mapreduce_spark.streaming import dedup as SD
+
+    d = str(tmp_path / "dup_events2")
+    ev = batch_events(spark).limit(300)
+    ev.write.mode("overwrite").parquet(d)
+    ev.write.mode("append").parquet(d)
+
+    batch_ids = {
+        r.event_id
+        for r in SD.dedup_events(spark.read.parquet(d)).select("event_id").collect()
+    }
+    stream_ids = {
+        r.event_id
+        for r in run_stream(SD.dedup_events(stream_events(spark, d)), "append")
+        .select("event_id")
+        .collect()
+    }
+    assert stream_ids == batch_ids

@@ -520,6 +520,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_streaming.py replays them as real streams and pins agreement.
 # --------------------------------------------------------------------------
 
+from .streaming import dedup as SD  # noqa: E402
 from .streaming import joins as SJ  # noqa: E402
 from .streaming import stateful as ST  # noqa: E402
 from .streaming import windows as W  # noqa: E402
@@ -548,3 +549,21 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("click_purchase_attribution", oracle=SJ.ATTRIBUTION_ORACLE)
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.click_purchase_attribution(load_table(spark, sf_dir, "events"))
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n_events
+FROM (
+  SELECT DISTINCT event_id, event_type
+  FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("stream_dedup_counts", oracle=STREAM_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Doubled input models at-least-once delivery; dedup must collapse it.
+    ev = load_table(spark, sf_dir, "events")
+    return SD.deduped_event_type_counts(ev.unionAll(ev))
