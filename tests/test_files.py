@@ -1,0 +1,101 @@
+"""Round-trip and quarantine tests for the CSV/JSONL connectors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tp1_distribuidos_mapreduce_spark.sources import files as FS
+from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+ORDERS_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate string, o_orderpriority string"
+)
+
+
+def test_jsonl_roundtrip_preserves_rows_and_types(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").limit(200)
+    p = str(tmp_path / "orders_jsonl")
+    FS.write_jsonl(orders, p)
+    back = FS.valid_records(
+        FS.read_jsonl(spark, p, orders.schema)
+    )
+    # nullability flags differ between parquet metadata and a JSON read;
+    # the type structure itself must round-trip exactly
+    assert back.schema.simpleString() == orders.schema.simpleString()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_jsonl_roundtrip_array_column(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    p = str(tmp_path / "emb_jsonl")
+    FS.write_jsonl(emb, p)
+    back = FS.valid_records(FS.read_jsonl(spark, p, emb.schema))
+    got = {r.vec_id: r.embedding for r in back.collect()}
+    exp = {r.vec_id: r.embedding for r in emb.collect()}
+    assert got == exp
+
+
+def test_jsonl_partitioned_write_prunes(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "n_chars")
+    p = str(tmp_path / "docs_by_lang")
+    FS.write_jsonl(docs, p, partition_by=["lang"])
+    back = FS.valid_records(
+        FS.read_jsonl(spark, p, "doc_id bigint, n_chars bigint, lang string")
+    )
+    one = back.where(F.col("lang") == "en")
+    # partition pruning: the en filter must hit PartitionFilters, not data
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_jsonl_quarantines_malformed_lines(spark, tmp_path):
+    d = tmp_path / "bad_jsonl"
+    d.mkdir()
+    (d / "part-0.json").write_text(
+        '{"a": 1, "b": "x"}\n'
+        "this is not json\n"
+        '{"a": 2, "b": "y"}\n'
+        '{"a": "NaNope", "b": 3}\n'
+    )
+    df = FS.read_jsonl(spark, str(d), "a bigint, b string")
+    # contract: valid rows FULLY conform to the schema — a row with any
+    # coercion failure ("a": "NaNope" as bigint) is quarantined whole
+    assert FS.valid_records(df).count() == 2
+    bad = sorted(r[0] for r in FS.corrupt_records(df).collect())
+    assert bad == ["this is not json", '{"a": "NaNope", "b": 3}']
+
+
+def test_jsonl_strict_mode_fails_fast(spark, tmp_path):
+    d = tmp_path / "bad_strict"
+    d.mkdir()
+    (d / "part-0.json").write_text('{"a": 1}\nnope\n')
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        FS.read_jsonl(spark, str(d), "a bigint", strict=True).collect()
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .limit(100)
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("string"))
+    )
+    p = str(tmp_path / "orders_csv")
+    FS.write_csv(orders, p)
+    back = FS.valid_records(FS.read_csv(spark, p, ORDERS_DDL))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_csv_quarantines_malformed_rows(spark, tmp_path):
+    d = tmp_path / "bad_csv"
+    d.mkdir()
+    (d / "part-0.csv").write_text("a,b\n1,x\nnot_a_number,y\n3,z\n")
+    df = FS.read_csv(spark, str(d), "a bigint, b string")
+    assert FS.valid_records(df).count() == 2
+    assert FS.corrupt_records(df).count() == 1

