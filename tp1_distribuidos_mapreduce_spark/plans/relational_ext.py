@@ -566,3 +566,95 @@ FROM (
 GROUP BY decile
 ORDER BY decile
 """
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Changelog compaction (the upsert/CDC pattern): keep each key's
+    newest record — row_number over (key, ts desc) with event_id as the
+    deterministic tie-break. This is the batch shape of a MERGE latest-wins
+    compaction; at scale it is one shuffle on the key, and with the input
+    bucketed by user_id (sinks/bucketed.py) it is shuffle-free."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("string").alias("ts"),
+            "event_type",
+            F.round("value", 3).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+LATEST_EVENT_ORACLE = """
+SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts, event_type,
+       round(value, 3) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def hourly_event_gapfill(events: DataFrame) -> DataFrame:
+    """Dense hourly series per event_type: zero-filled counts for every
+    hour in [min(ts), max(ts)], the gap-fill/resample shape dashboards and
+    feature pipelines need (a groupBy alone silently drops empty hours).
+
+    The calendar is sequence()-generated from the global min/max — two
+    scalar aggregates broadcast via a cross join of one row — then
+    left-joined with the per-hour counts. Calendar size is bounded by the
+    time span, not the event count, so the explode stays tiny at any
+    scale; the real data passes through one hash aggregate."""
+    hours = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    counts = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+    return (
+        hours.crossJoin(types)
+        .join(counts, ["hour", "event_type"], "left")
+        .select(
+            F.col("hour").cast("string").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, round(sum(value), 3) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(h.hour AS VARCHAR) AS hour, t.event_type AS event_type,
+       coalesce(c.n, 0) AS n, coalesce(c.sum_value, 0.0) AS sum_value
+FROM hours h
+CROSS JOIN types t
+LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type
+ORDER BY hour, t.event_type
+"""

@@ -323,6 +323,16 @@ def q_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RX.order_value_deciles(load_table(spark, sf_dir, "orders"))
 
 
+@register("latest_event_per_user", oracle=RX.LATEST_EVENT_ORACLE)
+def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.latest_event_per_user(load_table(spark, sf_dir, "events"))
+
+
+@register("hourly_event_gapfill", oracle=RX.GAPFILL_ORACLE)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.hourly_event_gapfill(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # SQL front-end surface (plans/sql_surface.py): the SQL text runs verbatim
 # on Spark AND serves as its own DuckDB oracle — one text, two engines.
