@@ -67,3 +67,59 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
         .collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------- #
+# size-targeted compaction writer (sinks/compact.py)
+# --------------------------------------------------------------------------- #
+
+
+def test_compacted_write_collapses_small_files(spark, tmp_path):
+    from tp1_distribuidos_mapreduce_spark.sinks import compact as C
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+    import glob
+
+    from conftest import SF_SMOKE
+
+    # fragment the input into 64 tiny files, then compact
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    n = C.write_compacted_parquet(spark.read.parquet(frag), out, target_mb=128)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n
+    # ~6k rows is far below one 128MB target file
+    assert n == 1
+    # content preserved
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_compacted_write_respects_directory_partitioning(spark, tmp_path):
+    from tp1_distribuidos_mapreduce_spark.sinks import compact as C
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+    import glob
+
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "by_lang")
+    C.write_compacted_parquet(docs, out, target_mb=128, partition_cols=["lang"])
+    langs = {p.split("lang=")[1] for p in glob.glob(f"{out}/lang=*")}
+    assert langs == {r.lang for r in docs.select("lang").distinct().collect()}
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+
+def test_target_partitions_scales_with_size(spark):
+    from tp1_distribuidos_mapreduce_spark.sinks import compact as C
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    from conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    # smaller target -> at least as many files
+    assert C.target_partitions(li, 1) >= C.target_partitions(li, 1024)
+    assert C.estimated_plan_bytes(li) > 0

@@ -170,3 +170,27 @@ def test_large_orders_preaggregates_before_join(spark):
     # aggregate appears BELOW (after) the join node but sum_qty must be
     # grouped before o_orderkey ever appears in a join key.
     assert "sum_qty" in plan[:join_pos] or "partial_sum" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "train_val_test_split",
+        "chunk_documents",
+        "latest_event_per_user",
+        "hourly_event_gapfill",
+        "stream_dedup_counts",
+        "promo_revenue_by_month",
+    ],
+)
+def test_pipeline_queries_stay_jvm_side(spark, name):
+    """The corpus-pipeline and time-series queries are pure Catalyst
+    expressions — any Python eval node means an accidental fallback."""
+    plan = plan_of(spark, name)
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
+        assert marker not in plan, f"{name} fell off the JVM fast path: {marker}"
