@@ -109,6 +109,94 @@ def chunk_documents(
     )
 
 
+def corpus_curation(
+    documents: DataFrame, min_tokens: int = 10, min_quality: float = 0.15
+) -> DataFrame:
+    """End-to-end corpus curation: exact dedup → quality gate → language
+    gate → per-(source, language) survivor stats. The composition every
+    pretraining data pipeline runs, assembled from this engine's own
+    operators so each stage keeps its individually-tested semantics.
+
+    Plan shape at scale: all three signal stages are map-only expression
+    pipelines over the same documents scan; the dedup survivor set is one
+    fixed-width groupBy on md5(text). Catalyst reuses the scan; the only
+    wide operations are the dedup aggregate and the final tiny rollup.
+    """
+    from .dedup import dedup_exact
+    from .textstats import language_id, text_quality
+
+    keep = dedup_exact(documents).select(F.col("keep_doc_id").alias("doc_id"))
+    quality = text_quality(documents).select("doc_id", "n_tokens", "quality_score")
+    lang = language_id(documents).select("doc_id", "pred_lang")
+    return (
+        documents.select("doc_id", "source")
+        .join(keep, "doc_id")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_quality)
+            & (F.col("pred_lang") != "und")
+        )
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source", "pred_lang")
+    )
+
+
+def _curation_oracle() -> str:
+    from .textstats import _LANG_PROFILES, _profile_sql
+
+    return rf"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '') AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\p{{L}}\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS n_alpha
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+signals AS (
+  SELECT doc_id, source,
+         len(t) AS n_tokens,
+         round(least(len(t) / 50.0, 1.0)
+               * (n_alpha / greatest(n_chars, 1))
+               * (1 - n_punct / greatest(n_chars, 1)), 4) AS quality_score,
+         {_profile_sql(_LANG_PROFILES['en'])} AS s_en,
+         {_profile_sql(_LANG_PROFILES['es'])} AS s_es,
+         {_profile_sql(_LANG_PROFILES['de'])} AS s_de,
+         {_profile_sql(_LANG_PROFILES['fr'])} AS s_fr
+  FROM base
+),
+lang AS (
+  SELECT *,
+         CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_es, s_de, s_fr) THEN 'es'
+              WHEN s_de = greatest(s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM signals
+)
+SELECT source, pred_lang,
+       count(*) AS n_docs,
+       round(avg(quality_score), 4) AS avg_quality,
+       sum(n_tokens) AS total_tokens
+FROM lang
+JOIN keep USING (doc_id)
+WHERE n_tokens >= 10 AND quality_score >= 0.15 AND pred_lang <> 'und'
+GROUP BY source, pred_lang
+ORDER BY source, pred_lang
+"""
+
+
+CORPUS_CURATION_ORACLE = _curation_oracle()
+
+
 CHUNK_DOCUMENTS_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -465,6 +465,11 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
+@register("corpus_curation", oracle=P.CORPUS_CURATION_ORACLE)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.corpus_curation(load_table(spark, sf_dir, "documents"))
+
+
 @register("text_quality", oracle=T.TEXT_QUALITY_ORACLE)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.text_quality(load_table(spark, sf_dir, "documents"))
