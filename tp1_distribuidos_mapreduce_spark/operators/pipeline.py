@@ -114,27 +114,35 @@ def corpus_curation(
 ) -> DataFrame:
     """End-to-end corpus curation: exact dedup → quality gate → language
     gate → per-(source, language) survivor stats. The composition every
-    pretraining data pipeline runs, assembled from this engine's own
-    operators so each stage keeps its individually-tested semantics.
+    pretraining data pipeline runs, built from the same tested expressions
+    as text_quality / language_id / dedup_exact.
 
-    Plan shape at scale: all three signal stages are map-only expression
-    pipelines over the same documents scan; the dedup survivor set is one
-    fixed-width groupBy on md5(text). Catalyst reuses the scan; the only
-    wide operations are the dedup aggregate and the final tiny rollup.
+    Single-pass plan shape (the 100 TB formulation): ONE scan computes
+    every signal plus the text hash in one projection — the text column
+    dies at the scan and only fixed-width signal rows move. Dedup
+    survivorship is a window-min over the hash (one shuffle), the gates
+    are a filter, and the rollup is the only other exchange. The naive
+    composition (join three per-doc signal frames onto a keep-list) costs
+    4 scans + 6 exchanges; this is 1 scan + 2.
     """
-    from .dedup import dedup_exact
-    from .textstats import language_id, text_quality
+    from pyspark.sql import Window
 
-    keep = dedup_exact(documents).select(F.col("keep_doc_id").alias("doc_id"))
-    quality = text_quality(documents).select("doc_id", "n_tokens", "quality_score")
-    lang = language_id(documents).select("doc_id", "pred_lang")
+    from .textstats import n_tokens_expr, pred_lang_expr, quality_score_expr
+
+    sig = documents.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        n_tokens_expr().alias("n_tokens"),
+        quality_score_expr().alias("quality_score"),
+        pred_lang_expr().alias("pred_lang"),
+    )
+    keep_id = F.min("doc_id").over(Window.partitionBy("text_hash"))
     return (
-        documents.select("doc_id", "source")
-        .join(keep, "doc_id")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
+        sig.withColumn("keep_id", keep_id)
         .where(
-            (F.col("n_tokens") >= min_tokens)
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("n_tokens") >= min_tokens)
             & (F.col("quality_score") >= min_quality)
             & (F.col("pred_lang") != "und")
         )

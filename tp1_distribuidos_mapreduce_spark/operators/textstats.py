@@ -30,6 +30,46 @@ def _toks() -> F.Column:
     return F.filter(tokenize("text"), lambda t: t != "")
 
 
+def n_tokens_expr() -> F.Column:
+    """Word-token count of `text` (letter-run tokenizer, empties dropped)."""
+    return F.size(_toks())
+
+
+def quality_score_expr() -> F.Column:
+    """Composite quality score of `text`, rounded 4dp — the same
+    expression text_quality emits, exposed for single-pass compositions
+    (corpus_curation computes every gate in one projection over one
+    scan)."""
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[\p{L}\s]", ""))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
+    return F.round(
+        F.least(F.size(_toks()) / F.lit(50.0), F.lit(1.0))
+        * (n_alpha / F.greatest(n_chars, F.lit(1)))
+        * (1 - n_punct / F.greatest(n_chars, F.lit(1))),
+        4,
+    )
+
+
+def pred_lang_expr() -> F.Column:
+    """Predicted language of `text` — language_id's argmax expression."""
+    toks = _toks()
+
+    def profile_hits(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: profile_hits(words) for lang, words in _LANG_PROFILES.items()}
+    s_en, s_es, s_de, s_fr = (scores[k] for k in ("en", "es", "de", "fr"))
+    best = F.greatest(s_en, s_es, s_de, s_fr)
+    return (
+        F.when(best == 0, "und")
+        .when(s_en == best, "en")
+        .when(s_es == best, "es")
+        .when(s_de == best, "de")
+        .otherwise("fr")
+    )
+
+
 def text_quality(documents: DataFrame) -> DataFrame:
     """Per-document quality signals: length, token stats, punctuation and
     stopword ratios, alpha ratio, and a composite score.
@@ -60,12 +100,7 @@ def text_quality(documents: DataFrame) -> DataFrame:
         # Built from UNROUNDED ratios: multiplying 4-dp-rounded factors
         # lands on exact .00005 boundaries (e.g. 0.3×0.8205) where Spark
         # and DuckDB round differently.
-        F.round(
-            F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-            * (n_alpha / F.greatest(n_chars, F.lit(1)))
-            * (1 - n_punct / F.greatest(n_chars, F.lit(1))),
-            4,
-        ).alias("quality_score"),
+        quality_score_expr().alias("quality_score"),
     ).orderBy("doc_id")
 
 
@@ -107,17 +142,9 @@ def language_id(documents: DataFrame) -> DataFrame:
 
     scores = {lang: profile_hits(words) for lang, words in _LANG_PROFILES.items()}
     s_en, s_es, s_de, s_fr = (scores[k] for k in ("en", "es", "de", "fr"))
-    best = F.greatest(s_en, s_es, s_de, s_fr)
-    pred = (
-        F.when(best == 0, "und")
-        .when(s_en == best, "en")
-        .when(s_es == best, "es")
-        .when(s_de == best, "de")
-        .otherwise("fr")
-    )
     return documents.select(
         "doc_id",
-        pred.alias("pred_lang"),
+        pred_lang_expr().alias("pred_lang"),
         s_en.alias("s_en"),
         s_es.alias("s_es"),
         s_de.alias("s_de"),
