@@ -470,6 +470,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.corpus_curation(load_table(spark, sf_dir, "documents"))
 
 
+from .operators import udtf_ops as U  # noqa: E402
+
+
+@register("sentence_stats", oracle=U.SENTENCE_STATS_ORACLE)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return U.sentence_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("text_quality", oracle=T.TEXT_QUALITY_ORACLE)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.text_quality(load_table(spark, sf_dir, "documents"))
