@@ -194,3 +194,45 @@ def test_pipeline_queries_stay_jvm_side(spark, name):
         "FlatMapGroupsInPandas",
     ):
         assert marker not in plan, f"{name} fell off the JVM fast path: {marker}"
+
+
+# --------------------------------------------------------------------------- #
+# registry-wide plan audit: every query, one policy
+# --------------------------------------------------------------------------- #
+
+# Python eval nodes are allowed ONLY where the operator is defined by its
+# Python/Arrow kernel; everything else must stay in JVM codegen.
+PYTHON_ALLOWED = {
+    "mr_wc", "mr_ii",                      # the plugin contract IS Python
+    "dedup_simhash", "knn_lsh", "knn_ivf", # Arrow-batched BLAS kernels
+    "dedup_embedding_cosine",              # blocked-matmul applyInPandas
+    "sentence_stats",                      # the UDTF surface demo
+    "doc_fingerprint",                     # vectorized winnowing
+    "media_summary", "image_stats", "audio_stats", "video_frame_sample",
+}
+
+# Non-equi / cross joins allowed ONLY where the semantics are all-pairs by
+# definition or both sides are provably tiny derived relations.
+NESTED_LOOP_ALLOWED = {
+    "knn_bruteforce",        # exact ANN baseline: score every (q, corpus) pair
+    "hourly_event_gapfill",  # hours × event_types calendar, both tiny
+}
+
+
+def test_registry_wide_plan_audit(spark):
+    from tp1_distribuidos_mapreduce_spark.sources.tables import TABLE_NAMES  # noqa: F401
+
+    py_markers = (
+        "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+        "FlatMapGroupsInPandas", "PythonUDTF",
+    )
+    violations = []
+    for name, fn in registry.queries().items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        if any(m in plan for m in py_markers) and name not in PYTHON_ALLOWED:
+            violations.append(f"{name}: unexpected Python eval node")
+        if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_ALLOWED:
+            violations.append(f"{name}: unexpected nested-loop join")
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: cartesian product")
+    assert not violations, violations

@@ -236,3 +236,28 @@ def test_stream_dedup_batch_and_stream_agree(spark, tmp_path):
         .collect()
     }
     assert stream_ids == batch_ids
+
+
+def test_checkpointed_sink_is_exactly_once_across_restarts(spark, tmp_path):
+    """Drain a source dir to parquet; re-running with the same checkpoint
+    must not re-land rows; new source files land incrementally."""
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "landing_src")
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = batch_events(spark).limit(400)
+    first.write.mode("overwrite").parquet(src)
+
+    SK.write_stream_parquet(stream_events(spark, src), out, ckpt)
+    assert SK.read_landed_parquet(spark, out).count() == 400
+
+    # restart with identical source: exactly-once -> still 400
+    SK.write_stream_parquet(stream_events(spark, src), out, ckpt)
+    assert SK.read_landed_parquet(spark, out).count() == 400
+
+    # new files arrive: only the delta lands
+    batch_events(spark).limit(500).write.mode("append").parquet(src)
+    SK.write_stream_parquet(stream_events(spark, src), out, ckpt)
+    assert SK.read_landed_parquet(spark, out).count() == 900
