@@ -109,6 +109,71 @@ def chunk_documents(
     )
 
 
+_REBALANCE_KEEP_PERMILLE = {"en": 300, "de": 800}  # others keep all
+
+
+def language_rebalance(documents: DataFrame) -> DataFrame:
+    """Stratified downsampling with exact deterministic quotas: keep a
+    per-language fraction of documents (300‰ of en, 800‰ of de, all of the
+    rest) selected by the same md5 bucket as train_val_test_split.
+
+    This is the corpus rebalancing step (downweight the dominant language)
+    done WITHOUT `sampleBy`: membership is a pure function of doc_id, so
+    the selection is reproducible across runs, engines, and partitionings,
+    and composes with the split (a doc's split never depends on which
+    strata survived). Map-only; the rollup is the only shuffle.
+
+    Returns per-language (n_total, n_kept, kept_permille).
+    """
+    bucket = _hash_bucket(F.col("doc_id"))
+    quota = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(p))
+            for lang, p in _REBALANCE_KEEP_PERMILLE.items()
+        ],
+        F.lit(1000),
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .withColumn("kept", (bucket < quota).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(1000 * F.sum("kept") / F.count("*"), 1).alias("kept_permille"),
+        )
+        .orderBy("lang")
+    )
+
+
+LANGUAGE_REBALANCE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ((instr('0123456789abcdef', substr(md5(doc_id::VARCHAR),1,1)) - 1) * 4096
+        + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR),2,1)) - 1) * 256
+        + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR),3,1)) - 1) * 16
+        + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR),4,1)) - 1)) % 1000
+           AS bucket
+  FROM documents
+),
+k AS (
+  SELECT lang,
+         CASE WHEN bucket < (CASE lang WHEN 'en' THEN 300
+                                       WHEN 'de' THEN 800
+                                       ELSE 1000 END)
+              THEN 1 ELSE 0 END AS kept
+  FROM b
+)
+SELECT lang,
+       count(*) AS n_total,
+       sum(kept) AS n_kept,
+       round(1000 * sum(kept) / count(*), 1) AS kept_permille
+FROM k
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def corpus_curation(
     documents: DataFrame, min_tokens: int = 10, min_quality: float = 0.15
 ) -> DataFrame:

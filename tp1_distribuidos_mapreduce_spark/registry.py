@@ -470,6 +470,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.corpus_curation(load_table(spark, sf_dir, "documents"))
 
 
+@register("language_rebalance", oracle=P.LANGUAGE_REBALANCE_ORACLE)
+def q_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.language_rebalance(load_table(spark, sf_dir, "documents"))
+
+
 from .operators import udtf_ops as U  # noqa: E402
 
 
