@@ -99,3 +99,52 @@ def test_csv_quarantines_malformed_rows(spark, tmp_path):
     df = FS.read_csv(spark, str(d), "a bigint, b string")
     assert FS.valid_records(df).count() == 2
     assert FS.corrupt_records(df).count() == 1
+
+
+NASTY = [
+    (1, "comma, inside"),
+    (2, 'quote " inside'),
+    (3, "unicode: héllo wörld 中文 🎉"),
+    (4, ""),
+    (5, None),
+    (6, "tab\tinside"),
+    (7, "trailing space "),
+]
+# Not in NASTY: a literal string equal to the null marker "\\N" cannot
+# round-trip through CSV (the inherent marker ambiguity — Spark's native
+# reader/writer pair drops it too). JSONL is the fidelity format.
+
+
+def _null_safe_sort(rows):
+    return sorted(rows, key=lambda t: t[0])
+
+
+def test_csv_nasty_strings_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(NASTY, "id long, s string")
+    p = str(tmp_path / "nasty_csv")
+    FS.write_csv(df, p)
+    back = FS.valid_records(FS.read_csv(spark, p, "id long, s string"))
+    assert _null_safe_sort(map(tuple, back.collect())) == _null_safe_sort(NASTY)
+
+
+def test_jsonl_nasty_strings_roundtrip_including_newlines(spark, tmp_path):
+    rows = NASTY + [
+        (9, "line1\nline2"),
+        (10, 'json {"k": [1,2]} inside'),
+        (11, "\\N"),  # JSONL has no null-marker ambiguity
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    p = str(tmp_path / "nasty_jsonl")
+    FS.write_jsonl(df, p)
+    back = FS.valid_records(FS.read_jsonl(spark, p, "id long, s string"))
+    assert _null_safe_sort(map(tuple, back.collect())) == _null_safe_sort(rows)
+
+
+def test_csv_rfc4180_doubled_quotes_via_options(spark, tmp_path):
+    d = tmp_path / "rfc"
+    d.mkdir()
+    (d / "f.csv").write_text('id,s\n1,"say ""hi"""\n')
+    back = FS.valid_records(
+        FS.read_csv(spark, str(d), "id long, s string", options={"escape": '"'})
+    )
+    assert back.collect()[0].s == 'say "hi"'

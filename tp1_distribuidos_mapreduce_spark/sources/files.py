@@ -94,18 +94,40 @@ def read_jsonl(
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: str | StructType, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    header: bool = True,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read CSV with an explicit schema (no inference pass); malformed
     rows are quarantined in `_corrupt_record` like read_jsonl. With
     header=True the header line (exact column-name match) is dropped —
-    column ORDER comes from the schema, as with Spark's native reader."""
+    column ORDER comes from the schema, as with Spark's native reader.
+
+    Null/empty disambiguation matches write_csv: literal ``\\N`` is NULL,
+    a quoted empty field is the empty string. Pass ``options`` (univocity
+    parser settings) for foreign dialects — e.g. RFC-4180 doubled-quote
+    escapes need ``{"escape": '"'}``; records must be single-line (as with
+    Spark's native reader unless multiLine, which a line-oriented text
+    scan cannot express)."""
     st = _as_struct(schema)
     raw = spark.read.text(path).where(F.col("value") != "")
     if header:
         part_cols_excluded = [f.name for f in st.fields]
         raw = raw.where(F.col("value") != ",".join(part_cols_excluded))
-    return _parse_lines(raw, st, "csv", {})
+    return _parse_lines(
+        raw,
+        st,
+        "csv",
+        {
+            "nullValue": "\\N",
+            # univocity trims by default, silently corrupting padded strings
+            "ignoreLeadingWhiteSpace": "false",
+            "ignoreTrailingWhiteSpace": "false",
+            **(options or {}),
+        },
+    )
 
 
 def corrupt_records(df: DataFrame) -> DataFrame:
@@ -143,10 +165,19 @@ def write_csv(
 ) -> None:
     """Write CSV (flat schemas only — Spark rejects array/struct columns,
     which is correct: CSV is the compatibility boundary, not the lake
-    format)."""
+    format). NULL is written as ``\\N`` and the empty string as a quoted
+    empty field so read_csv can tell them apart — the classic CSV
+    ambiguity that silently corrupts string columns otherwise. One residual
+    ambiguity is inherent: a literal string equal to the marker ``\\N``
+    reads back as NULL (Spark's native reader/writer pair shares this);
+    data that can contain it belongs in JSONL/parquet."""
     (
         df.write.mode("overwrite")
         .option("header", str(header).lower())
         .option("compression", compression)
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     )
