@@ -367,6 +367,11 @@ def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AX.approx_user_counts(load_table(spark, sf_dir, "events"))
 
 
+@register("bitmap_distinct_users", oracle=AX.BITMAP_DISTINCT_ORACLE)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AX.bitmap_distinct_users(load_table(spark, sf_dir, "events"))
+
+
 @register("approx_price_quantiles")
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AX.approx_price_quantiles(load_table(spark, sf_dir, "orders"))
