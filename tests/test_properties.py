@@ -48,3 +48,68 @@ def test_wordcount_matches_duckdb_on_arbitrary_text(spark, texts):
     )
     con.close()
     assert got == want
+
+
+def test_bench_emits_driver_contract_json():
+    """bench.py is the driver's per-round feedback loop — its ONE-JSON-line
+    contract breaking would silently drop the round's BENCH artifact."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, out.stdout[-2000:]
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "total_query_wall_clock" and d["unit"] == "sec"
+    assert d["sf"] == 0.001
+    from tp1_distribuidos_mapreduce_spark import registry
+
+    assert set(d["queries"]) == set(registry.queries())
+    failed = {k: v for k, v in d["queries"].items() if v < 0}
+    assert not failed, f"bench queries failed: {failed}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    chunk=st.integers(min_value=1, max_value=64),
+)
+def test_chunking_covers_every_token_at_any_geometry(spark, n_tokens, chunk):
+    """For any doc length and chunk size with stride == chunk (partition
+    mode), chunk token counts must sum to the doc's token count; with
+    stride == chunk//2 (overlap mode), every token index must be covered."""
+    from tp1_distribuidos_mapreduce_spark.operators.pipeline import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    part = chunk_documents(df, chunk_size=chunk, stride=chunk).collect()
+    expected = n_tokens if n_tokens else 1  # "" splits to [''] — one token
+    assert sum(r.n_chunk_tokens for r in part) == expected
+
+    stride = max(1, chunk // 2)
+    over = chunk_documents(df, chunk_size=chunk, stride=stride).collect()
+    covered = set()
+    for r in over:
+        start = r.chunk_id * stride
+        covered.update(range(start, start + r.n_chunk_tokens))
+    assert covered == set(range(expected))
