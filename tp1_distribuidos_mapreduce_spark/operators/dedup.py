@@ -200,8 +200,9 @@ def ngram_jaccard_pairs(
 
 # DuckDB formulation of the same pipeline. Tokens = letter runs, lowered,
 # empties dropped; shingles = distinct word 3-grams (whole doc if < n toks).
-NGRAM_JACCARD_ORACLE = r"""
-WITH toks AS (
+# The CTE chain is shared verbatim with NEAR_DUP_CLUSTERS_ORACLE below so
+# the pairs oracle and the clusters oracle can never drift apart.
+_JACCARD_CTES = r"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS t
   FROM documents
@@ -216,7 +217,10 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
 SELECT doc_a, doc_b,
        round(i / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
 FROM inter
@@ -466,6 +470,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(labels, edges.s == labels.id).select(
             F.col("d").alias("id"), "label"
@@ -478,8 +483,16 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently returning a half-propagated labeling would split
+        # components and let near-duplicates survive the keep/drop step
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter — raise it)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
@@ -491,27 +504,12 @@ def near_dup_clusters(documents: DataFrame) -> DataFrame:
     return connected_components(ngram_jaccard_pairs(documents))
 
 
-# The oracle recomputes the Jaccard pairs (same text as
-# NGRAM_JACCARD_ORACLE) and closes them transitively with a recursive CTE:
-# reach(id, label) enumerates every vertex reachable from every vertex
-# (edges both directions), so min(label) per id is the component minimum.
-NEAR_DUP_CLUSTERS_ORACLE = r"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS t
-  FROM documents
-),
-shingled AS (
-  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
-  FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
-  WHERE len(t) > 0
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+# The oracle reuses NGRAM_JACCARD_ORACLE's CTE chain verbatim and closes
+# the pairs transitively with a recursive CTE: reach(id, label) enumerates
+# every vertex reachable from every vertex (edges both directions), so
+# min(label) per id is the component minimum.
+NEAR_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
 pairs AS (
   SELECT doc_a, doc_b
   FROM inter

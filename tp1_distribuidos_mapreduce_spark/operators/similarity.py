@@ -167,6 +167,7 @@ def _lloyd_centroids(
     rng = np.random.RandomState(42)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     X = sample / np.maximum(norms, 1e-12)
+    n_lists = min(n_lists, len(X))  # tiny corpora: never more lists than vectors
     C = X[rng.choice(len(X), size=n_lists, replace=False)]
     for _ in range(iters):
         assign = (X @ C.T).argmax(axis=1)

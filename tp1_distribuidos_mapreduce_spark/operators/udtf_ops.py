@@ -22,9 +22,13 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Engine-portable sentence boundary: RE2-compatible (no lookbehind), so
-# the DuckDB oracle can apply the identical pattern.
-_SENT_RE = re.compile(r"[.!?]+\s+")
+# Engine-portable sentence boundary: RE2-compatible (no lookbehind) AND
+# whitespace spelled out as RE2's exact \s class [\t\n\f\r ] — Python's \s
+# and str.split() are Unicode-aware (match U+00A0 etc.), so relying on
+# them would silently diverge from the DuckDB oracle on non-ASCII spaces.
+_WS = "[\t\n\x0c\r ]"
+_SENT_RE = re.compile(rf"[.!?]+{_WS}+")
+_WORD_RE = re.compile(rf"{_WS}+")
 
 
 def _sentences_udtf():
@@ -41,9 +45,9 @@ def _sentences_udtf():
             if text is None:
                 return
             for i, raw in enumerate(_SENT_RE.split(text)):
-                s = raw.strip()
-                if s:
-                    yield i, s, len(s.split())
+                words = [w for w in _WORD_RE.split(raw) if w]
+                if words:
+                    yield i, raw.strip("\t\n\x0c\r "), len(words)
 
     return SplitSentences
 
@@ -69,19 +73,19 @@ def sentence_stats(documents: DataFrame) -> DataFrame:
 SENTENCE_STATS_ORACLE = r"""
 WITH sents AS (
   SELECT doc_id,
-         len(list_filter(regexp_split_to_array(trim(s), '\s+'), w -> w <> ''))
+         len(list_filter(regexp_split_to_array(s, '[\t\n\f\r ]+'), w -> w <> ''))
            AS n_words
   FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS s
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+[\t\n\f\r ]+')) AS s
     FROM documents
   )
-  WHERE trim(s) <> ''
 )
 SELECT doc_id,
        count(*) AS n_sentences,
        round(avg(n_words), 4) AS avg_sentence_words,
        max(n_words) AS max_sentence_words
 FROM sents
+WHERE n_words > 0
 GROUP BY doc_id
 ORDER BY doc_id
 """

@@ -110,13 +110,19 @@ def read_csv(
     parser settings) for foreign dialects — e.g. RFC-4180 doubled-quote
     escapes need ``{"escape": '"'}``; records must be single-line (as with
     Spark's native reader unless multiLine, which a line-oriented text
-    scan cannot express)."""
+    scan cannot express).
+
+    Header handling: a line-oriented scan has no per-file line numbers, so
+    header removal is by VALUE, restricted to lines that both equal the
+    header text AND failed schema coercion — a typed schema rejects its
+    own header, while a data row that happens to render identically to the
+    header parses cleanly and is NEVER silently dropped. Corollary: with
+    an all-string schema the header is indistinguishable from data and
+    comes through as a data row — use header=False, a typed column, or
+    Spark's native reader for that shape."""
     st = _as_struct(schema)
     raw = spark.read.text(path).where(F.col("value") != "")
-    if header:
-        part_cols_excluded = [f.name for f in st.fields]
-        raw = raw.where(F.col("value") != ",".join(part_cols_excluded))
-    return _parse_lines(
+    parsed = _parse_lines(
         raw,
         st,
         "csv",
@@ -128,6 +134,15 @@ def read_csv(
             **(options or {}),
         },
     )
+    if header:
+        # the header line renders only the FILE's columns —
+        # directory-partition columns never appear in it
+        part_cols = [c for c in raw.columns if c != "value"]
+        header_line = ",".join(f.name for f in st.fields if f.name not in part_cols)
+        parsed = parsed.where(
+            F.col(_CORRUPT).isNull() | (F.col(_CORRUPT) != header_line)
+        )
+    return parsed
 
 
 def corrupt_records(df: DataFrame) -> DataFrame:

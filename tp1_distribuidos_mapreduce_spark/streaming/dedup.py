@@ -42,14 +42,19 @@ def dedup_events(
 
 
 def deduped_event_type_counts(events: DataFrame) -> DataFrame:
-    """Counts per event_type AFTER id-dedup — the registry-facing shape
-    (small deterministic result in both engines even though dropDuplicates
-    picks an arbitrary survivor row, because counting only needs the id
-    set)."""
+    """Counts per event_type after dedup — the registry-facing shape.
+
+    Dedups on (event_id, event_type), not event_id alone: if the same id
+    ever arrived with two different types (producer-side mutation under
+    at-least-once delivery), an id-only dropDuplicates would keep an
+    ARBITRARY survivor and make per-type counts nondeterministic across
+    runs. The pair key keeps the count a pure function of the input set —
+    and matches the oracle's SELECT DISTINCT event_id, event_type exactly.
+    """
     from pyspark.sql import functions as F
 
     return (
-        dedup_events(events)
+        events.dropDuplicates(["event_id", "event_type"])
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_type")
