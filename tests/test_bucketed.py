@@ -123,3 +123,13 @@ def test_target_partitions_scales_with_size(spark):
     # smaller target -> at least as many files
     assert C.target_partitions(li, 1) >= C.target_partitions(li, 1024)
     assert C.estimated_plan_bytes(li) > 0
+
+
+def test_target_partitions_survives_unknown_stats(spark):
+    """Local relations report Long.MaxValue sizeInBytes — the sentinel must
+    fall back to the input partitioning, not demand 17B partitions."""
+    from tp1_distribuidos_mapreduce_spark.sinks import compact as C
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "s string, i long")
+    n = C.target_partitions(df)
+    assert 1 <= n <= 10_000

@@ -177,3 +177,11 @@ def test_knn_ivf_probe_monotonicity(spark):
         for r in S.knn_ivf(emb, 5, 3, n_lists=8, n_probe=8).collect()
     ]
     assert full == exact
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=3)

@@ -148,3 +148,25 @@ def test_csv_rfc4180_doubled_quotes_via_options(spark, tmp_path):
         FS.read_csv(spark, str(d), "id long, s string", options={"escape": '"'})
     )
     assert back.collect()[0].s == 'say "hi"'
+
+
+def test_csv_header_never_eats_identical_data_rows(spark, tmp_path):
+    """All-string schema: a data row rendering identically to the header
+    must survive (headers come through as data — documented trade; silent
+    loss is the failure mode this pins against)."""
+    df = spark.createDataFrame([("a", "b"), ("x", "y")], "a string, b string")
+    p = str(tmp_path / "selfheader")
+    FS.write_csv(df, p)
+    back = FS.valid_records(FS.read_csv(spark, p, "a string, b string"))
+    assert ("a", "b") in set(map(tuple, back.collect()))
+
+
+def test_csv_typed_schema_drops_headers_per_file(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(50)], "id long, s string")
+    p = str(tmp_path / "manyfiles")
+    df.repartition(8).write.mode("overwrite").option("header", "true").option(
+        "nullValue", "\\N"
+    ).csv(p)
+    back = FS.valid_records(FS.read_csv(spark, p, "id long, s string"))
+    assert back.count() == 50  # 8 per-file headers all dropped, no data lost
+    assert FS.corrupt_records(FS.read_csv(spark, p, "id long, s string")).count() == 0
