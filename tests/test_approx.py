@@ -44,3 +44,22 @@ def test_approx_quantiles_close_to_exact(spark):
         a50, a90 = approx[pr]
         assert abs(a50 - e50) <= 0.02 * e50 + 1, (pr, a50, e50)
         assert abs(a90 - e90) <= 0.02 * e90 + 1, (pr, a90, e90)
+
+
+def test_bitmap_distinct_exact_on_zero_negative_null_ids(spark):
+    """bitmap_distinct_users must equal COUNT(DISTINCT) even when ids
+    include 0 and negatives ((bucket, pos) is injective over all bigints)
+    and must ignore NULL ids like COUNT(DISTINCT) does."""
+    from tp1_distribuidos_mapreduce_spark.plans.approx import bitmap_distinct_users
+
+    rows = [("click", i) for i in range(-40000, 40000, 7)]
+    rows += [("click", 0), ("click", 0), ("buy", -1), ("buy", 1), ("buy", None)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = {r.event_type: r.n_users for r in bitmap_distinct_users(ev).collect()}
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -58,7 +58,15 @@ def bitmap_distinct_users(events: DataFrame) -> DataFrame:
     bytes when ids are dense; versus HLL it is exact. The standard bitmap
     pattern Spark exposes as bitmap_bucket_number / bitmap_bit_position /
     bitmap_construct_agg / bitmap_count.
+
+    Exactness domain: (bitmap_bucket_number, bitmap_bit_position) is
+    injective over the whole bigint range including zero and negatives
+    (verified: 140001 consecutive ids straddling 0 → 140001 distinct
+    (bucket, pos) pairs; e.g. 0→(0,0), -1→(0,1), 1→(1,0)), so the popcount
+    sum counts every distinct id exactly once whatever the sign. NULLs are
+    dropped explicitly to mirror COUNT(DISTINCT)'s implicit null-ignore.
     """
+    events = events.where(F.col("user_id").isNotNull())
     buckets = events.groupBy(
         "event_type",
         F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),

@@ -35,6 +35,7 @@ def get_spark(app_name: str = "tp1-mapreduce-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -46,4 +47,7 @@ def get_spark(app_name: str = "tp1-mapreduce-spark") -> SparkSession:
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Settings any externally-provided session needs for oracle parity."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Oracle SQL relies on permissive casts (module docstring); Spark 4.x
+    # builds may default ANSI on, which errors instead of returning NULL.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark
