@@ -135,9 +135,13 @@ def ngram_jaccard_pairs(
     doc → distinct word-n-gram shingles → join on shingle → |A∩B| per pair
     → Jaccard = inter / (|A| + |B| - inter) → filter ≥ threshold.
 
-    ``max_shingle_df`` (off by default for oracle parity) drops shingles
-    appearing in more than df documents before the join — the mandatory
-    skew guard at web scale.
+    ``max_shingle_df`` drops shingles appearing in more than df documents
+    before the join — the mandatory skew guard at web scale (a shingle
+    shared by d docs emits d² join rows; one stopword-ish shingle at
+    corpus scale is a job-killer). The registered query runs with the cut
+    ON (``DEFAULT_MAX_SHINGLE_DF``) and the oracle mirrors it, so results
+    stay exact *given the cut*: per-doc set sizes are computed before the
+    cut, intersections only over surviving shingles, on both engines.
     """
     # Each doc's distinct shingle set is computed once, and its SIZE rides
     # along with every exploded (shingle, doc) row — so the pair aggregate
@@ -198,11 +202,28 @@ def ngram_jaccard_pairs(
     )
 
 
-# DuckDB formulation of the same pipeline. Tokens = letter runs, lowered,
-# empties dropped; shingles = distinct word 3-grams (whole doc if < n toks).
-# The CTE chain is shared verbatim with NEAR_DUP_CLUSTERS_ORACLE below so
-# the pairs oracle and the clusters oracle can never drift apart.
-_JACCARD_CTES = r"""toks AS (
+# Registered df-cut: at sf0.1 the hottest shingle reaches df=25 and a cut
+# at 10 drops the candidate-pair mass (sum of df² over shingles) 2.7×; at
+# web scale the same knob is what keeps the self-join bounded. sf0.01's max
+# df is 7, so the driver's correctness check exercises the cut-enabled plan
+# with the cut provably changing nothing there.
+DEFAULT_MAX_SHINGLE_DF = 10
+
+
+def _jaccard_ctes(max_df: int | None) -> str:
+    """DuckDB CTE chain mirroring ngram_jaccard_pairs. Tokens = letter
+    runs, lowered, empties dropped; shingles = distinct word 3-grams
+    (whole doc if < n toks). Shared by the pairs oracle and the clusters
+    oracle so the two can never drift apart. ``max_df`` mirrors
+    ``max_shingle_df``: sizes come from the UNCUT shingle sets, the
+    intersection join runs on the cut ones — exactly the Spark plan."""
+    cut = (
+        f"  QUALIFY count(*) OVER (PARTITION BY sh) <= {max_df}\n"
+        if max_df is not None
+        else ""
+    )
+    return (
+        r"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS t
   FROM documents
@@ -212,15 +233,23 @@ shingled AS (
   FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS r(i)
   WHERE len(t) > 0
 ),
+kept AS (
+  SELECT doc_id, sh FROM shingled
+"""
+        + cut
+        + r"""),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )"""
+    )
 
-NGRAM_JACCARD_ORACLE = f"""
-WITH {_JACCARD_CTES}
+
+def ngram_jaccard_oracle(max_df: int | None = DEFAULT_MAX_SHINGLE_DF) -> str:
+    return f"""
+WITH {_jaccard_ctes(max_df)}
 SELECT doc_a, doc_b,
        round(i / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
 FROM inter
@@ -229,6 +258,9 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= 0.2
 ORDER BY doc_a, doc_b
 """
+
+
+NGRAM_JACCARD_ORACLE = ngram_jaccard_oracle()
 
 
 def minhash_lsh_pairs(
@@ -498,18 +530,23 @@ def connected_components(
     ).orderBy("doc_id")
 
 
-def near_dup_clusters(documents: DataFrame) -> DataFrame:
-    """End-to-end dedup clustering: exact n-gram Jaccard pairs →
-    connected components → (doc_id, cluster_id) membership."""
-    return connected_components(ngram_jaccard_pairs(documents))
+def near_dup_clusters(
+    documents: DataFrame, max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF
+) -> DataFrame:
+    """End-to-end dedup clustering: n-gram Jaccard pairs (df-cut by
+    default, the scale path) → connected components → (doc_id, cluster_id)
+    membership."""
+    return connected_components(
+        ngram_jaccard_pairs(documents, max_shingle_df=max_shingle_df)
+    )
 
 
-# The oracle reuses NGRAM_JACCARD_ORACLE's CTE chain verbatim and closes
-# the pairs transitively with a recursive CTE: reach(id, label) enumerates
-# every vertex reachable from every vertex (edges both directions), so
-# min(label) per id is the component minimum.
+# The oracle reuses the pairs oracle's CTE chain verbatim (same df-cut)
+# and closes the pairs transitively with a recursive CTE: reach(id, label)
+# enumerates every vertex reachable from every vertex (edges both
+# directions), so min(label) per id is the component minimum.
 NEAR_DUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_JACCARD_CTES},
+WITH RECURSIVE {_jaccard_ctes(DEFAULT_MAX_SHINGLE_DF)},
 pairs AS (
   SELECT doc_a, doc_b
   FROM inter

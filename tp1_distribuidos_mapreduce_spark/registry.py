@@ -64,8 +64,6 @@ _WINDOW: list[str] = [
     "click_purchase_attribution",
     "stream_dedup_counts",
     # round-2 additions (names resolve once registered; missing = skipped)
-    "dedup_ngram_jaccard_dfcut",
-    "dedup_clusters_dfcut",
     "bloom_pruned_join",
     "stratified_sample",
     "event_gap_detection",
@@ -510,7 +508,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", oracle=D.NGRAM_JACCARD_ORACLE)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    # Registered with the hot-shingle df-cut ON (the scale path — a shingle
+    # shared by d docs emits d² join rows without it); the oracle applies
+    # the identical cut, so the comparison stays exact given the cut.
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF,
+    )
 
 
 @register("dedup_minhash_lsh")
