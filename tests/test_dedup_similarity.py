@@ -185,3 +185,38 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, max_iter=3)
+
+
+@pytest.mark.parametrize("max_df", [1, 2, 3])
+def test_jaccard_df_cut_parity_where_cut_bites(spark, duck, max_df):
+    """Spark left_anti df-cut vs DuckDB QUALIFY, at cuts low enough that
+    shingles are provably dropped on the sf0.001 fixture (its max shingle
+    df is ~7, so DEFAULT_MAX_SHINGLE_DF=10 never bites in tests — this
+    pins the sizes-before-cut / intersect-after-cut contract on both
+    engines where the cut actually removes shingles)."""
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    from conftest import assert_df_matches_oracle
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    sdf = D.ngram_jaccard_pairs(documents, max_shingle_df=max_df)
+    assert_df_matches_oracle(sdf, duck, D.ngram_jaccard_oracle(max_df))
+
+
+def test_jaccard_plan_scans_documents_at_most_once(spark):
+    """Regression pin for the round-2 df-cut plan bug: the hot aggregate,
+    anti-join, and both self-join sides each re-derived the shingle
+    pipeline, scanning documents.parquet 4x. With the localCheckpoint the
+    returned plan reads the materialized shingle RDD — no parquet scan of
+    documents may remain (the one scan happened at checkpoint time)."""
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    sdf = D.ngram_jaccard_pairs(documents, max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    n_doc_scans = sum(
+        1
+        for line in plan.splitlines()
+        if "Scan parquet" in line and "documents" in line
+    )
+    assert n_doc_scans <= 1, plan

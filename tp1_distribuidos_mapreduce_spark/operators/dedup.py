@@ -163,9 +163,28 @@ def ngram_jaccard_pairs(
         ),
         0,
     )
+    # The tokenize+shingle regex pipeline is CPU-bound and narrow: its
+    # parallelism is whatever the scan gave us. A small parquet input (one
+    # 128 MB split — exactly the sf0.1 fixture) pins the whole evaluation
+    # to ONE core; widen to the session's shuffle parallelism first. At
+    # cluster scale inputs already have thousands of splits and this is a
+    # no-op (the getNumPartitions probe is driver-side planning only).
+    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
     shingled = documents.select(
         "doc_id", F.explode(packed).alias("p")
     ).select("doc_id", F.col("p.sh").alias("sh"), F.col("p.n_sh").alias("n_sh"))
+    # Materialize the exploded shingle table ONCE (localCheckpoint, same
+    # policy as connected_components below). Its consumers — the df-cut's
+    # hot aggregate, the anti-join, and both self-join sides — would
+    # otherwise each re-inline the tokenize+shingle regex pipeline
+    # (Catalyst never CSEs across operators): measured 4 document scans and
+    # 12 regex evaluations with the cut on, 2/6 with it off. After the
+    # checkpoint every consumer reads the fixed-width (doc_id, sh, n_sh)
+    # rows; at cluster scale the same role is played by a persisted
+    # StorageLevel.DISK_ONLY frame or a reliable checkpoint.
+    shingled = shingled.localCheckpoint(eager=True)
     if max_shingle_df is not None:
         hot = (
             shingled.groupBy("sh")

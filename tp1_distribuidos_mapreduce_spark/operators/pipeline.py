@@ -166,7 +166,10 @@ k AS (
 )
 SELECT lang,
        count(*) AS n_total,
-       sum(kept) AS n_kept,
+       -- DuckDB sum() over INTEGER returns HUGEINT, which pandas widens to
+       -- float64 and the driver hash then diverges from Spark's int64; cast
+       -- back explicitly (count(*) is immune: DuckDB returns BIGINT there).
+       CAST(sum(kept) AS BIGINT) AS n_kept,
        round(1000 * sum(kept) / count(*), 1) AS kept_permille
 FROM k
 GROUP BY lang
@@ -258,7 +261,9 @@ lang AS (
 SELECT source, pred_lang,
        count(*) AS n_docs,
        round(avg(quality_score), 4) AS avg_quality,
-       sum(n_tokens) AS total_tokens
+       -- CAST: DuckDB HUGEINT sum -> pandas float64 -> hash mismatch vs
+       -- Spark int64 (same artifact as LANGUAGE_REBALANCE_ORACLE's n_kept).
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM lang
 JOIN keep USING (doc_id)
 WHERE n_tokens >= 10 AND quality_score >= 0.15 AND pred_lang <> 'und'
