@@ -31,8 +31,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
-    # Warmup: run the cheapest query once to pay JVM/codegen startup.
-    materialize(qs["dedup_exact"](spark, sf_dir))
+    # Warmup: pay every one-time cost BEFORE the clock starts, so per-query
+    # numbers (and round-over-round deltas) measure plans, not startup.
+    # Round 2 showed a registry reorder alone moved ~10s between queries:
+    # whichever query runs first pays JVM/codegen warmup, OS-cold parquet
+    # reads, and Python-worker spawn. Warm each fixture table (page cache +
+    # scan codegen), one pure-Catalyst query, one Arrow/Python-worker
+    # query, and one window/streaming-shaped query.
+    from tp1_distribuidos_mapreduce_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        materialize(load_table(spark, sf_dir, t))
+    for warm in ("dedup_exact", "mr_wc", "tumbling_event_counts"):
+        materialize(qs[warm](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -216,6 +216,7 @@ PYTHON_ALLOWED = {
 NESTED_LOOP_ALLOWED = {
     "knn_bruteforce",        # exact ANN baseline: score every (q, corpus) pair
     "hourly_event_gapfill",  # hours × event_types calendar, both tiny
+    "bloom_pruned_join",     # single-row broadcast of the 32 KB bloom bitmap
 }
 
 

@@ -217,7 +217,18 @@ def corpus_curation(
         .groupBy("source", "pred_lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            # avg over doubles is summation-order-dependent (Spark's partial
+            # aggregates combine in scheduling order), so round(avg(..), 4)
+            # can flip its last digit between runs when a group average
+            # lands on a rounding boundary — an intermittent oracle-hash
+            # flake. quality_score carries exactly 4 decimals, so sum it as
+            # a scaled BIGINT (exact, order-independent) and divide once;
+            # the oracle mirrors the same arithmetic digit-for-digit.
+            F.round(
+                F.sum(F.round(F.col("quality_score") * 10000).cast("long"))
+                / (F.count("*") * 10000.0),
+                4,
+            ).alias("avg_quality"),
             F.sum("n_tokens").alias("total_tokens"),
         )
         .orderBy("source", "pred_lang")
@@ -260,7 +271,10 @@ lang AS (
 )
 SELECT source, pred_lang,
        count(*) AS n_docs,
-       round(avg(quality_score), 4) AS avg_quality,
+       -- integer-scaled sum, NOT avg(): see corpus_curation — order-exact
+       -- on both engines where round(avg(double)) is boundary-flaky
+       round(sum(CAST(round(quality_score * 10000) AS BIGINT))
+             / (count(*) * 10000.0), 4) AS avg_quality,
        -- CAST: DuckDB HUGEINT sum -> pandas float64 -> hash mismatch vs
        -- Spark int64 (same artifact as LANGUAGE_REBALANCE_ORACLE's n_kept).
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
@@ -292,4 +306,52 @@ SELECT doc_id, chunk_id,
        md5(array_to_string(chunk, ' '))   AS chunk_md5
 FROM chunks
 ORDER BY doc_id, chunk_id
+"""
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Stratified sampling with exact deterministic hash quotas, emitting
+    the surviving ROWS (language_rebalance's row-level generalization: that
+    operator reports per-stratum counts; this one materializes the sampled
+    corpus itself).
+
+    Membership is a pure function of doc_id — same md5 bucket as
+    train_val_test_split — so the sample is reproducible across runs,
+    engines, partitionings, and late-arriving shards, and a document's
+    split/sample fate never depends on scan order. Map-only: a filter the
+    scan can evaluate; no shuffle at any scale (the orderBy is
+    presentation-only for the oracle compare).
+    """
+    bucket = _hash_bucket(F.col("doc_id"))
+    quota = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(p))
+            for lang, p in _REBALANCE_KEEP_PERMILLE.items()
+        ],
+        F.lit(1000),
+    )
+    return (
+        documents.select("doc_id", "lang", "source")
+        .withColumn("bucket", bucket)
+        .where(F.col("bucket") < quota)
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         CAST(((instr('0123456789abcdef', substr(md5(doc_id::VARCHAR),1,1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR),2,1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR),3,1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR),4,1)) - 1)) % 1000
+           AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket
+FROM b
+WHERE bucket < (CASE lang WHEN 'en' THEN 300
+                          WHEN 'de' THEN 800
+                          ELSE 1000 END)
+ORDER BY doc_id
 """

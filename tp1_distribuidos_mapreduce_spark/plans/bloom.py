@@ -1,0 +1,134 @@
+"""Bloom-filter semi-join pruning: filter a huge fact table by a compact
+probabilistic digest of the join keys before the exact join.
+
+Additive scale surface (no reference counterpart — the reference's only
+join is the inverted-index gather, SURVEY.md §2 O9). This is the standard
+100 TB join-pruning pattern: when the dimension-side key set is too big to
+broadcast as a hash set but the fact side is vastly bigger still, broadcast
+a fixed-size Bloom bitmap (tens of KB regardless of key count) and drop
+fact rows that cannot match BEFORE the shuffle. Spark's own runtime filter
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects the same shape
+automatically when statistics allow; this operator is the explicit,
+deterministic version with the filter parameters under user control.
+
+Exactness: the Bloom probe admits false positives but never false
+negatives, and the pruned rows feed a real semi-join that removes the
+false positives — the end-to-end result is EXACT, which is why the oracle
+is a plain `IN` semi-join with no bloom at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# 2^18 bits = 4,096 longs ≈ 32 KB broadcast per filter — sized so that at
+# ~30k keys (urgent orders at sf0.1) the false-positive rate is ~1.6%
+# ((1 - e^{-kn/m})^k with k=5); the exact semi-join downstream absorbs the
+# false positives, so fpp only affects pruning efficiency, not results.
+M_BITS = 1 << 18
+N_HASHES = 5
+
+
+def _probe(key: F.Column, seed: int) -> F.Column:
+    """Bit position for hash function ``seed``: xxhash64(key, seed) mod m.
+    xxhash64 is JVM-side and seeded by the extra literal column, giving
+    N_HASHES independent hash functions without leaving codegen."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(M_BITS))
+
+
+def build_bloom_bitmap(keys: DataFrame, key_col: str) -> list[int]:
+    """Aggregate the key set into a dense Bloom bit array, JVM-side.
+
+    Each key contributes N_HASHES bit positions; positions group into
+    64-bit words via bit_or — one shuffle whose cardinality is bounded by
+    M_BITS/64 = 4,096 words, NEVER by the key count. The driver collect is
+    likewise bitmap-bounded (same contract as knn_ivf's fixed training
+    sample: a constant-size driver transfer, not a data-sized one).
+    """
+    words = (
+        keys.select(
+            F.explode(
+                F.array(*[_probe(F.col(key_col), i) for i in range(N_HASHES)])
+            ).alias("pos")
+        )
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (M_BITS // 64)
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+def bloom_prune(fact: DataFrame, key_col: str, bitmap: list[int]) -> DataFrame:
+    """Drop fact rows whose key cannot be in the bitmap's key set.
+
+    The bitmap rides in as a broadcast single-row frame (a ~32 KB
+    BroadcastNestedLoopJoin with exactly one build row — constant cost, and
+    the plan stays free of a driver-embedded 4,096-element literal). The
+    probe itself is pure codegen: k shifted element_at bit tests.
+    """
+    spark = fact.sparkSession
+    bloom_df = spark.createDataFrame([(bitmap,)], "bits array<bigint>")
+    probed = fact.crossJoin(F.broadcast(bloom_df))
+    for i in range(N_HASHES):
+        probed = probed.withColumn(f"_p{i}", _probe(F.col(key_col), i))
+    tests = [
+        F.expr(
+            f"(shiftright(element_at(bits, CAST(floor(_p{i} / 64) AS INT) + 1),"
+            f" CAST(_p{i} % 64 AS INT)) & 1) = 1"
+        )
+        for i in range(N_HASHES)
+    ]
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return probed.where(cond).drop("bits", *[f"_p{i}" for i in range(N_HASHES)])
+
+
+def bloom_pruned_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Revenue of line items belonging to URGENT orders, with the lineitem
+    scan Bloom-pruned by the urgent-order key set before the exact join.
+
+    Plan shape: build bitmap over the filtered orders keys (one bounded
+    aggregate) → probe lineitem rows against the broadcast bitmap (map-only
+    bit tests) → exact semi-join to kill false positives → group. At 100 TB
+    the semi-join's shuffle moves only the pruned ~fraction of lineitem
+    instead of all of it; the bitmap broadcast is constant-size where a
+    broadcast hash semi-join would need the whole key set on every
+    executor.
+    """
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bitmap = build_bloom_bitmap(urgent, "o_orderkey")
+    pruned = bloom_prune(lineitem, "l_orderkey", bitmap)
+    exact = pruned.join(
+        urgent, pruned.l_orderkey == urgent.o_orderkey, "left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+BLOOM_PRUNED_JOIN_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -658,3 +658,55 @@ CROSS JOIN types t
 LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type
 ORDER BY hour, t.event_type
 """
+
+
+def event_gap_detection(events: DataFrame, min_gap_s: int = 86400) -> DataFrame:
+    """Per-user inactivity gaps: consecutive-event deltas above a
+    threshold — lag over (user_id, ts) then filter. The batch shape of
+    session-timeout / outage detection (the streaming twin is the
+    applyInPandasWithState gap detector in streaming/); one shuffle on
+    user_id, the window never materializes more than one previous row.
+
+    Sub-second handling: both engines compare second-truncated timestamps
+    (unix_timestamp here, date_diff('second') in the oracle), so a gap is
+    whole elapsed seconds — portable across engines and stable under the
+    fixture's microsecond jitter.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # prev is bound BEFORE the filter: a window expression placed after the
+    # where() would lag over the already-filtered rows and misreport
+    # gap_start.
+    gapped = events.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "gap_s", F.unix_timestamp("ts") - F.unix_timestamp("prev")
+    )
+    return (
+        gapped.where(F.col("gap_s") > min_gap_s)
+        .select(
+            "user_id",
+            F.col("prev").cast("string").alias("gap_start"),
+            F.col("ts").cast("string").alias("gap_end"),
+            "gap_s",
+        )
+        .orderBy("user_id", "gap_end")
+    )
+
+
+EVENT_GAP_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+)
+SELECT user_id,
+       CAST(prev AS VARCHAR) AS gap_start,
+       CAST(ts AS VARCHAR)   AS gap_end,
+       gap_s
+FROM g
+WHERE gap_s > 86400
+ORDER BY user_id, gap_end
+"""

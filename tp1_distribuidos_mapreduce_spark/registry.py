@@ -40,19 +40,54 @@ _ORACLES: dict[str, str] = {}
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
-    # reference parity (SURVEY §2: wc + ii, native and via the O12 plugin)
+    # ---- round-3 window (exactly 50 names). Union coverage target: every
+    # query green in r2 ∪ r3. r2 checked slots 1-50 of the r2 ordering; this
+    # window swaps the r1/r2-green relational representatives out for the 19
+    # queries that had no r2 row, keeps reference parity pinned, and
+    # re-checks every query whose code changed this round.
+    # reference parity (SURVEY §2: wc + ii, native, plugin, and raw-text)
     "wc",
+    "wc_textfiles",
     "ii",
     "mr_wc",
     "mr_ii",
-    # round-1's one red row, fixed this round
-    "skewed_distinct_users",
-    # oracle-bearing queries registered after slot 50 in round 1 (no driver
-    # correctness row yet): LLM pipeline, UDTF/text stats, streaming suite
-    "train_val_test_split",
-    "chunk_documents",
+    # red rows fixed this round (oracle integer-sum casts) + new queries
     "corpus_curation",
     "language_rebalance",
+    "bloom_pruned_join",
+    "stratified_sample",
+    "event_gap_detection",
+    # oracle-bearing queries with no r2 driver row (rotation casualties)
+    "parts_above_brand_avg",
+    "promo_revenue_by_month",
+    "supplier_part_variety",
+    "large_quantity_orders",
+    "disjunctive_brand_revenue",
+    "latest_event_per_user",
+    "sql_revenue_by_region",
+    "sql_top_balances_per_nation",
+    # rows-only queries that have never had ANY driver row (r1 or r2)
+    "approx_user_counts",
+    "approx_price_quantiles",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_lsh",
+    "knn_ivf",
+    "doc_fingerprint",
+    "media_summary",
+    "image_stats",
+    "audio_stats",
+    "video_frame_sample",
+    # code changed this round (jaccard localCheckpoint + repartition) —
+    # re-confirm under the driver even though pytest covers them
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # r2-green re-confirmations: one per remaining operator family
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "knn_bruteforce",
+    "train_val_test_split",
+    "chunk_documents",
     "sentence_stats",
     "text_quality",
     "language_id",
@@ -63,37 +98,10 @@ _WINDOW: list[str] = [
     "user_event_totals",
     "click_purchase_attribution",
     "stream_dedup_counts",
-    # round-2 additions (names resolve once registered; missing = skipped)
-    "bloom_pruned_join",
-    "stratified_sample",
-    "event_gap_detection",
-    # one representative per already-green operator family (round 1 rows)
+    "skewed_distinct_users",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "monthly_order_stats",
-    "brand_stats_having",
-    "top_customers_per_nation",
-    "order_priority_pivot",
-    "customer_set_ops",
-    "top_parts_by_revenue",
-    "sessionize_events",
-    "events_json_stats",
-    "purchase_asof_last_click",
-    "rollup_lineitem_flags",
-    "order_price_quantiles",
-    "daily_revenue_moving_avg",
-    "priorities_with_big_items",
-    "customer_order_gaps",
-    "order_value_deciles",
     "hourly_event_gapfill",
-    "sql_grouping_sets",
     "bitmap_distinct_users",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "knn_bruteforce",
 ]
 
 
@@ -132,20 +140,33 @@ def oracle_sql() -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "wc",
-    oracle=f"""
+_WC_ORACLE = f"""
     SELECT word, count(*) AS cnt
     FROM (SELECT unnest(regexp_split_to_array(lower(text), '{_TOK}')) AS word
           FROM documents)
     WHERE word <> ''
     GROUP BY word
     ORDER BY word
-    """,
-)
+    """
+
+
+@register("wc", oracle=_WC_ORACLE)
 def q_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word count (reference plugins/wc/wc.go) over documents.text."""
     return word_count(read_documents_as_corpus(spark, sf_dir))
+
+
+@register("wc_textfiles", oracle=_WC_ORACLE)
+def q_wc_textfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count over RAW TEXT FILES — the reference's true entry path
+    (filesystem .txt intake, one-file-one-task at
+    cmd/coordinator/coordinator.go:312) driven end-to-end: the fixture is
+    materialized to .txt once under /tmp, re-read via read_text_corpus
+    (spark.read.text + input_file_name), and must reproduce the exact
+    parquet-path word counts."""
+    from .sources.text import documents_as_text_files, read_text_corpus
+
+    return word_count(read_text_corpus(spark, documents_as_text_files(spark, sf_dir)))
 
 
 @register(
@@ -411,6 +432,21 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RX.hourly_event_gapfill(load_table(spark, sf_dir, "events"))
 
 
+@register("event_gap_detection", oracle=RX.EVENT_GAP_ORACLE)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.event_gap_detection(load_table(spark, sf_dir, "events"))
+
+
+from .plans import bloom as B  # noqa: E402
+
+
+@register("bloom_pruned_join", oracle=B.BLOOM_PRUNED_JOIN_ORACLE)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return B.bloom_pruned_join(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 # --------------------------------------------------------------------------
 # SQL front-end surface (plans/sql_surface.py): the SQL text runs verbatim
 # on Spark AND serves as its own DuckDB oracle — one text, two engines.
@@ -568,6 +604,11 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("corpus_curation", oracle=P.CORPUS_CURATION_ORACLE)
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.corpus_curation(load_table(spark, sf_dir, "documents"))
+
+
+@register("stratified_sample", oracle=P.STRATIFIED_SAMPLE_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.stratified_sample(load_table(spark, sf_dir, "documents"))
 
 
 @register("language_rebalance", oracle=P.LANGUAGE_REBALANCE_ORACLE)

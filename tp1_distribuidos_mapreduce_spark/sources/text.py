@@ -38,6 +38,34 @@ def read_text_corpus(spark: SparkSession, path_or_glob: str) -> DataFrame:
     )
 
 
+def documents_as_text_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the documents fixture as raw ``.txt`` files under /tmp,
+    once per fixture dir (idempotent via the writer's _SUCCESS marker), and
+    return a glob over them.
+
+    Exists so a registered query can exercise the engine's actual raw-text
+    ingestion path (``read_text_corpus`` — the analogue of the reference's
+    one-file-one-task filesystem intake, cmd/coordinator/coordinator.go:312)
+    end-to-end under the driver's oracle gate, not just in unit tests.
+    Document identity is NOT preserved (many docs per part file) — only
+    doc-agnostic queries (word count) may read this corpus.
+    """
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/tp1_spark_text_corpus_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("text")
+            .coalesce(8)
+            .write.mode("overwrite")
+            .text(out)
+        )
+    return os.path.join(out, "*.txt")
+
+
 def read_documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture `documents` table in corpus shape: (doc_id string, value string)."""
     import os
