@@ -133,3 +133,22 @@ def test_target_partitions_survives_unknown_stats(spark):
     df = spark.createDataFrame([("a", 1), ("b", 2)], "s string, i long")
     n = C.target_partitions(df)
     assert 1 <= n <= 10_000
+
+
+def test_registered_bucketed_query_joins_without_exchange(spark):
+    """The registry's bucketed_colocated_join must actually exploit the
+    layout: sort-merge join with no Exchange on either join side (the
+    groupBy's exchange is the only one allowed)."""
+    from tp1_distribuidos_mapreduce_spark.sinks.bucketed import (
+        bucketed_revenue_by_priority,
+    )
+
+    plan = (
+        bucketed_revenue_by_priority(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part, join_part[:2000]

@@ -261,3 +261,53 @@ def test_checkpointed_sink_is_exactly_once_across_restarts(spark, tmp_path):
     batch_events(spark).limit(500).write.mode("append").parquet(src)
     SK.write_stream_parquet(stream_events(spark, src), out, ckpt)
     assert SK.read_landed_parquet(spark, out).count() == 900
+
+
+def _gap_key(r):
+    # Formatting-robust comparison: Spark's timestamp->string cast trims
+    # trailing fraction zeros, pandas' str() does not — parse, don't diff.
+    import pandas as pd
+
+    return (r.user_id, pd.Timestamp(r.gap_start), pd.Timestamp(r.gap_end), r.gap_s)
+
+
+def test_streaming_gap_detection_matches_batch(spark, events_dir):
+    """Full in-order replay of the events stream must emit exactly the
+    batch lag-window gaps (streaming twin contract)."""
+    from tp1_distribuidos_mapreduce_spark.plans import relational_ext as RX
+
+    got = {
+        _gap_key(r)
+        for r in run_stream(
+            ST.streaming_gap_detection(stream_events(spark, events_dir)), "append"
+        ).collect()
+    }
+    want = {_gap_key(r) for r in RX.event_gap_detection(batch_events(spark)).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
+def test_streaming_gap_detection_spans_batches(spark, tmp_path):
+    """A gap whose endpoints arrive in different micro-batches must still
+    be emitted: the last-seen timestamp is carried in state. Input split
+    into two time-ordered halves, one file per trigger."""
+    from tp1_distribuidos_mapreduce_spark.plans import relational_ext as RX
+
+    events = batch_events(spark)
+    median = events.selectExpr("percentile(unix_timestamp(ts), 0.5) AS m").collect()[0].m
+    d = str(tmp_path / "gap_stream")
+    first = events.where(F.unix_timestamp("ts") < median)
+    second = events.where(F.unix_timestamp("ts") >= median)
+    first.coalesce(1).write.parquet(d)
+    second.coalesce(1).write.mode("append").parquet(d)
+
+    got = {
+        _gap_key(r)
+        for r in run_stream(
+            ST.streaming_gap_detection(stream_events(spark, path=d, max_files=1)),
+            "append",
+        ).collect()
+    }
+    want = {_gap_key(r) for r in RX.event_gap_detection(batch_events(spark)).collect()}
+    assert len(want) > 0
+    assert got == want

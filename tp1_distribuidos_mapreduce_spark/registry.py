@@ -99,7 +99,7 @@ _WINDOW: list[str] = [
     "click_purchase_attribution",
     "stream_dedup_counts",
     "skewed_distinct_users",
-    "q1_pricing_summary",
+    "bucketed_colocated_join",
     "hourly_event_gapfill",
     "bitmap_distinct_users",
 ]
@@ -445,6 +445,14 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bloom_pruned_join(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+from .sinks import bucketed as BK  # noqa: E402
+
+
+@register("bucketed_colocated_join", oracle=BK.BUCKETED_REVENUE_ORACLE)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BK.bucketed_revenue_by_priority(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

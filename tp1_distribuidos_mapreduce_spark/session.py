@@ -35,6 +35,12 @@ def get_spark(app_name: str = "tp1-mapreduce-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI off is a deliberate engine-wide parity choice with DuckDB's
+        # permissive casts. Side effect to be aware of: integer overflow
+        # WRAPS silently and invalid arithmetic returns NULL instead of
+        # erroring — acceptable here because every query result is hash-
+        # checked against the oracle, which would surface a wrapped value
+        # as a mismatch; flip to true when debugging suspected data bugs.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

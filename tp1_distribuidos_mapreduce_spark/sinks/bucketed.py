@@ -45,3 +45,96 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table through the catalog (the bucket metadata only
     exists there — reading the parquet path directly loses it)."""
     return spark.table(table)
+
+
+def ensure_bucketed_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+) -> str:
+    """Idempotent bucketed copy of a fixture table, registered in THIS
+    session's catalog; returns the table name.
+
+    Three-tier fast path mirroring production bucketed-layout operations:
+    catalog hit (same session) → metadata-only CREATE TABLE over existing
+    bucket files (new session, layout already on disk — the default
+    in-memory catalog dies with the session, the files don't) → full
+    bucketBy write (first ever touch). The one-time layout cost is the
+    whole point: every later co-located join reads pre-partitioned files
+    and pays zero Exchange.
+    """
+    import hashlib
+    import os
+
+    from ..sources.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"{source}_bucketed_{tag}"
+    if spark.catalog.tableExists(table):
+        return table
+    path = f"/tmp/tp1_spark_bucketed_{tag}/{source}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in load_table(spark, sf_dir, source).schema.fields
+        )
+        sort_clause = f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+        spark.sql(
+            f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort_clause}"
+            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return table
+    write_bucketed(
+        load_table(spark, sf_dir, source), table, path, bucket_cols, num_buckets, sort_cols
+    )
+    return table
+
+
+def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem revenue rollup over BUCKETED storage: both fact
+    tables live pre-hash-partitioned on the join key, so the sort-merge
+    join (hint("merge") — broadcast would bypass the layout and prove
+    nothing) reads both sides with NO Exchange; the only shuffle in the
+    plan is the final groupBy. This is the query shape whose per-run
+    shuffle cost bucketing amortizes away at 100 TB; the layout write
+    happens once per fixture dir and is reused across sessions.
+
+    Oracle: the identical join over the plain parquet — bucketing is pure
+    physical layout and must not change a single row.
+    """
+    from pyspark.sql import functions as F
+
+    ot = ensure_bucketed_fixture(
+        spark, sf_dir, "orders", ["o_orderkey"], 8, ["o_orderkey"]
+    )
+    lt = ensure_bucketed_fixture(
+        spark, sf_dir, "lineitem", ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    o = read_bucketed(spark, ot)
+    li = read_bucketed(spark, lt)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_REVENUE_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

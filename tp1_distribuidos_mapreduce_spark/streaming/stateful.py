@@ -73,3 +73,62 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+GAP_OUTPUT_SCHEMA = "user_id long, gap_start string, gap_end string, gap_s long"
+GAP_STATE_SCHEMA = "last_ns long"
+
+
+def streaming_gap_detection(
+    events: DataFrame, min_gap_s: int = 86400, watermark: str | None = None
+) -> DataFrame:
+    """Streaming twin of plans/relational_ext.py's event_gap_detection:
+    per-user inactivity gaps emitted AS THEY CLOSE, instead of after a full
+    batch scan.
+
+    State per user is one long (the last-seen event timestamp in epoch ns)
+    — O(distinct users) executor memory, the minimum any gap detector can
+    carry. Each micro-batch sorts its rows per key by (ts, event_id) — the
+    same total order the batch lag-window uses — compares against the
+    carried last_ns, and emits one row per gap whose closing event arrived
+    in this batch. After a complete in-order replay the union of emissions
+    equals the batch query's rows exactly (pinned in
+    tests/test_streaming.py); gaps are measured on second-truncated
+    timestamps to match the batch unix_timestamp semantics.
+
+    Correctness requires event-time-ordered arrival per key ACROSS batches
+    (within a batch we sort). That is the standard contract for this state
+    shape — reorder-tolerance would need a buffer-and-watermark state
+    machine, which Spark's built-in session windows already provide
+    (session_window_stats); this operator is the explicit last-value state
+    machine the O12-style plugin surface promises.
+    """
+
+    def _detect(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        last_ns = state.get[0] if state.exists else None
+        out = {"user_id": [], "gap_start": [], "gap_end": [], "gap_s": []}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        for ts in batch["ts"]:
+            ts_ns = ts.value
+            if last_ns is not None:
+                gap_s = ts_ns // 1_000_000_000 - last_ns // 1_000_000_000
+                if gap_s > min_gap_s:
+                    out["user_id"].append(key[0])
+                    out["gap_start"].append(str(pd.Timestamp(last_ns)))
+                    out["gap_end"].append(str(pd.Timestamp(ts_ns)))
+                    out["gap_s"].append(gap_s)
+            last_ns = ts_ns
+        if last_ns is not None:
+            state.update((int(last_ns),))
+        yield pd.DataFrame(out)
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _detect,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
