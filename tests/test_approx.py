@@ -63,3 +63,19 @@ def test_bitmap_distinct_exact_on_zero_negative_null_ids(spark):
         .collect()
     }
     assert got == want
+
+
+def test_cms_heavy_hitters_exact_even_under_collisions(spark, duck):
+    """The CMS prune may only OVERestimate, so the final exact-verified
+    result must be identical to the plain HAVING query no matter how small
+    (collision-prone) the sketch is — pin with a 1x8 grid where nearly
+    every word collides."""
+    from tp1_distribuidos_mapreduce_spark.plans.approx import cms_heavy_hitters
+    from tp1_distribuidos_mapreduce_spark.plans.approx import CMS_HEAVY_HITTERS_ORACLE
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    from conftest import SF_SMOKE, assert_df_matches_oracle
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    tiny = cms_heavy_hitters(documents, threshold=100, depth=1, width=8)
+    assert_df_matches_oracle(tiny, duck, CMS_HEAVY_HITTERS_ORACLE)

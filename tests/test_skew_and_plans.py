@@ -217,6 +217,7 @@ NESTED_LOOP_ALLOWED = {
     "knn_bruteforce",        # exact ANN baseline: score every (q, corpus) pair
     "hourly_event_gapfill",  # hours × event_types calendar, both tiny
     "bloom_pruned_join",     # single-row broadcast of the 32 KB bloom bitmap
+    "cms_heavy_hitters",     # single-row broadcast of the 64 KB CMS grid
 }
 
 

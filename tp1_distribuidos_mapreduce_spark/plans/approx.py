@@ -86,3 +86,96 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# Count-min sketch geometry: 4 x 2048 64-bit counters = 64 KB total, the
+# fixed-size budget that makes the driver collect data-independent.
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 11
+
+
+def cms_heavy_hitters(
+    documents: DataFrame,
+    threshold: int = 100,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Heavy-hitter words (exact count >= threshold) found via a count-min
+    sketch prune + exact verification — the CMS companion to
+    plans/bloom.py's bitmap prune, same epistemic shape: the sketch can
+    only OVERestimate, so est >= threshold is a provable superset of the
+    true heavy hitters, and the exact count over that pruned candidate set
+    is the EXACT answer (oracle: plain word count with HAVING).
+
+    Build: one token pass explodes (row, position) cells; partial
+    aggregation bounds the shuffle at depth x width rows per upstream
+    partition REGARDLESS of vocabulary size — the property that matters
+    when the vocabulary itself is too large to group cheaply. The driver
+    collect is the 4x2048 cell grid, never data-sized, and rides back in
+    as a broadcast single-row frame (same transport as the Bloom bitmap).
+    """
+    import numpy as np
+
+    from ..functions.tokenize import words_from
+
+    spark = documents.sparkSession
+    words = words_from(documents, "text")
+
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col("word"), F.lit(d)), F.lit(width)).alias(
+                    "pos"
+                ),
+            )
+            for d in range(depth)
+        ]
+    )
+    cells = (
+        words.select(F.explode(cell_structs).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for r in cells:
+        grid[r["d"], r["pos"]] = r["n"]
+
+    sketch_df = spark.createDataFrame(
+        [([list(map(int, row)) for row in grid],)], "grid array<array<bigint>>"
+    )
+    ests = [
+        F.element_at(
+            F.element_at("grid", d + 1),
+            (F.pmod(F.xxhash64(F.col("word"), F.lit(d)), F.lit(width)) + 1).cast(
+                "int"
+            ),
+        )
+        for d in range(depth)
+    ]
+    est = ests[0] if len(ests) == 1 else F.least(*ests)
+    candidates = (
+        words.distinct()
+        .crossJoin(F.broadcast(sketch_df))
+        .where(est >= threshold)
+        .select("word")
+    )
+    return (
+        words.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= threshold)
+        .orderBy("word")
+    )
+
+
+CMS_HEAVY_HITTERS_ORACLE = r"""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS word
+      FROM documents)
+WHERE word <> ''
+GROUP BY word
+HAVING count(*) >= 100
+ORDER BY word
+"""

@@ -100,7 +100,7 @@ _WINDOW: list[str] = [
     "stream_dedup_counts",
     "skewed_distinct_users",
     "bucketed_colocated_join",
-    "hourly_event_gapfill",
+    "cms_heavy_hitters",
     "bitmap_distinct_users",
 ]
 
@@ -487,6 +487,11 @@ from .plans import approx as AX  # noqa: E402
 @register("approx_user_counts")
 def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AX.approx_user_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("cms_heavy_hitters", oracle=AX.CMS_HEAVY_HITTERS_ORACLE)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AX.cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
 
 
 @register("bitmap_distinct_users", oracle=AX.BITMAP_DISTINCT_ORACLE)
