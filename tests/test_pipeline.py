@@ -68,3 +68,30 @@ def test_nonoverlapping_chunks_partition_tokens(spark):
     text = " ".join(f"t{i}" for i in range(100))
     out = P.chunk_documents(docs(spark, [(1, text)]), chunk_size=32, stride=32).collect()
     assert sum(r.n_chunk_tokens for r in out) == 100
+
+
+def test_avg_quality_rounding_portable_at_half_boundaries(spark, duck):
+    """corpus_curation's integer round-half-up must agree between engines
+    for every (scaled_sum, n): plain double round(S/(n*1e4), 4) provably
+    does not (S=3, n=2 → Spark 0.0002 vs DuckDB 0.0001 — Spark rounds
+    half-up via BigDecimal, DuckDB's floating std::round can go down)."""
+    from pyspark.sql import functions as F
+
+    pairs = [(s, n) for n in (1, 2, 3, 4, 7) for s in range(0, 60)]
+    sdf = spark.createDataFrame(pairs, "s long, n long").select(
+        "s",
+        "n",
+        (F.floor((2 * F.col("s") + F.col("n")) / (2 * F.col("n"))) / 10000.0).alias(
+            "q"
+        ),
+    )
+    got = {(r.s, r.n): r.q for r in sdf.collect()}
+    values = ",".join(f"({s},{n})" for s, n in pairs)
+    want = {
+        (s, n): q
+        for s, n, q in duck.sql(
+            f"SELECT s, n, floor((2*s + n)/(2*n))/10000.0 AS q"
+            f" FROM (VALUES {values}) t(s, n)"
+        ).fetchall()
+    }
+    assert got == want

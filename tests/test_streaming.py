@@ -311,3 +311,34 @@ def test_streaming_gap_detection_spans_batches(spark, tmp_path):
     want = {_gap_key(r) for r in RX.event_gap_detection(batch_events(spark)).collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_gap_detection_ignores_null_ts(spark, tmp_path):
+    """A NULL ts row must not poison gap state (NaT.value is -2^63, which
+    would fabricate an astronomical gap): streaming output over an input
+    with null timestamps must still equal the batch twin, which drops
+    null-ts pairs via the lag comparison."""
+    from tp1_distribuidos_mapreduce_spark.plans import relational_ext as RX
+
+    events = batch_events(spark)
+    with_null = events.unionByName(
+        events.limit(1).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    d = str(tmp_path / "gap_null_stream")
+    with_null.coalesce(1).write.parquet(d)
+    got = {
+        _gap_key(r)
+        for r in run_stream(
+            ST.streaming_gap_detection(stream_events(spark, path=d)), "append"
+        ).collect()
+    }
+    want = {_gap_key(r) for r in RX.event_gap_detection(with_null).collect()}
+    assert len(want) > 0
+    assert got == want

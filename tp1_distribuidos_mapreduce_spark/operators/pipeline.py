@@ -222,12 +222,22 @@ def corpus_curation(
             # can flip its last digit between runs when a group average
             # lands on a rounding boundary — an intermittent oracle-hash
             # flake. quality_score carries exactly 4 decimals, so sum it as
-            # a scaled BIGINT (exact, order-independent) and divide once;
-            # the oracle mirrors the same arithmetic digit-for-digit.
-            F.round(
-                F.sum(F.round(F.col("quality_score") * 10000).cast("long"))
-                / (F.count("*") * 10000.0),
-                4,
+            # a scaled BIGINT (exact, order-independent). The final rounding
+            # must ALSO stay integer-exact: engines disagree on double
+            # round-at-half (Spark BigDecimal HALF_UP vs DuckDB's
+            # floating-point std::round — verified divergent for scaled sum
+            # 3, n=2), so round-half-up is computed as floor((2S+n)/(2n))
+            # in integers (exact in double for 2S+n < 2^52; final /1e4 is
+            # one correctly-rounded IEEE op on both engines).
+            (
+                F.floor(
+                    (
+                        2 * F.sum(F.round(F.col("quality_score") * 10000).cast("long"))
+                        + F.count("*")
+                    )
+                    / (2 * F.count("*"))
+                )
+                / 10000.0
             ).alias("avg_quality"),
             F.sum("n_tokens").alias("total_tokens"),
         )
@@ -271,10 +281,11 @@ lang AS (
 )
 SELECT source, pred_lang,
        count(*) AS n_docs,
-       -- integer-scaled sum, NOT avg(): see corpus_curation — order-exact
-       -- on both engines where round(avg(double)) is boundary-flaky
-       round(sum(CAST(round(quality_score * 10000) AS BIGINT))
-             / (count(*) * 10000.0), 4) AS avg_quality,
+       -- integer-scaled sum + integer round-half-up, NOT round(avg()):
+       -- see corpus_curation — order-exact AND tie-exact on both engines
+       -- (double round-at-half differs between Spark and DuckDB)
+       floor((2 * sum(CAST(round(quality_score * 10000) AS BIGINT)) + count(*))
+             / (2 * count(*))) / 10000.0 AS avg_quality,
        -- CAST: DuckDB HUGEINT sum -> pandas float64 -> hash mismatch vs
        -- Spark int64 (same artifact as LANGUAGE_REBALANCE_ORACLE's n_kept).
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens

@@ -119,6 +119,12 @@ def cms_heavy_hitters(
     from ..functions.tokenize import words_from
 
     spark = documents.sparkSession
+    # The three consumers below (sketch build, candidate distinct, exact
+    # verify) each re-derive this tokenize pipeline — Catalyst never CSEs
+    # across actions. A localCheckpoint here was MEASURED at sf0.1 and
+    # rejected: warm 1.79s→1.38s but first-call 2.97s→5.08s (the
+    # materialization + extra codegen dominates); unlike the jaccard
+    # self-join the re-derived pass is cheap relative to checkpoint cost.
     words = words_from(documents, "text")
 
     cell_structs = F.array(

@@ -66,12 +66,18 @@ def ensure_bucketed_fixture(
     whole point: every later co-located join reads pre-partitioned files
     and pays zero Exchange.
     """
-    import hashlib
     import os
 
-    from ..sources.tables import load_table
+    from ..sources.tables import fixture_cache_tag, load_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Content-addressed on the source parquet AND the bucket spec: a
+    # regenerated fixture or a changed (cols, buckets, sort) spec yields a
+    # new tag → new path + table, so the metadata-only re-register below
+    # can never declare a bucket layout the on-disk files don't have
+    # (Spark would trust it, elide the Exchange, and silently drop rows).
+    tag = fixture_cache_tag(
+        sf_dir, source, list(bucket_cols), num_buckets, list(sort_cols or [])
+    )
     table = f"{source}_bucketed_{tag}"
     if spark.catalog.tableExists(table):
         return table

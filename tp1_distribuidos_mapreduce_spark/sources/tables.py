@@ -31,6 +31,22 @@ TABLE_NAMES = (
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
+def fixture_cache_tag(sf_dir: str, name: str, *extra: object) -> str:
+    """Content-addressed tag for /tmp artifacts derived from a fixture
+    table: md5 over the parquet's path, size, and mtime, plus any
+    derivation parameters. A regenerated fixture (same path, new bytes) or
+    a changed derivation spec produces a NEW tag — and therefore a fresh
+    cache path/table — instead of a stale-reuse: the failure mode this
+    prevents is a _SUCCESS-marker cache serving old data while the DuckDB
+    oracle reads the fresh parquet."""
+    import hashlib
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(p)
+    key = "|".join([p, str(st.st_size), str(st.st_mtime_ns), *map(str, extra)])
+    return hashlib.md5(key.encode()).hexdigest()[:12]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

@@ -50,10 +50,13 @@ def documents_as_text_files(spark: SparkSession, sf_dir: str) -> str:
     Document identity is NOT preserved (many docs per part file) — only
     doc-agnostic queries (word count) may read this corpus.
     """
-    import hashlib
     import os
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    from .tables import fixture_cache_tag
+
+    # Content-addressed: a regenerated documents.parquet gets a new tag, so
+    # the cache can never serve text from a previous fixture generation.
+    tag = fixture_cache_tag(sf_dir, "documents")
     out = f"/tmp/tp1_spark_text_corpus_{tag}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (

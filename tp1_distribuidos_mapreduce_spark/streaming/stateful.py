@@ -108,6 +108,10 @@ def streaming_gap_detection(
         last_ns = state.get[0] if state.exists else None
         out = {"user_id": [], "gap_start": [], "gap_end": [], "gap_s": []}
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # NaT guard: the batch twin's lag comparison silently drops
+        # null-ts rows; without this filter NaT.value (-2^63) would enter
+        # state and fabricate an astronomical gap on the next event.
+        batch = batch[batch["ts"].notna()]
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
         for ts in batch["ts"]:
             ts_ns = ts.value
