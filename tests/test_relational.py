@@ -23,3 +23,18 @@ def test_every_query_has_callable_signature(spark):
     assert len(qs) >= 4
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_window_names_all_registered_and_sized():
+    """Round-2 regression guard: _WINDOW once carried names with no
+    implementation (ghost entries the driver silently skipped). Every
+    window name must resolve to a registered query, the window must be
+    exactly the driver's 50-slot cap with no duplicates, and every
+    oracle-backed query registered this round must appear in it or have
+    had a green row in a prior round (enforced socially — this test pins
+    the mechanical parts)."""
+    w = registry._WINDOW
+    assert len(w) == 50
+    assert len(set(w)) == 50
+    missing = [n for n in w if n not in registry.queries()]
+    assert not missing, f"ghost window entries: {missing}"

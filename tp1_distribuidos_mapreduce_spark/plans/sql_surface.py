@@ -52,6 +52,8 @@ ORDER BY returnflag, linestatus
 """
 
 
-def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    register_views(spark, sf_dir)
+def run_sql(
+    spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...] | None = None
+) -> DataFrame:
+    register_views(spark, sf_dir, only=tables)
     return spark.sql(sql)

@@ -97,9 +97,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view (for the SQL API)."""
-    dfs = load_tables(spark, sf_dir)
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Register fixture tables as temp views (for the SQL API). ``only``
+    restricts to the tables a query actually references — view
+    registration is driver-side plan construction, and building all 10
+    when a query joins 3 is pure per-call overhead."""
+    names = TABLE_NAMES if only is None else only
+    dfs = {name: load_table(spark, sf_dir, name) for name in names}
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
