@@ -220,3 +220,20 @@ def test_jaccard_plan_scans_documents_at_most_once(spark):
         if "Scan parquet" in line and "documents" in line
     )
     assert n_doc_scans <= 1, plan
+
+
+def test_knn_ivf_persisted_matches_rebuild(spark):
+    """The persisted bucketed IVF index must return bit-identical results
+    to the rebuild-every-time knn_ivf (training sample and Lloyd rounds
+    are deterministic), and its scan must show bucket pruning — only the
+    probed list buckets are read, the I/O shape that makes repeated ANN
+    searches cheap at scale."""
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    rebuilt = S.knn_ivf(load_table(spark, SF_SMOKE, "embeddings"))
+    persisted = S.knn_ivf_persisted(spark, SF_SMOKE)
+    assert [tuple(r) for r in persisted.collect()] == [
+        tuple(r) for r in rebuilt.collect()
+    ]
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan[:3000]

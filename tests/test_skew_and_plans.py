@@ -205,6 +205,7 @@ def test_pipeline_queries_stay_jvm_side(spark, name):
 PYTHON_ALLOWED = {
     "mr_wc", "mr_ii",                      # the plugin contract IS Python
     "dedup_simhash", "knn_lsh", "knn_ivf", # Arrow-batched BLAS kernels
+    "knn_ivf_persisted",                   # same probe kernel, persisted index
     "dedup_embedding_cosine",              # blocked-matmul applyInPandas
     "sentence_stats",                      # the UDTF surface demo
     "doc_fingerprint",                     # vectorized winnowing

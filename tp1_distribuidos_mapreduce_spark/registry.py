@@ -596,6 +596,11 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("knn_ivf_persisted")
+def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_ivf_persisted(spark, sf_dir)
+
+
 @register("knn_ivf")
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(load_table(spark, sf_dir, "embeddings"))

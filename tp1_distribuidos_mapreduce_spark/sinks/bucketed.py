@@ -83,21 +83,45 @@ def ensure_bucketed_fixture(
         return table
     path = f"/tmp/tp1_spark_bucketed_{tag}/{source}"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        schema_ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in load_table(spark, sf_dir, source).schema.fields
-        )
-        sort_clause = f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
-        spark.sql(
-            f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
-            f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort_clause}"
-            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+        register_existing_bucketed(
+            spark,
+            table,
+            path,
+            load_table(spark, sf_dir, source).schema,
+            bucket_cols,
+            num_buckets,
+            sort_cols,
         )
         return table
     write_bucketed(
         load_table(spark, sf_dir, source), table, path, bucket_cols, num_buckets, sort_cols
     )
     return table
+
+
+def register_existing_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Metadata-only CREATE TABLE over bucket files already on disk — the
+    new-session fast path (the default in-memory catalog dies with the
+    session, the files don't). Callers must guarantee the declared spec
+    matches how the files were written; the content-addressed tags used by
+    every caller in this repo make a mismatch unreachable."""
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    sort_clause = f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort_clause}"
+        f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+    )
 
 
 def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
