@@ -140,7 +140,17 @@ def language_rebalance(documents: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_total"),
             F.sum("kept").alias("n_kept"),
-            F.round(1000 * F.sum("kept") / F.count("*"), 1).alias("kept_permille"),
+            # integer round-half-up, same rationale as corpus_curation's
+            # avg_quality: round(double, 1) disagrees between engines when
+            # 1000*kept/count lands at an exact half (e.g. 7/20000 →
+            # 0.35 → Spark 0.4, DuckDB 0.3). floor((2*10000*S + n)/(2n))
+            # stays integer-exact on both.
+            (
+                F.floor(
+                    (2 * 10000 * F.sum("kept") + F.count("*")) / (2 * F.count("*"))
+                )
+                / 10.0
+            ).alias("kept_permille"),
         )
         .orderBy("lang")
     )
@@ -170,7 +180,10 @@ SELECT lang,
        -- float64 and the driver hash then diverges from Spark's int64; cast
        -- back explicitly (count(*) is immune: DuckDB returns BIGINT there).
        CAST(sum(kept) AS BIGINT) AS n_kept,
-       round(1000 * sum(kept) / count(*), 1) AS kept_permille
+       -- integer round-half-up mirror of the Spark side (round(double,1)
+       -- is engine-divergent at exact halves)
+       floor((2 * 10000 * sum(kept) + count(*)) / (2 * count(*))) / 10.0
+         AS kept_permille
 FROM k
 GROUP BY lang
 ORDER BY lang

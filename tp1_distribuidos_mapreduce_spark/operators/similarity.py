@@ -194,6 +194,40 @@ def _nearest_lists_udf(centroids: np.ndarray, n_probe: int):
     return lists
 
 
+def _train_centroids(e: DataFrame, n_lists: int, sample_size: int) -> np.ndarray:
+    """Deterministic bounded-sample centroid training (shared by the
+    rebuild-per-call and persisted IVF paths — the bit-identical contract
+    between them depends on this being the SAME code)."""
+    sample = np.vstack(
+        [
+            np.asarray(r.v)
+            for r in e.orderBy("vec_id").limit(sample_size).select("v").collect()
+        ]
+    )
+    return _lloyd_centroids(sample, n_lists)
+
+
+def _assign_lists(e: DataFrame, C: np.ndarray) -> DataFrame:
+    """The inverted file: every vector with its single nearest list id
+    (shared by both IVF paths, same contract as _train_centroids)."""
+    return e.select(
+        "vec_id",
+        "v",
+        F.element_at(_nearest_lists_udf(C, 1)(F.col("v")), 1).alias("list_id"),
+    )
+
+
+def _rank_topk(cands: DataFrame, k: int) -> DataFrame:
+    """Exact cosine rank within candidates — the shared IVF search tail."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
 def knn_ivf(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -219,19 +253,8 @@ def knn_ivf(
     repeated searches skip assignment entirely.
     """
     e = _as_double(embeddings)
-    sample = np.vstack(
-        [
-            np.asarray(r.v)
-            for r in e.orderBy("vec_id").limit(sample_size).select("v").collect()
-        ]
-    )
-    C = _lloyd_centroids(sample, n_lists)
-
-    assigned = e.select(
-        "vec_id",
-        "v",
-        F.element_at(_nearest_lists_udf(C, 1)(F.col("v")), 1).alias("list_id"),
-    )
+    C = _train_centroids(e, n_lists, sample_size)
+    assigned = _assign_lists(e, C)
     q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -249,13 +272,14 @@ def knn_ivf(
             cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(cands, k)
+
+
+# Bump when _train_centroids/_lloyd_centroids/_assign_lists change in any
+# observable way: the persisted-index content tag includes it, so a warm
+# /tmp cache built by older training code can never be silently reused
+# against newer rebuild code (which would break the bit-identical pin).
+IVF_INDEX_VERSION = 1
 
 
 def ensure_ivf_index(
@@ -280,7 +304,9 @@ def ensure_ivf_index(
     from ..sinks.bucketed import register_existing_bucketed, write_bucketed
     from ..sources.tables import fixture_cache_tag, load_table
 
-    tag = fixture_cache_tag(sf_dir, "embeddings", "ivf", n_lists, sample_size, num_buckets)
+    tag = fixture_cache_tag(
+        sf_dir, "embeddings", "ivf", IVF_INDEX_VERSION, n_lists, sample_size, num_buckets
+    )
     table = f"ivf_inverted_{tag}"
     base = f"/tmp/tp1_spark_ivf_{tag}"
     cpath = f"{base}/centroids"
@@ -300,23 +326,12 @@ def ensure_ivf_index(
             spark, table, ipath, idx_schema, ["list_id"], num_buckets
         )
         return table, cpath
-    sample = np.vstack(
-        [
-            np.asarray(r.v)
-            for r in e.orderBy("vec_id").limit(sample_size).select("v").collect()
-        ]
-    )
-    C = _lloyd_centroids(sample, n_lists)
+    C = _train_centroids(e, n_lists, sample_size)
     spark.createDataFrame(
         [(i, [float(x) for x in C[i]]) for i in range(len(C))],
         "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(cpath)
-    assigned = e.select(
-        "vec_id",
-        "v",
-        F.element_at(_nearest_lists_udf(C, 1)(F.col("v")), 1).alias("list_id"),
-    )
-    write_bucketed(assigned, table, ipath, ["list_id"], num_buckets)
+    write_bucketed(_assign_lists(e, C), table, ipath, ["list_id"], num_buckets)
     return table, cpath
 
 
@@ -349,12 +364,19 @@ def knn_ivf_persisted(
         ]
     )
     e = _as_double(load_table(spark, sf_dir, "embeddings"))
-    q = e.where(F.col("vec_id") < n_queries).select(
+    # Evaluate the query-probe subplan ONCE: its rows are bounded by
+    # n_queries x n_probe (never corpus size), so collect them and derive
+    # both the probed-list set and the broadcast frame from that — the
+    # lazy formulation would re-run the embeddings scan and the probe UDF
+    # a second time inside the join.
+    q_plan = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("qlist"),
     )
-    probed = sorted({r.qlist for r in q.select("qlist").distinct().collect()})
+    q_rows = q_plan.collect()
+    q = spark.createDataFrame(q_rows, q_plan.schema)
+    probed = sorted({r.qlist for r in q_rows})
     inverted = read_bucketed(spark, table).where(F.col("list_id").isin(probed))
     cands = (
         inverted.join(
@@ -368,10 +390,4 @@ def knn_ivf_persisted(
             cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(cands, k)

@@ -52,8 +52,19 @@ ORDER BY returnflag, linestatus
 """
 
 
-def run_sql(
-    spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...] | None = None
-) -> DataFrame:
-    register_views(spark, sf_dir, only=tables)
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register only the fixture views the SQL text references, then run
+    it. The table set is DERIVED from the text (word-boundary scan over
+    the known fixture names) rather than hand-listed per query: a
+    hand-maintained tuple goes stale the moment a query gains a join, and
+    the resulting missing-view error would hide in any test session where
+    an earlier query already registered the view. A false positive (a
+    table name appearing only in a comment) merely registers one unused
+    view — driver-side, harmless."""
+    import re
+
+    from ..sources.tables import TABLE_NAMES
+
+    referenced = tuple(t for t in TABLE_NAMES if re.search(rf"\b{t}\b", sql))
+    register_views(spark, sf_dir, only=referenced)
     return spark.sql(sql)

@@ -91,7 +91,7 @@ _WINDOW: list[str] = [
     "sentence_stats",
     "text_quality",
     "language_id",
-    "token_stats",
+    "sql_grouping_sets",
     "tumbling_event_counts",
     "sliding_event_stats",
     "session_window_stats",
@@ -465,22 +465,17 @@ from .plans import sql_surface as SQ  # noqa: E402
 
 @register("sql_revenue_by_region", oracle=SQ.REVENUE_BY_REGION_SQL)
 def q_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SQ.run_sql(
-        spark, sf_dir, SQ.REVENUE_BY_REGION_SQL,
-        tables=("region", "nation", "customer", "orders"),
-    )
+    return SQ.run_sql(spark, sf_dir, SQ.REVENUE_BY_REGION_SQL)
 
 
 @register("sql_top_balances_per_nation", oracle=SQ.TOP_BALANCES_SQL)
 def q_sql_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SQ.run_sql(
-        spark, sf_dir, SQ.TOP_BALANCES_SQL, tables=("customer", "nation")
-    )
+    return SQ.run_sql(spark, sf_dir, SQ.TOP_BALANCES_SQL)
 
 
 @register("sql_grouping_sets", oracle=SQ.GROUPING_SETS_SQL)
 def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SQ.run_sql(spark, sf_dir, SQ.GROUPING_SETS_SQL, tables=("lineitem",))
+    return SQ.run_sql(spark, sf_dir, SQ.GROUPING_SETS_SQL)
 
 
 # Sketch aggregates (plans/approx.py): engine-specific estimates → rows-only
