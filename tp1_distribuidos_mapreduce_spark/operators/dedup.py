@@ -299,6 +299,16 @@ def minhash_lsh_pairs(
     pytest property test validates recall against ngram_jaccard_pairs.
     """
     rows_per_band = num_hashes // bands
+    # Same conditional widen as ngram_jaccard_pairs: the tokenize+minhash
+    # signature pipeline is CPU-bound and narrow, and the single-row-group
+    # fixture parquet pins it to one core. Isolated A/B at sf0.1:
+    # 2.1-4.6s -> 1.0-1.4s. (The blanket widen-everything pass lost on the
+    # bench total — see the verify skill notes — but minhash, like
+    # jaccard, has ONE expensive consumer and no Python-worker fanout, so
+    # the targeted widen is a clean win.)
+    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
     toks = documents.select("doc_id", _tokens().alias("toks")).where(F.size("toks") > 0)
     sigs = toks.select(
         "doc_id",
