@@ -219,6 +219,7 @@ NESTED_LOOP_ALLOWED = {
     "hourly_event_gapfill",  # hours × event_types calendar, both tiny
     "bloom_pruned_join",     # single-row broadcast of the 32 KB bloom bitmap
     "cms_heavy_hitters",     # single-row broadcast of the 64 KB CMS grid
+    "idle_customers_opportunity",  # single-row broadcast scalar aggregate
 }
 
 

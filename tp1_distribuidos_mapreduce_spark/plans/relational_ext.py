@@ -710,3 +710,124 @@ FROM g
 WHERE gap_s > 86400
 ORDER BY user_id, gap_end
 """
+
+
+def waiting_suppliers(
+    supplier: DataFrame, lineitem: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape adapted to this schema (the fixture carries no
+    commit/receipt dates, so "kept the order waiting" becomes "was the
+    ONLY supplier with returned items on a multi-supplier finished
+    order"): a double-correlated EXISTS / NOT EXISTS over the same fact
+    table, decorrelated into one semi-join and one anti-join on
+    (orderkey, suppkey ≠). The dims broadcast; the two correlated probes
+    shuffle on l_orderkey only.
+    """
+    l1 = lineitem.where(F.col("l_returnflag") == "R").alias("l1")
+    o = orders.where(F.col("o_orderstatus") == "F").alias("o")
+    l2 = lineitem.alias("l2")
+    l3 = lineitem.where(F.col("l_returnflag") == "R").alias("l3")
+    base = l1.join(o, F.col("l1.l_orderkey") == F.col("o.o_orderkey"))
+    with_other = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    only_r = with_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_returnflag") == "R"),
+        "left_anti",
+    )
+    return (
+        only_r.join(F.broadcast(supplier), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+WAITING_SUPPLIERS_ORACLE = """
+SELECT s_name, n_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def idle_customers_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape adapted (no phone country codes in this schema —
+    the grouping key is the market segment): customers with an
+    above-average positive balance who have never placed an URGENT order
+    (every fixture customer has ordered at least once, so the classic
+    no-orders-at-all predicate selects nothing; the urgent-order variant
+    keeps the scalar-subquery + anti-join shape AND a non-trivial result).
+
+    Engine-portable by construction: balances are exact integer cents, and
+    the above-average test is `cents * n > total_cents` — pure bigint
+    arithmetic on both engines, immune to the avg()-boundary divergences
+    this repo has hit twice (a float avg threshold flips membership for
+    any balance within 1 ulp of it). The global aggregate rides in as a
+    broadcast single-row frame (the scale-correct scalar-subquery plan; a
+    global window would funnel every row through one partition).
+    """
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    c = customer.select("c_custkey", "c_mktsegment", cents.alias("cents"))
+    totals = (
+        c.where(F.col("cents") > 0)
+        .agg(F.sum("cents").alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        c.crossJoin(F.broadcast(totals))
+        .where(F.col("cents") * F.col("n") > F.col("s"))
+        .join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            (F.sum("cents") / 100.0).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_CUSTOMERS_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+t AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+  FROM c WHERE cents > 0
+)
+SELECT c_mktsegment,
+       count(*) AS n_custs,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS total_bal
+FROM c, t
+WHERE c.cents * t.n > t.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -455,6 +455,23 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BK.bucketed_revenue_by_priority(spark, sf_dir)
 
 
+@register("waiting_suppliers", oracle=RX.WAITING_SUPPLIERS_ORACLE)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.waiting_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("idle_customers_opportunity", oracle=RX.IDLE_CUSTOMERS_ORACLE)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RX.idle_customers_opportunity(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
 # --------------------------------------------------------------------------
 # SQL front-end surface (plans/sql_surface.py): the SQL text runs verbatim
 # on Spark AND serves as its own DuckDB oracle — one text, two engines.
