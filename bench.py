@@ -40,12 +40,16 @@ def main() -> None:
     # query, and one window/streaming-shaped query.
     from tp1_distribuidos_mapreduce_spark.sources.tables import TABLE_NAMES, load_table
 
+    t_warm0 = time.perf_counter()
     for t in TABLE_NAMES:
         materialize(load_table(spark, sf_dir, t))
     # bucketed_colocated_join, wc_textfiles, and knn_ivf_persisted also
     # warm here so their one-time /tmp materializations (bucketed layout,
     # text-file corpus, IVF index — amortized across every later run) stay
-    # out of the timed numbers.
+    # out of the timed numbers. The full warmup wall-clock is reported as
+    # its own field below (ADVICE r3) so the amortization claim stays
+    # auditable: warmup_sec on a cold /tmp includes the real first-run
+    # build costs that total_query_wall_clock deliberately excludes.
     for warm in (
         "dedup_exact",
         "mr_wc",
@@ -55,6 +59,7 @@ def main() -> None:
         "knn_ivf_persisted",
     ):
         materialize(qs[warm](spark, sf_dir))
+    warmup_sec = round(time.perf_counter() - t_warm0, 3)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -75,6 +80,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "warmup_sec": warmup_sec,
             }
         )
     )

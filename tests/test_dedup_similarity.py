@@ -79,6 +79,47 @@ def test_embedding_near_dup_pairs_symmetric_free(spark):
     assert all(r.id_a < r.id_b for r in out)
 
 
+def test_embedding_ivf_full_probe_matches_exact(spark):
+    """n_probe == n_lists ⇒ every vector probes every list, so every pair
+    shares a list and the IVF variant degenerates to the exact baseline —
+    the analogue of knn_ivf's probe-monotonicity pin."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = [tuple(r) for r in D.embedding_near_dup_pairs(emb, threshold=0.4).collect()]
+    full = [
+        tuple(r)
+        for r in D.embedding_near_dup_pairs_ivf(
+            emb, threshold=0.4, n_lists=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_embedding_ivf_subset_and_recall(spark):
+    """IVF-pruned pairs verify with the exact cosine, so output ⊆ exact
+    (no false positives ever); recall at the default n_probe is pinned as
+    a floor, mirroring minhash-vs-jaccard discipline."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {tuple(r) for r in D.embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    approx = {
+        tuple(r)
+        for r in D.embedding_near_dup_pairs_ivf(emb, threshold=0.4).collect()
+    }
+    assert approx <= exact, f"false positives: {approx - exact}"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.3, f"IVF near-dup recall collapsed: {recall}"
+
+
+def test_embedding_near_dup_group_budget_guard(spark):
+    """The scale guard must fail loudly (not OOM) when a block-pair group
+    exceeds the row budget."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    # executor-side ValueError surfaces as PythonException/Py4JJavaError;
+    # both embed the message text.
+    with pytest.raises(Exception, match="max_rows_per_group"):
+        D.embedding_near_dup_pairs(emb, max_rows_per_group=3).collect()
+
+
 def test_knn_lsh_recall_vs_bruteforce(spark):
     """Bucketed ANN must recover a reasonable fraction of true top-5.
     With 16 hyperplanes on random data recall is limited by single-probe

@@ -50,6 +50,17 @@ def test_mr_combiner_equivalence(spark):
     assert a == b
 
 
+def test_mr_partitions_default_matches_reference_r2(spark):
+    # num_partitions=None (default) resolves to the session's shuffle
+    # parallelism; results must be identical to the reference's R=2
+    # (common/config.go:7) — partitioning is a physical choice only.
+    df = corpus(spark, ROWS)
+    import dataclasses
+
+    r2 = dataclasses.replace(WC_JOB, num_partitions=2)
+    assert run_mapreduce(df, WC_JOB).collect() == run_mapreduce(df, r2).collect()
+
+
 def test_mr_output_sorted_by_key(spark):
     df = corpus(spark, ROWS)
     keys = [r.key for r in run_mapreduce(df, WC_JOB).collect()]

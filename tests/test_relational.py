@@ -25,6 +25,24 @@ def test_every_query_has_callable_signature(spark):
         assert callable(fn), name
 
 
+def test_readme_query_counts_match_registry():
+    """ADVICE r3: README's '<N> named queries … (<M>) carry a DuckDB
+    oracle' counts went stale; derive them from the registry so they
+    can't drift again."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("README.md").read_text()
+    m = re.search(
+        r"(\d+) named queries in `registry\.py`.*?\((\d+)\) carry a DuckDB oracle",
+        text,
+        re.DOTALL,
+    )
+    assert m, "README query-count sentence not found"
+    assert int(m.group(1)) == len(registry.queries())
+    assert int(m.group(2)) == len(registry.oracle_sql())
+
+
 def test_window_names_all_registered_and_sized():
     """Round-2 regression guard: _WINDOW once carried names with no
     implementation (ghost entries the driver silently skipped). Every

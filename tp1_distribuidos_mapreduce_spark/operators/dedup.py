@@ -409,7 +409,10 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.45, num_blocks: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    num_blocks: int = 8,
+    max_rows_per_group: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, blocked all-pairs).
 
@@ -457,6 +460,18 @@ def embedding_near_dup_pairs(
 
     def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
+        # Loud scale guard: a group holds ~2N/B vectors, so an undersized
+        # num_blocks at a bigger corpus fails HERE with instructions
+        # instead of as an executor OOM deep in the matmul. Keep groups
+        # bounded by growing num_blocks ~ N/budget (pair groups grow B²,
+        # replication only B — raising B is cheap).
+        if len(pdf) > max_rows_per_group:
+            raise ValueError(
+                f"embedding_near_dup_pairs: block-pair group ({bi},{bj}) has "
+                f"{len(pdf)} rows > max_rows_per_group={max_rows_per_group}. "
+                f"Raise num_blocks (currently {B}) to ~2*N/{max_rows_per_group} "
+                "or raise max_rows_per_group if executors have the memory."
+            )
         M = np.vstack(pdf["v"].to_numpy())
         norms = np.linalg.norm(M, axis=1)
         M = M / np.where(norms == 0.0, 1.0, norms)[:, None]
@@ -493,6 +508,75 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
 ORDER BY id_a, id_b
 """
+
+
+def embedding_near_dup_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    sample_size: int = 2048,
+    max_rows_per_group: int = 200_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-pruned — the 100 TB
+    formulation the exact baseline's docstring points at.
+
+    Candidate generation reuses knn_ivf's inverted file (similarity.py:
+    same deterministic centroid training): each vector is assigned to its
+    ``n_probe`` nearest coarse-quantizer lists, and ONLY vectors sharing a
+    list are compared — exactly, with the same one-BLAS-matmul-per-group
+    ``applyInPandas`` shape as the blocked baseline. A pair co-probing two
+    lists is emitted twice and deduped on fixed-width (id_a, id_b) rows.
+
+    Scale shape vs the exact baseline: communication drops from O(N·B)
+    full-replication to O(N·n_probe) rows partitioned by semantic locality,
+    and compute from all N²/2 comparisons to pairs within lists —
+    ~N²·n_probe²/n_lists of them on balanced lists, tunable by ``n_lists``.
+    Recall is tunable by ``n_probe`` (near-dups near a Voronoi boundary
+    need their list sets to intersect); ``n_probe == n_lists`` degenerates
+    to the exact baseline — both properties pinned in pytest, mirroring
+    the minhash-vs-jaccard discipline. Results are engine-internal
+    (quantizer-dependent), so this registers rows-only, with the exact
+    blocked variant as its oracle-checked ground truth.
+    """
+    from .similarity import _nearest_lists_udf, _train_centroids
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    C = _train_centroids(e, n_lists, sample_size)
+    probed = e.select(
+        "vec_id",
+        "v",
+        F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("list_id"),
+    )
+
+    def list_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Same loud guard as the blocked baseline: a hot list (skewed
+        # quantizer cell) fails with instructions, not an executor OOM.
+        if len(pdf) > max_rows_per_group:
+            raise ValueError(
+                f"embedding_near_dup_pairs_ivf: list {key[0]} holds "
+                f"{len(pdf)} rows > max_rows_per_group={max_rows_per_group}. "
+                f"Raise n_lists (currently {n_lists}) so lists stay under "
+                "the budget, or raise max_rows_per_group."
+            )
+        M = np.vstack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(M, axis=1)
+        M = M / np.where(norms == 0.0, 1.0, norms)[:, None]
+        ids = pdf["vec_id"].to_numpy()
+        S = M @ M.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = S[ai, bi] >= threshold
+        a, b = ids[ai[keep]], ids[bi[keep]]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+
+    return (
+        probed.groupBy("list_id")
+        .applyInPandas(list_pairs, "id_a long, id_b long")
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
 
 
 def connected_components(

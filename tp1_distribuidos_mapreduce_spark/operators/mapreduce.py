@@ -50,7 +50,12 @@ class MapReduceJob:
     map_fn: MapFunc
     reduce_fn: ReduceFunc
     combine_fn: ReduceFunc | None = None
-    num_partitions: int = 2  # reference R, common/config.go:7 — runtime-configurable here
+    # None → the session's spark.sql.shuffle.partitions at run time. The
+    # reference hard-codes R=2 (common/config.go:7) — a scale foot-gun as a
+    # default, so parity with it is opt-in: pass num_partitions=2 (the
+    # sink-layout parity test does; reduce OUTPUT is identical either way
+    # since the final orderBy is a fresh range exchange).
+    num_partitions: int | None = None
 
 
 def run_mapreduce(
@@ -101,8 +106,11 @@ def run_mapreduce(
 
         kv = kv.mapInPandas(run_combine, schema=KV_SCHEMA)
 
+    R = job.num_partitions
+    if R is None:
+        R = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     reduced = (
-        kv.repartition(job.num_partitions, "key")
+        kv.repartition(R, "key")
         .groupBy("key")
         .applyInPandas(make_reducer(reduce_fn), schema=KV_SCHEMA)
     )

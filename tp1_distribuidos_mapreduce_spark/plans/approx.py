@@ -109,10 +109,17 @@ def cms_heavy_hitters(
 
     Build: one token pass explodes (row, position) cells; partial
     aggregation bounds the shuffle at depth x width rows per upstream
-    partition REGARDLESS of vocabulary size — the property that matters
-    when the vocabulary itself is too large to group cheaply. The driver
-    collect is the 4x2048 cell grid, never data-sized, and rides back in
-    as a broadcast single-row frame (same transport as the Bloom bitmap).
+    partition REGARDLESS of vocabulary size. The driver collect is the
+    4x2048 cell grid, never data-sized, and rides back in as a broadcast
+    single-row frame (same transport as the Bloom bitmap).
+
+    Scope of the pruning (ADVICE r3): only the exact-count AGGREGATION is
+    CMS-pruned — candidate enumeration below still runs a vocabulary-sized
+    ``words.distinct()`` shuffle (of bare words, with map-side partials).
+    What the sketch removes is the per-candidate exact counting work and
+    the HAVING-style full groupBy of token OCCURRENCES; a vocabulary too
+    large even to distinct() cheaply needs sketch-only answers (accepting
+    overestimates) rather than this exact formulation.
     """
     import numpy as np
 

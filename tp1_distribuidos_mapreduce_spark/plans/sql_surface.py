@@ -65,6 +65,11 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
     from ..sources.tables import TABLE_NAMES
 
-    referenced = tuple(t for t in TABLE_NAMES if re.search(rf"\b{t}\b", sql))
+    # IGNORECASE: SQL identifiers are case-insensitive, so FROM ORDERS or
+    # "Orders" must register the view too; table names are plain words, so
+    # this adds no false-negative risk (ADVICE r3).
+    referenced = tuple(
+        t for t in TABLE_NAMES if re.search(rf"\b{t}\b", sql, re.IGNORECASE)
+    )
     register_views(spark, sf_dir, only=referenced)
     return spark.sql(sql)

@@ -40,68 +40,74 @@ _ORACLES: dict[str, str] = {}
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
-    # ---- round-3 window (exactly 50 names). Union coverage target: every
-    # query green in r2 ∪ r3. r2 checked slots 1-50 of the r2 ordering; this
-    # window swaps the r1/r2-green relational representatives out for the 19
-    # queries that had no r2 row, keeps reference parity pinned, and
-    # re-checks every query whose code changed this round.
+    # ---- round-4 window (exactly 50 names). Union coverage target:
+    # r3 ∪ r4 = every registered query. r3 checked its own 50-name window;
+    # this window keeps reference parity pinned, then lists all 28 queries
+    # that had no r3 driver row (including the three that have never had a
+    # row in any round: waiting_suppliers, idle_customers_opportunity,
+    # knn_ivf_persisted), then this round's addition, then one r3-green
+    # representative per operator family whose code was touched this round.
     # reference parity (SURVEY §2: wc + ii, native, plugin, and raw-text)
     "wc",
     "wc_textfiles",
     "ii",
     "mr_wc",
     "mr_ii",
-    # red rows fixed this round (oracle integer-sum casts) + new queries
+    # never had a driver row in ANY round (registered after the r3 window
+    # froze) — the headline r4 rotation target
+    "waiting_suppliers",
+    "idle_customers_opportunity",
+    "knn_ivf_persisted",
+    # oracle-bearing queries with no r3 driver row (r1/r2-green rotation
+    # casualties) — restores union coverage r3 ∪ r4 to all queries
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "monthly_order_stats",
+    "brand_stats_having",
+    "top_customers_per_nation",
+    "order_priority_pivot",
+    "customer_set_ops",
+    "top_parts_by_revenue",
+    "sessionize_events",
+    "events_json_stats",
+    "purchase_asof_last_click",
+    "rollup_lineitem_flags",
+    "cube_order_status_priority",
+    "supplier_activity",
+    "order_price_quantiles",
+    "daily_revenue_moving_avg",
+    "priorities_with_big_items",
+    "brand_type_vocabulary",
+    "weekday_order_stats",
+    "returned_item_revenue",
+    "customer_order_gaps",
+    "order_value_deciles",
+    "hourly_event_gapfill",
+    "token_stats",
+    # new this round: IVF-pruned embedding near-dup (rows-only, recall-
+    # pinned vs the exact baseline in pytest)
+    "dedup_embedding_ivf",
+    # code changed this round — re-confirm under the driver:
+    # mapreduce num_partitions default (mr_* pinned above), block_pairs
+    # scale guard, IVF candidate-generator refactor, run_sql view regex
+    "dedup_embedding_cosine",
+    "knn_ivf",
+    "sql_revenue_by_region",
+    "sql_top_balances_per_nation",
+    "sql_grouping_sets",
+    # r3-green re-confirmations: one per remaining operator family
     "corpus_curation",
     "language_rebalance",
     "bloom_pruned_join",
-    "stratified_sample",
-    "event_gap_detection",
-    # oracle-bearing queries with no r2 driver row (rotation casualties)
-    "parts_above_brand_avg",
-    "promo_revenue_by_month",
-    "supplier_part_variety",
-    "large_quantity_orders",
-    "disjunctive_brand_revenue",
-    "latest_event_per_user",
-    "sql_revenue_by_region",
-    "sql_top_balances_per_nation",
-    # rows-only queries that have never had ANY driver row (r1 or r2)
-    "approx_user_counts",
-    "approx_price_quantiles",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "knn_lsh",
-    "knn_ivf",
-    "doc_fingerprint",
-    "media_summary",
-    "image_stats",
-    "audio_stats",
-    "video_frame_sample",
-    # code changed this round (jaccard localCheckpoint + repartition) —
-    # re-confirm under the driver even though pytest covers them
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    # r2-green re-confirmations: one per remaining operator family
-    "dedup_exact",
-    "dedup_embedding_cosine",
     "knn_bruteforce",
-    "train_val_test_split",
-    "chunk_documents",
-    "sentence_stats",
-    "text_quality",
-    "language_id",
-    "sql_grouping_sets",
     "tumbling_event_counts",
-    "sliding_event_stats",
-    "session_window_stats",
-    "user_event_totals",
-    "click_purchase_attribution",
-    "stream_dedup_counts",
     "skewed_distinct_users",
     "bucketed_colocated_join",
     "cms_heavy_hitters",
-    "bitmap_distinct_users",
 ]
 
 
@@ -596,6 +602,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_embedding_cosine", oracle=D.EMBEDDING_NEAR_DUP_ORACLE)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_embedding_ivf")
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only by design (quantizer-internal candidate set); recall and
+    # full-probe equivalence vs dedup_embedding_cosine pinned in pytest.
+    return D.embedding_near_dup_pairs_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("knn_bruteforce", oracle=S.KNN_BRUTEFORCE_ORACLE)

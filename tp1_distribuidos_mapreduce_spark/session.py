@@ -46,6 +46,19 @@ def get_spark(app_name: str = "tp1-mapreduce-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Straggler / failure handling (SURVEY §4.2): the reference's only
+        # non-trivial runtime behavior is coordinator-side straggler
+        # re-issue after a 10s heartbeat timeout
+        # (cmd/coordinator/coordinator.go:166-175). Spark subsumes it with
+        # speculative execution (re-launch slow task attempts; first result
+        # wins — safe because every operator here is deterministic, incl.
+        # the hash-of-key splits that avoid rand()) plus bounded task
+        # retries. Inert on local[*] (no second executor to speculate on);
+        # load-bearing on a real cluster.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "3")
+        .config("spark.speculation.quantile", "0.9")
+        .config("spark.task.maxFailures", "4")
     )
     return builder.getOrCreate()
 
