@@ -207,6 +207,7 @@ PYTHON_ALLOWED = {
     "dedup_simhash", "knn_lsh", "knn_ivf", # Arrow-batched BLAS kernels
     "knn_ivf_persisted",                   # same probe kernel, persisted index
     "dedup_embedding_cosine",              # blocked-matmul applyInPandas
+    "dedup_embedding_ivf",                 # same BLAS kernel, IVF-pruned candidates
     "sentence_stats",                      # the UDTF surface demo
     "doc_fingerprint",                     # vectorized winnowing
     "media_summary", "image_stats", "audio_stats", "video_frame_sample",
@@ -230,6 +231,13 @@ def test_registry_wide_plan_audit(spark):
         "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
         "FlatMapGroupsInPandas", "PythonUDTF",
     )
+    triage = (
+        "Newly registered queries must be triaged here: a Python/Arrow-kernel "
+        "operator belongs in PYTHON_ALLOWED, an intentionally all-pairs or "
+        "tiny-broadcast join in NESTED_LOOP_ALLOWED (both in "
+        "tests/test_skew_and_plans.py) — with a justification comment. "
+        "Anything else is a genuine plan regression: fix the query."
+    )
     violations = []
     for name, fn in registry.queries().items():
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
@@ -239,4 +247,4 @@ def test_registry_wide_plan_audit(spark):
             violations.append(f"{name}: unexpected nested-loop join")
         if "CartesianProduct" in plan:
             violations.append(f"{name}: cartesian product")
-    assert not violations, violations
+    assert not violations, f"{violations}\n{triage}"
