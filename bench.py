@@ -72,18 +72,24 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "warmup_sec": warmup_sec,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "warmup_sec": warmup_sec,
+        }
     )
+    print(line)
+    # Sidecar copy of the full JSON (ADVICE r6): the driver captures a
+    # capped stdout tail, which front-truncates the per-query map once the
+    # registry grew past ~67 entries — BENCH_r06.json lost ~12 queries'
+    # timings. The sidecar is the complete, committed record.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(sidecar, "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 

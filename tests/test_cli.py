@@ -13,7 +13,10 @@ import pytest
 
 from tp1_distribuidos_mapreduce_spark.__main__ import main, resolve_job
 from tp1_distribuidos_mapreduce_spark.operators.mapreduce import MapReduceJob
-from tp1_distribuidos_mapreduce_spark.operators.wordcount import word_count
+from tp1_distribuidos_mapreduce_spark.operators.wordcount import (
+    inverted_index,
+    word_count,
+)
 from tp1_distribuidos_mapreduce_spark.sources.text import read_text_corpus
 
 DOCS = {
@@ -60,6 +63,34 @@ def test_cli_wc_end_to_end(spark, tmp_path):
         for r in word_count(read_text_corpus(spark, in_glob)).collect()
     }
     assert _read_kv_files(out) == native
+
+
+def test_cli_ii_end_to_end(spark, tmp_path):
+    """`python -m tp1_distribuidos_mapreduce_spark ii <glob> <out>` must
+    produce the reference's inverted-index contract: per word, the
+    comma-joined sorted distinct doc list (plugins/ii/ii.go:40; parser
+    contract tests/test_ii.py:30-33), equal to the native query, in the
+    R=2 sorted-file layout."""
+    in_glob = _write_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    main(["ii", in_glob, out, "--num-partitions", "2"])
+
+    files = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert len(files) == 2  # reference R=2, common/config.go:7
+    for f in files:  # per-file key-sorted (worker.go:208-210)
+        keys = [ln.split(" ", 1)[0] for ln in open(f) if ln.strip()]
+        assert keys == sorted(keys)
+
+    got = _read_kv_files(out)
+    # explicit contract pins on the known corpus: distinct (don appears
+    # twice in pg-1 but is listed once), sorted, comma-joined
+    assert got["don"] == "pg-1.txt,pg-2.txt"
+    assert got["chau"] == "pg-3.txt"
+    native = {
+        r.word: r.docs
+        for r in inverted_index(read_text_corpus(spark, in_glob)).collect()
+    }
+    assert got == native
 
 
 def test_cli_user_plugin_by_module_attr(spark, tmp_path):

@@ -107,7 +107,10 @@ def test_embedding_ivf_subset_and_recall(spark):
     assert approx <= exact, f"false positives: {approx - exact}"
     if exact:
         recall = len(approx & exact) / len(exact)
-        assert recall >= 0.3, f"IVF near-dup recall collapsed: {recall}"
+        # Measured on this fixture at default n_probe: 0.591 (39/66 pairs),
+        # deterministic across runs (hash-based centroid sample, no rand).
+        # Pin ~10% below the measured value as the regression floor.
+        assert recall >= 0.53, f"IVF near-dup recall regressed: {recall}"
 
 
 def test_embedding_near_dup_group_budget_guard(spark):

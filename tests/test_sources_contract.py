@@ -1,0 +1,124 @@
+"""Schema contract pins for the fixture loaders (sources/tables.py).
+
+Round-6 lesson: Spark 4.x's NTZ inference silently flipped events.ts from
+TIMESTAMP to TIMESTAMP_NTZ when the fixture's parquet logical type changed,
+which batch plans accepted but every `withWatermark` call site rejected
+([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) — and nothing pinned the dtype, so
+the break entered unnoticed. These tests make the loader contract explicit:
+they fail the round a dtype regresses, not the round someone next runs a
+streaming query.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from tp1_distribuidos_mapreduce_spark.sources.tables import (
+    TABLE_NAMES,
+    load_table,
+    stream_events,
+)
+
+from conftest import SF_SMOKE
+
+# The dtype every downstream operator was built against, per table. Full
+# pin (all columns, not just keys): any silent type flip in the fixture or
+# in Spark's parquet inference should fail HERE with a readable diff.
+EXPECTED_DTYPES = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        # NTZ is acceptable for batch-only date columns (never watermarked;
+        # the DuckDB oracle agrees on values under the UTC session tz)
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        # MUST be timestamp (LTZ), never timestamp_ntz: withWatermark
+        # rejects NTZ outright, so an NTZ flip breaks every streaming path
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+def test_expected_dtypes_covers_every_table():
+    assert set(EXPECTED_DTYPES) == set(TABLE_NAMES)
+
+
+def test_load_table_dtypes_are_pinned(spark):
+    for name in TABLE_NAMES:
+        got = load_table(spark, SF_SMOKE, name).dtypes
+        assert got == EXPECTED_DTYPES[name], f"{name}: {got}"
+
+
+def test_stream_events_ts_is_watermarkable(spark, tmp_path):
+    """stream_events must yield ts: timestamp and accept withWatermark —
+    including after a tmp-dir parquet round-trip, the exact path the
+    streaming tests use (an NTZ column round-trips NTZ, which is how the
+    round-6 break propagated past the loader)."""
+    df = stream_events(spark, f"{SF_SMOKE}/events.parquet")
+    assert df.isStreaming
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    df.withWatermark("ts", "10 minutes")  # raises on NTZ
+
+    replay = str(tmp_path / "events_replay")
+    load_table(spark, SF_SMOKE, "events").write.parquet(replay)
+    rt = stream_events(spark, replay)
+    assert dict(rt.dtypes)["ts"] == "timestamp"
+    rt.withWatermark("ts", "10 minutes")
+    shutil.rmtree(replay, ignore_errors=True)

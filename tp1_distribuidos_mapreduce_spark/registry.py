@@ -40,73 +40,68 @@ _ORACLES: dict[str, str] = {}
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
-    # ---- round-4 window (exactly 50 names). Union coverage target:
-    # r3 ∪ r4 = every registered query. r3 checked its own 50-name window;
-    # this window keeps reference parity pinned, then lists all 28 queries
-    # that had no r3 driver row (including the three that have never had a
-    # row in any round: waiting_suppliers, idle_customers_opportunity,
-    # knn_ivf_persisted), then this round's addition, then one r3-green
-    # representative per operator family whose code was touched this round.
+    # ---- round-7 window (exactly 50 names). The r4-r6 window ran
+    # unrotated for three rounds, so 29 queries last had a driver row in
+    # r3 (VERDICT r6 "What's missing" #1). This rotation: reference parity
+    # pinned first (always), then all 29 stale queries, then the events-
+    # path queries re-confirmed because sources/tables.py changed this
+    # round (NTZ→LTZ ts normalization touches every events reader), then
+    # green representatives per remaining operator family. Union target:
+    # r6 ∪ r7 = all 79 queries with a ≤2-round-old row.
     # reference parity (SURVEY §2: wc + ii, native, plugin, and raw-text)
     "wc",
     "wc_textfiles",
     "ii",
     "mr_wc",
     "mr_ii",
-    # never had a driver row in ANY round (registered after the r3 window
-    # froze) — the headline r4 rotation target
-    "waiting_suppliers",
-    "idle_customers_opportunity",
-    "knn_ivf_persisted",
-    # oracle-bearing queries with no r3 driver row (r1/r2-green rotation
-    # casualties) — restores union coverage r3 ∪ r4 to all queries
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "monthly_order_stats",
-    "brand_stats_having",
-    "top_customers_per_nation",
-    "order_priority_pivot",
-    "customer_set_ops",
-    "top_parts_by_revenue",
+    # the 29 queries with no driver row since r3 — the headline rotation
+    "parts_above_brand_avg",
+    "promo_revenue_by_month",
+    "supplier_part_variety",
+    "large_quantity_orders",
+    "disjunctive_brand_revenue",
+    "latest_event_per_user",
+    "event_gap_detection",
+    "bitmap_distinct_users",
+    "train_val_test_split",
+    "chunk_documents",
+    "stratified_sample",
+    "sentence_stats",
+    "text_quality",
+    "language_id",
+    "sliding_event_stats",
+    "session_window_stats",
+    "user_event_totals",
+    "click_purchase_attribution",
+    "stream_dedup_counts",
+    "approx_user_counts",
+    "approx_price_quantiles",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_lsh",
+    "doc_fingerprint",
+    "media_summary",
+    "image_stats",
+    "audio_stats",
+    "video_frame_sample",
+    # events-path re-confirmations: sources/tables.py ts dtype changed
+    # this round (timestamp_ntz → timestamp normalization)
+    "tumbling_event_counts",
     "sessionize_events",
     "events_json_stats",
-    "purchase_asof_last_click",
-    "rollup_lineitem_flags",
-    "cube_order_status_priority",
-    "supplier_activity",
-    "order_price_quantiles",
-    "daily_revenue_moving_avg",
-    "priorities_with_big_items",
-    "brand_type_vocabulary",
-    "weekday_order_stats",
-    "returned_item_revenue",
-    "customer_order_gaps",
-    "order_value_deciles",
     "hourly_event_gapfill",
-    "token_stats",
-    # new this round: IVF-pruned embedding near-dup (rows-only, recall-
-    # pinned vs the exact baseline in pytest)
-    "dedup_embedding_ivf",
-    # code changed this round — re-confirm under the driver:
-    # mapreduce num_partitions default (mr_* pinned above), block_pairs
-    # scale guard, IVF candidate-generator refactor, run_sql view regex
-    "dedup_embedding_cosine",
-    "knn_ivf",
-    "sql_revenue_by_region",
-    "sql_top_balances_per_nation",
-    "sql_grouping_sets",
-    # r3-green re-confirmations: one per remaining operator family
-    "corpus_curation",
-    "language_rebalance",
-    "bloom_pruned_join",
+    "purchase_asof_last_click",
+    "customer_order_gaps",
+    # green representatives per remaining operator family
+    "q1_pricing_summary",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "knn_bruteforce",
-    "tumbling_event_counts",
-    "skewed_distinct_users",
+    "bloom_pruned_join",
     "bucketed_colocated_join",
+    "skewed_distinct_users",
+    "corpus_curation",
     "cms_heavy_hitters",
 ]
 

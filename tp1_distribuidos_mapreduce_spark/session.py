@@ -48,15 +48,15 @@ def get_spark(app_name: str = "tp1-mapreduce-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         # Straggler / failure handling (SURVEY §4.2): the reference's only
         # non-trivial runtime behavior is coordinator-side straggler
-        # re-issue after a 10s heartbeat timeout
-        # (cmd/coordinator/coordinator.go:166-175). Spark subsumes it with
+        # re-issue after a heartbeat timeout of MaxTimeSeconds = 3
+        # (common/config.go:5; re-issue loop
+        # cmd/coordinator/coordinator.go:166-175). Spark subsumes it with
         # speculative execution (re-launch slow task attempts; first result
         # wins — safe because every operator here is deterministic, incl.
         # the hash-of-key splits that avoid rand()) plus bounded task
-        # retries. On local[*] speculation still runs (duplicate attempts
-        # on free slots of the single executor) but is cheap — a measured
-        # A/B put it at ~3s of a ~77s 79-query bench run; load-bearing on
-        # a real cluster.
+        # retries. Inert on local[*] (TaskSchedulerImpl.start() only starts
+        # the speculation thread when !isLocal — no second executor to
+        # speculate on); load-bearing on a real cluster.
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "3")
         .config("spark.speculation.quantile", "0.9")

@@ -69,6 +69,23 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(df)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Force events.ts to TIMESTAMP (LTZ). Depending on the fixture's
+    parquet logical type and Spark's NTZ inference
+    (spark.sql.parquet.inferTimestampNTZ.enabled, on by default in 4.x),
+    the column can load as TIMESTAMP_NTZ — which batch window()/groupBy
+    accept but `withWatermark` rejects outright
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). The cast is value-exact
+    because the session timezone is pinned to UTC (session.py), and LTZ
+    is the dtype every watermark/stream path was built and verified
+    against."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -90,7 +107,7 @@ def stream_events(
     df = reader.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
