@@ -456,6 +456,54 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BK.bucketed_revenue_by_priority(spark, sf_dir)
 
 
+_ZORDER_PRUNED_ORACLE = """
+WITH b AS (SELECT min(user_id) AS lo, max(user_id) AS hi FROM events)
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events e, b
+WHERE e.user_id BETWEEN b.lo + ((b.hi - b.lo) * 2) // 5
+                    AND b.lo + ((b.hi - b.lo) * 3) // 5
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("zorder_pruned_scan", oracle=_ZORDER_PRUNED_ORACLE)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan over a Z-ORDERED copy of events (Morton curve over
+    (ts, user_id), sinks/zorder.py): a mid-domain user_id slab — the
+    NON-lead dimension of the classic time-sorted layout — aggregated by
+    event_type. Z-order is pure physical layout, so the oracle runs the
+    identical filter over the PLAIN parquet: any row difference means the
+    layout lost or duplicated data. The scan benefit is pinned
+    deterministically in tests/test_zorder.py via parquet row-group
+    min/max stats (measured on events sf0.001, 10% slab on the second
+    dimension: linear-by-lead-column reads 15/15 row groups, z-order
+    reads 6/32). Bounds arithmetic is integer-only (`div`/`//`) so Spark
+    and DuckDB agree bit-exactly."""
+    from .sinks.zorder import ensure_zordered_fixture
+
+    path = ensure_zordered_fixture(
+        spark, sf_dir, "events", ("ts", "user_id"), num_files=32
+    )
+    ev = spark.read.parquet(path)
+    # bounded collect: one row of two scalars (bucket-bound class, same as
+    # the sketch grids in plans/approx.py)
+    b = ev.agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi")).collect()[0]
+    lo = b.lo + ((b.hi - b.lo) * 2) // 5
+    hi = b.lo + ((b.hi - b.lo) * 3) // 5
+    return (
+        ev.filter(F.col("user_id").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register("waiting_suppliers", oracle=RX.WAITING_SUPPLIERS_ORACLE)
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RX.waiting_suppliers(
