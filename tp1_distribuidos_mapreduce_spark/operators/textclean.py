@@ -1,0 +1,196 @@
+"""Text-cleaning operators for training-data curation: PII scrubbing and
+repetition (boilerplate) statistics.
+
+Additive LLM-pipeline surface (no reference counterpart — the reference's
+text processing is the wc/ii tokenizer, SURVEY.md §2 O5/O6). Both operators
+are pure Catalyst expressions — map-only, whole-stage codegen, no Python —
+so at 100 TB they run at scan speed and compose with corpus_curation's
+single-projection pattern.
+
+PII scrubbing is the standard pre-training redaction pass (emails, IPv4
+addresses) expressed as `regexp_count` / `regexp_replace` chains. The
+patterns are deliberately restricted to syntax with identical semantics in
+Java regex (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+and `\\b` word boundaries — no lookaround, no backreferences.
+
+Repetition stats are the Gopher-style quality gates (Rae et al. 2021,
+"Scaling Language Models", §A1.1): fraction of duplicated tokens and the
+fraction of all bigrams accounted for by the single most frequent bigram.
+High values flag boilerplate/spam documents. The bigram mode count is
+computed WITHOUT a shuffle: sort the bigram array in-row and fold it with
+`aggregate()` to find the longest run — per-document work stays inside one
+codegen stage, where the naive explode→groupBy(doc, bigram) formulation
+would shuffle every bigram of a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize
+
+# Identical meaning in Java regex and RE2 (both sides of the oracle diff).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _with_injected_pii(documents: DataFrame) -> DataFrame:
+    """The fixture corpus contains no PII, so the query derives a
+    deterministic dirty variant: every 7th document gains a synthetic
+    email + IPv4 trailer built from its doc_id. The oracle derives the
+    exact same variant, so the redaction path is exercised non-trivially
+    while remaining an exact differential."""
+    trailer = F.concat(
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" now."),
+    )
+    dirty = F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), trailer)).otherwise(
+        F.col("text")
+    )
+    return documents.withColumn("dirty", dirty)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Per-source PII census + redaction parity: how many documents carry
+    an email / IPv4, how many matches were redacted, and the total
+    character delta after replacing them with fixed placeholder tags.
+
+    Shape: one projection + one small aggregation keyed on `source`
+    (cardinality = #corpus sources, not #documents) — the only shuffle
+    moves a handful of partial-agg rows per partition. The redaction
+    itself (`regexp_replace` email → `[EMAIL]` first, then IPv4 → `[IP]`,
+    in that order on both engines) never leaves codegen.
+    """
+    d = _with_injected_pii(documents)
+    n_emails = F.regexp_count(F.col("dirty"), F.lit(EMAIL_RE))
+    n_ipv4 = F.regexp_count(F.col("dirty"), F.lit(IPV4_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("dirty"), EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+    )
+    per_doc = d.select(
+        "source",
+        n_emails.alias("ne"),
+        n_ipv4.alias("ni"),
+        (F.length("dirty") - F.length(redacted)).alias("delta"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("ne") > 0).cast("long")).alias("docs_with_email"),
+            F.sum((F.col("ni") > 0).cast("long")).alias("docs_with_ipv4"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("ni").alias("n_ipv4"),
+            F.sum("delta").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_SCRUB_ORACLE = rf"""
+WITH dirty AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 100 AS VARCHAR) || ' now.'
+              ELSE text END AS dirty
+  FROM documents
+), counted AS (
+  SELECT source,
+         len(regexp_extract_all(dirty, '{EMAIL_RE}')) AS ne,
+         len(regexp_extract_all(dirty, '{IPV4_RE}')) AS ni,
+         length(dirty) - length(
+           regexp_replace(regexp_replace(dirty, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{IPV4_RE}', '[IP]', 'g')) AS delta
+  FROM dirty
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS docs_with_email,
+       sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS docs_with_ipv4,
+       sum(ne) AS n_emails,
+       sum(ni) AS n_ipv4,
+       sum(delta) AS chars_removed
+FROM counted
+GROUP BY source
+ORDER BY source
+"""
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-document repetition signals: duplicated-token fraction and the
+    most-frequent-bigram fraction (Gopher §A1.1 boilerplate gates).
+
+    Map-only: bigrams are built, sorted, and mode-counted inside a single
+    row via `array_sort` + `aggregate` (longest run of a sorted array ==
+    count of the modal element), so no per-bigram shuffle exists at any
+    scale. The oracle computes the same mode with a relational
+    unnest→group→max, proving the fold correct.
+    """
+    t = F.filter(tokenize("text"), lambda x: x != "")
+    d = documents.select("doc_id", t.alias("t"))
+    bigrams = F.expr(
+        """
+        CASE WHEN size(t) < 2 THEN array()
+             ELSE transform(sequence(0, size(t) - 2),
+                            i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))
+        END
+        """
+    )
+    d = d.withColumn("bg", bigrams)
+    top_run = F.expr(
+        """
+        aggregate(
+          array_sort(bg),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          (acc, x) -> named_struct(
+              'prev', x,
+              'run',  CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END,
+              'best', greatest(acc.best,
+                               CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END)),
+          acc -> acc.best)
+        """
+    )
+    n_tokens = F.size("t")
+    n_bigrams = F.size("bg")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.lit(1) - F.size(F.array_distinct("t")) / F.greatest(n_tokens, F.lit(1)), 4
+        ).alias("dup_token_frac"),
+        n_bigrams.cast("long").alias("n_bigrams"),
+        F.round(top_run / F.greatest(n_bigrams, F.lit(1)), 4).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+REPETITION_STATS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM toks
+), bgc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+), agg AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total_bg FROM bgc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.t) AS n_tokens,
+       round(1 - len(list_distinct(t.t)) / greatest(len(t.t), 1), 4) AS dup_token_frac,
+       CAST(coalesce(a.total_bg, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(a.top_c, 0) / greatest(coalesce(a.total_bg, 0), 1), 4) AS top_bigram_frac
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+"""

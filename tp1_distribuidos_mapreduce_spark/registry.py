@@ -102,7 +102,10 @@ _WINDOW: list[str] = [
     "bucketed_colocated_join",
     "skewed_distinct_users",
     "corpus_curation",
-    "cms_heavy_hitters",
+    # cms_heavy_hitters (green r6) yields its slot to the query added this
+    # round, so every new oracle-bearing query gets a driver row the round
+    # it lands; cms stays covered by its r6 row and the pytest differential.
+    "zorder_pruned_scan",
 ]
 
 
@@ -613,6 +616,7 @@ def q_skewed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators import dedup as D  # noqa: E402
 from .operators import similarity as S  # noqa: E402
+from .operators import textclean as TC  # noqa: E402
 from .operators import textstats as T  # noqa: E402
 
 
@@ -728,6 +732,24 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("token_stats", oracle=T.TOKEN_STATS_ORACLE)
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("pii_scrub", oracle=TC.PII_SCRUB_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII census + redaction over a deterministically-dirtied corpus
+    (operators/textclean.py): per-source email/IPv4 match counts and the
+    char delta after [EMAIL]/[IP] replacement — map-only regex codegen,
+    source-cardinality aggregate."""
+    return TC.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+@register("repetition_stats", oracle=TC.REPETITION_STATS_ORACLE)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (operators/textclean.py): duplicated-
+    token fraction and modal-bigram fraction per document, with the bigram
+    mode computed by an in-row sorted fold (no per-bigram shuffle); the
+    oracle proves the fold against a relational unnest→group→max."""
+    return TC.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register("doc_fingerprint")
