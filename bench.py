@@ -57,6 +57,7 @@ def main() -> None:
         "bucketed_colocated_join",
         "wc_textfiles",
         "knn_ivf_persisted",
+        "zorder_pruned_scan",
     ):
         materialize(qs[warm](spark, sf_dir))
     warmup_sec = round(time.perf_counter() - t_warm0, 3)

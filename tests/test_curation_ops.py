@@ -1,0 +1,156 @@
+"""Semantic unit tests for the round-7 curation operators: PII scrubbing,
+repetition stats, incremental bloom dedup, shared-span dedup, and the
+generic MERGE/upsert. The sf0.001 oracle differential in test_relational.py
+covers the registered queries end-to-end; these pin the operator semantics
+on tiny hand-computed inputs so a future regression localizes to the
+operator, not the whole differential."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tp1_distribuidos_mapreduce_spark.operators.dedup import (
+    incremental_dedup,
+    shared_span_pairs,
+)
+from tp1_distribuidos_mapreduce_spark.operators.textclean import (
+    pii_scrub,
+    repetition_stats,
+)
+from tp1_distribuidos_mapreduce_spark.plans.merge import merge_upsert
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], DOC_SCHEMA
+    )
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    # doc 7 gets the injected trailer (7 % 7 == 0); doc 1 carries its own
+    # email; doc 2 carries an IPv4; doc 3 is clean.
+    docs = _docs(
+        spark,
+        [
+            (1, "write to alice@example.org today", "a"),
+            (2, "server at 192.168.0.1 down", "a"),
+            (3, "nothing sensitive here", "b"),
+            (7, "plain text", "b"),
+        ],
+    )
+    got = {r["source"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert got["a"]["n_emails"] == 1 and got["a"]["n_ipv4"] == 1
+    assert got["a"]["docs_with_email"] == 1 and got["a"]["docs_with_ipv4"] == 1
+    # doc 7's trailer injects exactly one email and one IP into source b
+    assert got["b"]["n_emails"] == 1 and got["b"]["n_ipv4"] == 1
+    # redaction shrinks: 'alice@example.org' (17) -> '[EMAIL]' (7)
+    assert got["a"]["chars_removed"] == (17 - 7) + (11 - 4)  # email + '192.168.0.1'->'[IP]'
+
+
+def test_repetition_stats_fold_matches_hand_count(spark):
+    # 'a b a b a' -> tokens 5, distinct 2 -> dup_frac 0.6
+    # bigrams: 'a b','b a','a b','b a' -> 4 total, modal count 2 -> 0.5
+    docs = _docs(spark, [(1, "a b a b a", "s"), (2, "x", "s"), (3, "", "s")])
+    rows = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert rows[1]["n_tokens"] == 5 and rows[1]["dup_token_frac"] == 0.6
+    assert rows[1]["n_bigrams"] == 4 and rows[1]["top_bigram_frac"] == 0.5
+    # single-token and empty docs: no bigrams, zero fractions, no NULLs
+    for d in (2, 3):
+        assert rows[d]["n_bigrams"] == 0 and rows[d]["top_bigram_frac"] == 0.0
+
+
+def test_incremental_dedup_flags_replays_only_when_base_has_original(spark):
+    # doc 6 (%3==0) is fresh; doc 7 (%7==0, %3!=0) stays in base AND is
+    # replayed -> its replay is the only duplicate; doc 21 (%3==0 and
+    # %7==0) moved wholly to the new batch, so its replay is NOT a dup.
+    docs = _docs(
+        spark,
+        [(6, "six", "s"), (7, "seven", "s"), (21, "twentyone", "s"), (8, "eight", "s")],
+    )
+    got = {r["source"]: r.asDict() for r in incremental_dedup(docs).collect()}
+    # new batch: fresh {6, 21} + replays {7+1M, 21+1M} = 4 rows
+    assert got["s"]["n_new"] == 4
+    assert got["s"]["n_dup_vs_base"] == 1  # only replay of 7
+    assert got["s"]["n_kept"] == 3
+
+
+def test_shared_span_pairs_exact_span_and_df_cut(spark):
+    span = " ".join("w%d" % i for i in range(8))
+    boiler = " ".join("b%d" % i for i in range(8))
+    docs = _docs(
+        spark,
+        # docs 1,2 share a verbatim 8-token span; 3 does not; the boiler
+        # span appears in ALL docs and must be killed by max_span_df=2.
+        [
+            (1, span + " unique one tail " + boiler, "s"),
+            (2, "head filler words " + span + " " + boiler, "s"),
+            (3, "totally different text body here " + boiler, "s"),
+        ],
+    )
+    got = shared_span_pairs(docs, k=8, max_span_df=2).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+    assert got[0]["n_shared_spans"] == 1
+
+
+def test_merge_upsert_update_insert_persist(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, v string, x double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 25.0), (3, "c", 30.0)], "k bigint, v string, x double"
+    )
+    got = {r["k"]: (r["v"], r["x"]) for r in merge_upsert(target, source, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 25.0), 3: ("c", 30.0)}
+
+
+def test_merge_upsert_broadcasts_small_change_batch(spark):
+    """The scale contract: a ≪-target change batch must not shuffle the
+    target — the anti-join decomposition lets Spark broadcast the batch
+    keys (a full-outer formulation could never broadcast)."""
+    target = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("x")
+    )
+    source = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("x")
+    )
+    merged = merge_upsert(target, source, "k")
+    assert merged.count() == 10_000
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    # 3 docs; 'rare' appears twice in doc 1 only: tf=2, df=1,
+    # tfidf = 2*ln(3/1) = 2.1972. 'common' is in all docs: idf = 0.
+    docs = _docs(
+        spark,
+        [
+            (1, "common rare rare", "s"),
+            (2, "common other", "s"),
+            (3, "common other", "s"),
+        ],
+    )
+    from tp1_distribuidos_mapreduce_spark.operators.ranking import tfidf_top_terms
+
+    rows = tfidf_top_terms(docs, top_k=1).collect()
+    top = {r["doc_id"]: r for r in rows}
+    assert top[1]["term"] == "rare" and top[1]["tf"] == 2 and top[1]["df"] == 1
+    assert abs(top[1]["tfidf"] - 2.1972) < 1e-9
+    # docs 2/3: 'other' (df=2) beats 'common' (idf=0)
+    assert top[2]["term"] == "other" and top[3]["term"] == "other"
+
+
+def test_positional_index_postings_contract(spark):
+    # 'b' occurs in doc 1 at positions 2,4 and doc 2 at position 1;
+    # postings list docs ascending, positions ascending within doc.
+    docs = _docs(spark, [(1, "a b a b", "s"), (2, "b c", "s")])
+    from tp1_distribuidos_mapreduce_spark.operators.ranking import positional_index
+
+    idx = {r["term"]: r for r in positional_index(docs).collect()}
+    assert idx["b"]["postings"] == "1:2,4;2:1"
+    assert idx["b"]["n_docs"] == 2
+    assert idx["a"]["postings"] == "1:1,3"
+    assert idx["c"]["postings"] == "2:2"

@@ -211,6 +211,7 @@ PYTHON_ALLOWED = {
     "sentence_stats",                      # the UDTF surface demo
     "doc_fingerprint",                     # vectorized winnowing
     "media_summary", "image_stats", "audio_stats", "video_frame_sample",
+    "knn_ivf_pq",                          # Arrow-batched PQ encode/ADC kernels
 }
 
 # Non-equi / cross joins allowed ONLY where the semantics are all-pairs by
@@ -221,6 +222,7 @@ NESTED_LOOP_ALLOWED = {
     "bloom_pruned_join",     # single-row broadcast of the 32 KB bloom bitmap
     "cms_heavy_hitters",     # single-row broadcast of the 64 KB CMS grid
     "idle_customers_opportunity",  # single-row broadcast scalar aggregate
+    "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
 }
 
 

@@ -682,3 +682,166 @@ FROM reach
 GROUP BY id
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new ingest batch vs already-curated base corpus
+# --------------------------------------------------------------------------
+
+
+def incremental_dedup(documents: DataFrame) -> DataFrame:
+    """Dedup a NEW ingest batch against an already-curated BASE corpus
+    without broadcasting the base key set or re-shuffling the base.
+
+    The fixture ships a single corpus, so the query derives both sides
+    deterministically (identically in the oracle): base = docs with
+    ``doc_id % 3 != 0`` (the curated corpus); the new batch = fresh docs
+    (``doc_id % 3 == 0``) plus re-crawled replays (``doc_id % 7 == 0``,
+    re-ingested under ``doc_id + 1_000_000`` with identical text). Replays
+    whose original stayed in base are the duplicates an incremental
+    pipeline must drop; replays of docs that themselves moved to the new
+    batch are genuinely novel vs base and must be kept.
+
+    Shape (the per-batch incremental-ingest pattern at 100 TB): aggregate
+    base content hashes into a ~32 KB Bloom bitmap (plans/bloom.py — the
+    build shuffle is bounded by the bitmap's 4,096 words, never by corpus
+    size), probe the new batch map-side, and send only surviving
+    candidates into the exact hash semi-join that removes Bloom false
+    positives. Per batch, the join shuffle carries ~|duplicates| rows
+    instead of |batch|, and the bitmap is reusable across batches. The
+    end-to-end result is EXACT (FPs die in the semi-join) → plain IN
+    oracle.
+    """
+    from ..plans.bloom import bloom_prune, build_bloom_bitmap
+
+    h = F.md5(F.col("text").cast("binary"))
+    base_h = documents.where(F.col("doc_id") % 3 != 0).select(h.alias("h"))
+    fresh = documents.where(F.col("doc_id") % 3 == 0)
+    replay = documents.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    new = fresh.unionByName(replay).select("doc_id", "source", h.alias("h"))
+
+    bitmap = build_bloom_bitmap(base_h, "h")
+    cand = bloom_prune(new, "h", bitmap)
+    dup_ids = (
+        cand.join(base_h, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(1))
+    )
+    flagged = new.join(dup_ids, "doc_id", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_vs_base"),
+            (F.count("*") - F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+INCREMENTAL_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+), newb AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, md5(text) FROM documents WHERE doc_id % 7 = 0
+), flagged AS (
+  SELECT source,
+         CASE WHEN h IN (SELECT h FROM base) THEN 1 ELSE 0 END AS is_dup
+  FROM newb
+)
+SELECT source,
+       count(*) AS n_new,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_vs_base,
+       CAST(count(*) - sum(is_dup) AS BIGINT) AS n_kept
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact shared-span dedup: documents sharing a verbatim k-token span
+# --------------------------------------------------------------------------
+
+DEFAULT_SPAN_K = 8
+DEFAULT_MAX_SPAN_DF = 10
+
+
+def shared_span_pairs(
+    documents: DataFrame,
+    k: int = DEFAULT_SPAN_K,
+    max_span_df: int = DEFAULT_MAX_SPAN_DF,
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", scaled to the fixture's
+    short docs): pairs of documents sharing at least one verbatim k-token
+    span, with the count of distinct shared spans per pair.
+
+    Spans are md5-hashed before the shuffle so every shuffled key is
+    fixed-width regardless of span text — md5 is bit-identical in DuckDB,
+    so the oracle groups on the very same keys and the differential stays
+    exact. Spans occurring in more than ``max_span_df`` documents are
+    boilerplate (licence headers, navigation chrome) and are dropped ON
+    BOTH SIDES before pair expansion — the same df-cut skew guard as
+    ngram_jaccard_pairs (``DEFAULT_MAX_SHINGLE_DF``): without it one viral
+    span would expand into a quadratic pair blow-up at 100 TB.
+
+    Plan: map-only span build (in-row transform + array_distinct) →
+    explode → groupBy span-hash (the only data-sized shuffle; fixed-width
+    keys) → df-cut → in-row pair expansion (`_pairs_within`) → pair-keyed
+    count. No self-join of the corpus ever happens.
+    """
+    t = F.filter(tokenize("text"), lambda x: x != "")
+    d = documents.select("doc_id", t.alias("t"))
+    spans = F.expr(
+        f"""
+        CASE WHEN size(t) < {k} THEN array()
+             ELSE array_distinct(transform(
+                    sequence(1, size(t) - {k} + 1),
+                    i -> md5(cast(array_join(slice(t, i, {k}), ' ') AS binary))))
+        END
+        """
+    )
+    doc_spans = d.select("doc_id", F.explode(spans).alias("s"))
+    groups = (
+        doc_spans.groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= max_span_df))
+    )
+    pairs = groups.select(F.explode(_pairs_within("docs")).alias("p"))
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_spans"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SHARED_SPAN_PAIRS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '') AS t
+  FROM documents
+), spans AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - {DEFAULT_SPAN_K} + 2, 1)),
+                i -> md5(array_to_string(t[i:i+{DEFAULT_SPAN_K}-1], ' ')))) AS s
+  FROM toks
+), df AS (
+  SELECT s FROM spans GROUP BY s
+  HAVING count(*) BETWEEN 2 AND {DEFAULT_MAX_SPAN_DF}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_spans
+  FROM spans a JOIN df USING (s) JOIN spans b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared_spans FROM pairs ORDER BY doc_a, doc_b
+"""

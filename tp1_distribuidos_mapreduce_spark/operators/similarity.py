@@ -194,17 +194,24 @@ def _nearest_lists_udf(centroids: np.ndarray, n_probe: int):
     return lists
 
 
-def _train_centroids(e: DataFrame, n_lists: int, sample_size: int) -> np.ndarray:
-    """Deterministic bounded-sample centroid training (shared by the
-    rebuild-per-call and persisted IVF paths — the bit-identical contract
-    between them depends on this being the SAME code)."""
-    sample = np.vstack(
+def _collect_sample(e: DataFrame, sample_size: int) -> np.ndarray:
+    """The bounded deterministic training sample every index build runs
+    on: first `sample_size` vectors by vec_id — a constant-size driver
+    transfer regardless of corpus size (same contract as the Bloom
+    bitmap collect)."""
+    return np.vstack(
         [
             np.asarray(r.v)
             for r in e.orderBy("vec_id").limit(sample_size).select("v").collect()
         ]
     )
-    return _lloyd_centroids(sample, n_lists)
+
+
+def _train_centroids(e: DataFrame, n_lists: int, sample_size: int) -> np.ndarray:
+    """Deterministic bounded-sample centroid training (shared by the
+    rebuild-per-call and persisted IVF paths — the bit-identical contract
+    between them depends on this being the SAME code)."""
+    return _lloyd_centroids(_collect_sample(e, sample_size), n_lists)
 
 
 def _assign_lists(e: DataFrame, C: np.ndarray) -> DataFrame:
@@ -391,3 +398,143 @@ def knn_ivf_persisted(
         )
     )
     return _rank_topk(cands, k)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted file — the memory-compressed ANN shape
+# --------------------------------------------------------------------------
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, n_codes: int, iters: int = 10
+) -> np.ndarray:
+    """Per-subspace k-means codebooks, shape (m, n_codes, dim/m) — plain
+    PQ training (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search") on the unit-normalized bounded sample, seed 42,
+    fully deterministic."""
+    rng = np.random.RandomState(42)
+    X = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"m_subq={m} must divide dim={d}")
+    dsub = d // m
+    books = np.zeros((m, n_codes, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        kk = min(n_codes, len(S))
+        C = S[rng.choice(len(S), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(kk):
+                msk = assign == c
+                if msk.any():
+                    C[c] = S[msk].mean(0)
+        books[j, :kk] = C
+        if kk < n_codes:
+            books[j, kk:] = C[0]
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-batched PQ encoder: each vector becomes m small codes —
+    dim×8 bytes collapse to m bytes of index payload."""
+    m, _, dsub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        M = np.vstack(vs.to_numpy())
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        codes = np.zeros((len(M), m), dtype="int32")
+        for j in range(m):
+            S = M[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def _adc_score_udf(books: np.ndarray):
+    """Approximate cosine of (query, PQ-coded candidate): gather each
+    code's codebook entry, concatenate to the reconstruction, dot with the
+    normalized query. (Production ADC replaces the reconstruction with an
+    m×n_codes lookup table per query — same value, O(m) per candidate;
+    the reconstruction form keeps the batch fully vectorized here.)"""
+    m = books.shape[0]
+
+    @F.pandas_udf("double")
+    def score(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        Q = np.vstack(qvs.to_numpy())
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        C = np.vstack(codes.to_numpy()).astype(int)
+        rec = np.concatenate([books[j][C[:, j]] for j in range(m)], axis=1)
+        return pd.Series((Q * rec).sum(axis=1))
+
+    return score
+
+
+def knn_ivf_pq(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m_subq: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    rerank: int = 32,
+) -> DataFrame:
+    """Approximate cosine top-k over an IVF-PQ index: inverted lists for
+    candidate pruning (as knn_ivf) plus product-quantized codes so the
+    index never carries raw vectors — the memory shape that lets a 100 TB
+    embedding corpus fit a serving tier (64 float64 dims → 8 byte codes,
+    a 64× payload cut on the shuffled/stored index rows).
+
+    Search: probe n_probe lists per query → ADC-score the candidates on
+    their codes alone → exact-rerank only the top `rerank` shortlist with
+    true cosines fetched by a join bounded by n_queries × rerank rows.
+    Training (centroids + codebooks) runs on the same bounded
+    deterministic sample as knn_ivf; everything downstream is
+    Arrow-batched, no data-sized driver transfer anywhere.
+    """
+    e = _as_double(embeddings)
+    sample = _collect_sample(e, sample_size)
+    C = _lloyd_centroids(sample, n_lists)
+    books = _train_pq_codebooks(sample, m_subq, n_codes)
+    # The index rows: (vec_id, list_id, codes) — raw vectors dropped.
+    idx = _assign_lists(e, C).select(
+        "vec_id", "list_id", _pq_encode_udf(books)(F.col("v")).alias("codes")
+    )
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("qlist"),
+    )
+    scored = (
+        idx.join(
+            F.broadcast(q),
+            (F.col("list_id") == F.col("qlist"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_score_udf(books)(F.col("qv"), F.col("codes")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank)
+        .drop("r", "adc")
+    )
+    exact = shortlist.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    return _rank_topk(exact, k)

@@ -92,20 +92,23 @@ _WINDOW: list[str] = [
     "hourly_event_gapfill",
     "purchase_asof_last_click",
     "customer_order_gaps",
-    # green representatives per remaining operator family
-    "q1_pricing_summary",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "knn_bruteforce",
-    "bloom_pruned_join",
-    "bucketed_colocated_join",
-    "skewed_distinct_users",
-    "corpus_curation",
-    # cms_heavy_hitters (green r6) yields its slot to the query added this
-    # round, so every new oracle-bearing query gets a driver row the round
-    # it lands; cms stays covered by its r6 row and the pytest differential.
+    # queries added this round — every new oracle-bearing query gets a
+    # driver row the round it lands; the green-r6 representatives they
+    # displaced (q1_pricing_summary, dedup_exact, dedup_ngram_jaccard,
+    # knn_bruteforce, bloom_pruned_join, cms_heavy_hitters) stay inside
+    # the ≤2-round freshness union via their r6 rows and remain covered
+    # by tests/test_relational.py's full differential.
+    "pii_scrub",
+    "repetition_stats",
+    "incremental_dedup_bloom",
+    "shared_span_pairs",
+    "merge_upsert_orders",
     "zorder_pruned_scan",
+    "tfidf_top_terms",
+    "positional_index",
+    # green representatives per remaining operator family
+    "dedup_clusters",
+    "bucketed_colocated_join",
 ]
 
 
@@ -451,6 +454,18 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .plans import merge as MG  # noqa: E402
+
+
+@register("merge_upsert_orders", oracle=MG.MERGE_UPSERT_ORDERS_ORACLE)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE/upsert (plans/merge.py): deterministic update+insert batch
+    applied to orders via one co-partitioned full-outer join with
+    source-wins coalescing, summarized per status in scaled-cents
+    BIGINTs."""
+    return MG.merge_upsert_orders(load_table(spark, sf_dir, "orders"))
+
+
 from .sinks import bucketed as BK  # noqa: E402
 
 
@@ -616,6 +631,7 @@ def q_skewed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators import dedup as D  # noqa: E402
 from .operators import similarity as S  # noqa: E402
+from .operators import ranking as RK  # noqa: E402
 from .operators import textclean as TC  # noqa: E402
 from .operators import textstats as T  # noqa: E402
 
@@ -623,6 +639,23 @@ from .operators import textstats as T  # noqa: E402
 @register("dedup_exact", oracle=D.DEDUP_EXACT_ORACLE)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register("incremental_dedup_bloom", oracle=D.INCREMENTAL_DEDUP_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-batch-vs-base dedup (operators/dedup.py): Bloom
+    bitmap over base content hashes, map-side probe of the derived ingest
+    batch, exact semi-join to kill false positives — the per-batch
+    incremental-ingest shape; exact result, plain-IN oracle."""
+    return D.incremental_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("shared_span_pairs", oracle=D.SHARED_SPAN_PAIRS_ORACLE)
+def q_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact verbatim k-token span sharing (operators/dedup.py): md5-hashed
+    spans (fixed-width shuffle keys, bit-identical in DuckDB), df-cut
+    boilerplate guard mirrored in the oracle, in-row pair expansion."""
+    return D.shared_span_pairs(load_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_ngram_jaccard", oracle=D.NGRAM_JACCARD_ORACLE)
@@ -676,6 +709,16 @@ def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_ivf")
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("knn_ivf_pq")
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py): inverted-file pruning plus
+    product-quantized codes (index rows carry m-byte codes, never raw
+    vectors) with an exact rerank of the ADC shortlist. Quantizer
+    internals aren't SQL-expressible → rows-only driver check; recall is
+    pinned vs knn_bruteforce in tests/test_dedup_similarity.py."""
+    return S.knn_ivf_pq(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("dedup_clusters", oracle=D.NEAR_DUP_CLUSTERS_ORACLE)
@@ -732,6 +775,22 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("token_stats", oracle=T.TOKEN_STATS_ORACLE)
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("tfidf_top_terms", oracle=RK.TFIDF_TOP_TERMS_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (operators/ranking.py): two map-side
+    partial aggregates, vocabulary-sized df table broadcast back, one
+    per-doc ranking window — no UDFs anywhere."""
+    return RK.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register("positional_index", oracle=RK.POSITIONAL_INDEX_ORACLE)
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index (operators/ranking.py): the reference ii
+    contract (sorted distinct docs, plugins/ii/ii.go:40) extended with
+    per-occurrence positions, 'doc:p1,p2;doc:p3' postings."""
+    return RK.positional_index(load_table(spark, sf_dir, "documents"))
 
 
 @register("pii_scrub", oracle=TC.PII_SCRUB_ORACLE)
