@@ -58,6 +58,7 @@ def main() -> None:
         "wc_textfiles",
         "knn_ivf_persisted",
         "zorder_pruned_scan",
+        "partitioned_pruned_daily",
     ):
         materialize(qs[warm](spark, sf_dir))
     warmup_sec = round(time.perf_counter() - t_warm0, 3)

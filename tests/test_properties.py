@@ -113,3 +113,35 @@ def test_chunking_covers_every_token_at_any_geometry(spark, n_tokens, chunk):
         start = r.chunk_id * stride
         covered.update(range(start, start + r.n_chunk_tokens))
     assert covered == set(range(expected))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_TEXTS)
+def test_repetition_fold_matches_python_reference(spark, texts):
+    """The in-row sorted-fold bigram mode (operators/textclean.py) must
+    equal a plain Python Counter on arbitrary unicode text — the fold is
+    the one piece of clever expression logic in the module."""
+    import re
+    from collections import Counter
+
+    from tp1_distribuidos_mapreduce_spark.operators.textclean import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(i, t, "x", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    for i, t in enumerate(texts):
+        # Python re lacks \p{L}; the generated alphabet's letters are
+        # exactly these, so this class emulates the engine's tokenizer on
+        # every input hypothesis can produce here.
+        toks = [w for w in re.split(r"[^a-zñüßλω日本語]+", t.lower()) if w]
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = max(Counter(bgs).values()) if bgs else 0
+        assert got[i]["n_bigrams"] == len(bgs), (t, toks)
+        want_frac = round(top / max(len(bgs), 1), 4)
+        assert abs(got[i]["top_bigram_frac"] - want_frac) < 1e-9, (t, toks)

@@ -106,9 +106,9 @@ _WINDOW: list[str] = [
     "zorder_pruned_scan",
     "tfidf_top_terms",
     "positional_index",
-    # green representatives per remaining operator family
+    "partitioned_pruned_daily",
+    # green representative (family: iterative algorithms)
     "dedup_clusters",
-    "bucketed_colocated_join",
 ]
 
 
@@ -464,6 +464,18 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-wins coalescing, summarized per status in scaled-cents
     BIGINTs."""
     return MG.merge_upsert_orders(load_table(spark, sf_dir, "orders"))
+
+
+from .sinks import partitioned as PT  # noqa: E402
+
+
+@register("partitioned_pruned_daily", oracle=PT.PARTITIONED_DAILY_ACTIVITY_ORACLE)
+def q_partitioned_pruned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-day activity read partition-pruned from a date-partitioned
+    copy of events (sinks/partitioned.py): the literal date predicate
+    resolves against directory names at plan time, so the scan lists a
+    single partition directory; the oracle aggregates the flat table."""
+    return PT.partitioned_daily_activity(spark, sf_dir)
 
 
 from .sinks import bucketed as BK  # noqa: E402
