@@ -154,3 +154,57 @@ def test_positional_index_postings_contract(spark):
     assert idx["b"]["n_docs"] == 2
     assert idx["a"]["postings"] == "1:1,3"
     assert idx["c"]["postings"] == "2:2"
+
+
+def test_bm25_top_terms_hand_computed(spark):
+    import math
+
+    docs = _docs(
+        spark,
+        [
+            (1, "common rare rare", "s"),
+            (2, "common other", "s"),
+            (3, "common other", "s"),
+        ],
+    )
+    from tp1_distribuidos_mapreduce_spark.operators.ranking import (
+        BM25_B,
+        BM25_K1,
+        bm25_top_terms,
+    )
+
+    top = {r["doc_id"]: r for r in bm25_top_terms(docs, top_k=1).collect()}
+    assert top[1]["term"] == "rare" and top[1]["tf"] == 2 and top[1]["dl"] == 3
+    # closed-form check: N=3, df(rare)=1, dl=3, avgdl=7/3
+    idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    denom = 2 + BM25_K1 * (1 - BM25_B + BM25_B * 3 / (7 / 3))
+    want = round(idf * 2 * (BM25_K1 + 1) / denom, 4)
+    assert abs(top[1]["bm25"] - want) < 1e-9
+    assert top[2]["term"] == "other" and top[3]["term"] == "other"
+
+
+def test_value_outliers_flags_only_extreme_points(spark):
+    from tp1_distribuidos_mapreduce_spark.plans.relational_ext import value_outliers
+
+    rows = [(i, "2024-01-01 00:00:00", 1, "t", 10.0, "{}") for i in range(20)]
+    rows.append((99, "2024-01-01 00:00:00", 1, "t", 10.5, "{}"))   # mild
+    rows.append((100, "2024-01-01 00:00:00", 1, "t", 1000.0, "{}"))  # extreme
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = value_outliers(ev).collect()[0]
+    assert got["n_events"] == 22 and got["n_outliers"] == 1
+
+
+def test_value_outliers_zero_variance_group_has_no_outliers(spark):
+    from tp1_distribuidos_mapreduce_spark.plans.relational_ext import value_outliers
+
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", 1, "z", 5.0, "{}") for i in range(5)],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = value_outliers(ev).collect()[0]
+    assert got["n_outliers"] == 0 and got["stddev_value"] == 0.0

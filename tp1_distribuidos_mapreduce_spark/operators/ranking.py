@@ -172,3 +172,86 @@ GROUP BY term
 ORDER BY term
 LIMIT 2000
 """
+
+
+# BM25 constants (Robertson-Sparck Jones defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_top_terms(documents: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k terms per document by Okapi BM25 (Robertson et al., TREC-3):
+    TF-IDF's practical successor — term-frequency saturation (k1) and
+    document-length normalization (b) so long documents don't dominate.
+
+    score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1)   (the Lucene form, ≥ 0).
+
+    Same plan skeleton as tfidf_top_terms: two partial aggregates, a
+    vocabulary-sized df broadcast, one ranking window — plus two scalars
+    (N, avgdl) Catalyst folds as literals. No UDFs.
+    """
+    terms = _doc_terms(documents)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]  # scalar, one bounded agg
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "dl",
+            F.round(idf * F.col("tf") * (BM25_K1 + 1.0) / denom, 4).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "term", "tf", "dl", "bm25")
+        .orderBy("doc_id", "rank")
+    )
+
+
+BM25_TOP_TERMS_ORACLE = rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), ad AS (
+  SELECT avg(dl) AS avgdl FROM dl
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+         round(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / ad.avgdl)),
+               4) AS bm25
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, dl, bm25
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""

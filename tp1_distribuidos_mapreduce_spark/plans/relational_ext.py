@@ -831,3 +831,64 @@ WHERE c.cents * t.n > t.s
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-event-type z-score outlier census — the value-sanity gate a
+    training pipeline runs before trusting a numeric column (points more
+    than z sample-standard-deviations from the type mean).
+
+    Two passes over one scan lineage: a per-type moments aggregate
+    (type-cardinality rows, broadcast back) then a map-side flag + count.
+    Both engines compute stddev_samp over the identical double set, so
+    the z comparison agrees except for points within float-ulp of the
+    threshold — impossible-in-practice for continuous measures (the same
+    determinism argument as the verify notes' 'continuous measures are
+    safe' rule; boundary-exact synthetic data would need the scaled-int
+    pattern instead).
+    """
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev("value").alias("sigma"),
+        F.count("*").alias("n_events"),
+    )
+    flagged = events.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "n_events",
+        "mu",
+        "sigma",
+        (
+            F.abs(F.col("value") - F.col("mu"))
+            > F.lit(z) * F.coalesce(F.col("sigma"), F.lit(0.0))
+        ).cast("long").alias("is_outlier"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.sum("is_outlier").alias("n_outliers"),
+            F.round(F.first("mu"), 4).alias("mean_value"),
+            F.round(F.first("sigma"), 4).alias("stddev_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_OUTLIERS_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_samp(value) AS sigma,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(max(s.n_events) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN abs(e.value - s.mu) > 3.0 * coalesce(s.sigma, 0.0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(s.mu), 4) AS mean_value,
+       round(max(s.sigma), 4) AS stddev_value
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

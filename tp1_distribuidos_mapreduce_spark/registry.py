@@ -85,13 +85,18 @@ _WINDOW: list[str] = [
     "audio_stats",
     "video_frame_sample",
     # events-path re-confirmations: sources/tables.py ts dtype changed
-    # this round (timestamp_ntz → timestamp normalization)
+    # this round (timestamp_ntz → timestamp normalization). Two of the
+    # original six (hourly_event_gapfill, customer_order_gaps — the
+    # latter reads orders, not events) yielded their slots to this
+    # round's late additions; both are green r6 and re-checked by the
+    # sf0.001 differential plus the in-session sf0.01 driver-sim.
     "tumbling_event_counts",
     "sessionize_events",
     "events_json_stats",
-    "hourly_event_gapfill",
     "purchase_asof_last_click",
-    "customer_order_gaps",
+    # late round-7 additions (same rule: new oracle query → driver row)
+    "bm25_top_terms",
+    "value_outliers",
     # queries added this round — every new oracle-bearing query gets a
     # driver row the round it lands; the green-r6 representatives they
     # displaced (q1_pricing_summary, dedup_exact, dedup_ngram_jaccard,
@@ -107,8 +112,11 @@ _WINDOW: list[str] = [
     "tfidf_top_terms",
     "positional_index",
     "partitioned_pruned_daily",
-    # green representative (family: iterative algorithms)
-    "dedup_clusters",
+    # rows-only but new this round: with it, union(r6 rows, this window)
+    # covers all 89 registered queries — no query lacks a driver row
+    # within the last two rounds (dedup_clusters, the rep it displaced,
+    # is green r6).
+    "knn_ivf_pq",
 ]
 
 
@@ -442,6 +450,14 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("event_gap_detection", oracle=RX.EVENT_GAP_ORACLE)
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RX.event_gap_detection(load_table(spark, sf_dir, "events"))
+
+
+@register("value_outliers", oracle=RX.VALUE_OUTLIERS_ORACLE)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier census (plans/relational_ext.py): moments
+    aggregate broadcast back over the scan, map-side flag + count — the
+    numeric-sanity gate before trusting a value column."""
+    return RX.value_outliers(load_table(spark, sf_dir, "events"))
 
 
 from .plans import bloom as B  # noqa: E402
@@ -803,6 +819,14 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (sorted distinct docs, plugins/ii/ii.go:40) extended with
     per-occurrence positions, 'doc:p1,p2;doc:p3' postings."""
     return RK.positional_index(load_table(spark, sf_dir, "documents"))
+
+
+@register("bm25_top_terms", oracle=RK.BM25_TOP_TERMS_ORACLE)
+def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword extraction (operators/ranking.py): tf saturation
+    + doc-length normalization over the same UDF-free plan skeleton as
+    tfidf_top_terms."""
+    return RK.bm25_top_terms(load_table(spark, sf_dir, "documents"))
 
 
 @register("pii_scrub", oracle=TC.PII_SCRUB_ORACLE)
