@@ -43,6 +43,17 @@ def assert_df_matches_oracle(sdf, duck, sql, float_tol=1e-9):
     spark_rows = sorted(
         (tuple(row[c] for c in spark_cols) for row in sdf.collect()), key=row_key
     )
+    # Engine-wide output policy (verify notes): no NULLs in any query
+    # output — the driver may sort rows as plain tuples, and None vs
+    # str/datetime raises there. Enforced mechanically on every
+    # oracle-backed query; coalesce to sentinels in BOTH engines instead.
+    nulls = [
+        (spark_cols[i], r)
+        for r in spark_rows
+        for i, v in enumerate(r)
+        if v is None
+    ]
+    assert not nulls, f"NULLs in query output (policy: coalesce to sentinels): {nulls[:3]}"
     rel = duck.sql(sql)
     duck_cols = sorted(rel.columns)
     assert spark_cols == duck_cols, f"columns differ: {spark_cols} vs {duck_cols}"

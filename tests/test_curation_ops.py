@@ -208,3 +208,33 @@ def test_value_outliers_zero_variance_group_has_no_outliers(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = value_outliers(ev).collect()[0]
     assert got["n_outliers"] == 0 and got["stddev_value"] == 0.0
+
+
+def test_value_outliers_single_event_group_emits_no_nulls(spark):
+    from tp1_distribuidos_mapreduce_spark.plans.relational_ext import value_outliers
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "solo", 5.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = value_outliers(ev).collect()[0]
+    assert got["stddev_value"] == 0.0 and got["n_outliers"] == 0
+    assert all(v is not None for v in got.asDict().values())
+
+
+def test_phrase_search_counts_adjacent_occurrences_only(spark):
+    from tp1_distribuidos_mapreduce_spark.operators.ranking import phrase_search
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the table hash join and table hash again", "a"),  # 2 occurrences
+            (2, "table of hash values", "a"),                      # not adjacent
+            (3, "hash table inverted order", "b"),                 # wrong order
+            (4, "x", "b"),                                          # shorter than L
+        ],
+    )
+    got = {r["source"]: r.asDict() for r in phrase_search(docs, ("table", "hash")).collect()}
+    assert got["a"]["n_docs_with_phrase"] == 1 and got["a"]["n_occurrences"] == 2
+    assert got["b"]["n_docs_with_phrase"] == 0 and got["b"]["n_occurrences"] == 0

@@ -87,3 +87,38 @@ def test_static_overwrite_would_have_truncated(spark, tmp_path):
         ["d"],
     )
     assert {r["d"] for r in spark.read.parquet(path).collect()} == {"d2"}
+
+
+def test_stream_restatement_last_writer_wins_per_partition(spark, tmp_path):
+    """streaming/sinks.py write_stream_restatement: two micro-batches with
+    an overlapping partition — the later batch's version of the day must
+    fully replace the earlier one's, while untouched days persist."""
+    import time
+
+    from tp1_distribuidos_mapreduce_spark.streaming.sinks import (
+        write_stream_restatement,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: day1 v1 + day2 v1; batch 2 (newer mtime): day2 v2 restated
+    spark.createDataFrame(
+        [(1, "v1", "d1"), (2, "v1", "d2")], "id bigint, v string, d string"
+    ).coalesce(1).write.json(str(src / "f1"))
+    time.sleep(1.1)  # file-source orders by mtime; make batch 2 strictly newer
+    spark.createDataFrame(
+        [(9, "v2", "d2")], "id bigint, v string, d string"
+    ).coalesce(1).write.json(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("id bigint, v string, d string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    write_stream_restatement(stream, out, ckpt, ["d"])
+
+    rows = {(r["id"], r["v"], r["d"]) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "v1", "d1"), (9, "v2", "d2")}, rows

@@ -255,3 +255,77 @@ SELECT doc_id, rank, term, tf, dl, bm25
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
 """
+
+
+# The fixture corpus's most frequent bigram (deterministic synthetic
+# vocabulary, stable across SFs) — a phrase guaranteed to have matches.
+PHRASE = ("table", "hash")
+
+
+def phrase_search(
+    documents: DataFrame, phrase: tuple[str, ...] = PHRASE
+) -> DataFrame:
+    """Exact phrase occurrence census: per source, how many documents
+    contain the token sequence and how many times it occurs — the
+    adjacency check a positional index answers per query, run here as a
+    corpus sweep.
+
+    Map-only: the occurrence count is an in-row filter over candidate
+    start offsets (element-wise equality at i, i+1, …), so the whole
+    query is one codegen projection plus a source-cardinality aggregate.
+    Spark's `sequence(a, b)` REVERSES when a > b (it never returns empty),
+    so short documents need the explicit CASE guard, not sequence arithmetic.
+    """
+    L = len(phrase)
+    t = F.filter(tokenize("text"), lambda x: x != "")
+    eqs = " AND ".join(
+        f"element_at(t, i + {j}) = '{w}'" for j, w in enumerate(phrase)
+    )
+    n_occ = F.expr(
+        f"""
+        CASE WHEN size(t) < {L} THEN 0
+             ELSE size(filter(sequence(1, size(t) - {L} + 1), i -> {eqs}))
+        END
+        """
+    )
+    occ = documents.select("source", t.alias("t")).select(
+        "source", n_occ.alias("n_occ")
+    )
+    return (
+        occ.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_occ") > 0).cast("long")).alias("n_docs_with_phrase"),
+            F.sum("n_occ").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("source")
+    )
+
+
+_PHRASE_EQS_SQL = " AND ".join(
+    f"t[i + {j}] = '{w}'" for j, w in enumerate(PHRASE)
+)
+
+PHRASE_SEARCH_ORACLE = rf"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), occ AS (
+  SELECT source,
+         CASE WHEN len(t) < {len(PHRASE)} THEN 0
+              ELSE len(list_filter(range(1, len(t) - {len(PHRASE)} + 2),
+                                   i -> {_PHRASE_EQS_SQL}))
+         END AS n_occ
+  FROM toks
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_phrase,
+       CAST(sum(n_occ) AS BIGINT) AS n_occurrences
+FROM occ
+GROUP BY source
+ORDER BY source
+"""

@@ -868,7 +868,11 @@ def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
             F.first("n_events").alias("n_events"),
             F.sum("is_outlier").alias("n_outliers"),
             F.round(F.first("mu"), 4).alias("mean_value"),
-            F.round(F.first("sigma"), 4).alias("stddev_value"),
+            # single-event groups have NULL stddev_samp; the engine-wide
+            # no-NULL output policy (verify notes) coalesces it to 0.0
+            F.round(F.coalesce(F.first("sigma"), F.lit(0.0)), 4).alias(
+                "stddev_value"
+            ),
         )
         .orderBy("event_type")
     )
@@ -887,7 +891,7 @@ SELECT e.event_type,
        CAST(sum(CASE WHEN abs(e.value - s.mu) > 3.0 * coalesce(s.sigma, 0.0)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(max(s.mu), 4) AS mean_value,
-       round(max(s.sigma), 4) AS stddev_value
+       round(coalesce(max(s.sigma), 0.0), 4) AS stddev_value
 FROM events e JOIN stats s USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type

@@ -92,11 +92,13 @@ _WINDOW: list[str] = [
     # sf0.001 differential plus the in-session sf0.01 driver-sim.
     "tumbling_event_counts",
     "sessionize_events",
-    "events_json_stats",
     "purchase_asof_last_click",
-    # late round-7 additions (same rule: new oracle query → driver row)
+    # late round-7 additions (same rule: new oracle query → driver row;
+    # events_json_stats — green r6, props-JSON path untouched by the
+    # loader fix — yielded the third slot)
     "bm25_top_terms",
     "value_outliers",
+    "phrase_search",
     # queries added this round — every new oracle-bearing query gets a
     # driver row the round it lands; the green-r6 representatives they
     # displaced (q1_pricing_summary, dedup_exact, dedup_ngram_jaccard,
@@ -827,6 +829,14 @@ def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     + doc-length normalization over the same UDF-free plan skeleton as
     tfidf_top_terms."""
     return RK.bm25_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register("phrase_search", oracle=RK.PHRASE_SEARCH_ORACLE)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase census (operators/ranking.py): in-row adjacency filter
+    over candidate offsets — map-only codegen plus a source-cardinality
+    aggregate; the corpus-sweep form of a positional-index lookup."""
+    return RK.phrase_search(load_table(spark, sf_dir, "documents"))
 
 
 @register("pii_scrub", oracle=TC.PII_SCRUB_ORACLE)

@@ -49,3 +49,36 @@ def read_landed_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read a streaming-sink output directory. Spark automatically consults
     `_spark_metadata` so only committed files are visible."""
     return spark.read.parquet(path)
+
+
+def write_stream_restatement(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str],
+) -> None:
+    """Streaming restatement into a date-partitioned lake table: each
+    micro-batch dynamic-partition-overwrites exactly the partitions it
+    contains (sinks/partitioned.py) — the streaming form of the daily
+    restatement job, and the composition a CDC-fed lake runs continuously.
+
+    Exactly-once here is the standard foreachBatch contract: the
+    checkpoint gives at-least-once batch delivery, and a partition
+    overwrite is IDEMPOTENT (replaying a batch rewrites the same
+    partitions with the same rows), so the table converges to
+    last-writer-wins per partition regardless of crashes or replays. The
+    append-mode file sink above cannot restate history; this sink's whole
+    purpose is that a late re-delivery of a day replaces the day.
+    """
+    from ..sinks.partitioned import overwrite_partitions
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        overwrite_partitions(batch_df, path, partition_cols)
+
+    (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
