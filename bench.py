@@ -57,6 +57,7 @@ def main() -> None:
         "bucketed_colocated_join",
         "wc_textfiles",
         "knn_ivf_persisted",
+        "knn_ivf_pq_persisted",
         "zorder_pruned_scan",
         "partitioned_pruned_daily",
     ):

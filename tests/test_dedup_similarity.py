@@ -315,3 +315,19 @@ def test_knn_ivf_persisted_matches_rebuild(spark):
     ]
     plan = persisted._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan, plan[:3000]
+
+
+def test_knn_ivf_pq_persisted_matches_rebuild(spark):
+    """The persisted IVF-PQ index (codes on disk, no raw vectors) must
+    return bit-identical results to the rebuild-every-time knn_ivf_pq
+    (shared deterministic training), with bucket pruning visible at the
+    code-table scan."""
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    rebuilt = S.knn_ivf_pq(load_table(spark, SF_SMOKE, "embeddings"))
+    persisted = S.knn_ivf_pq_persisted(spark, SF_SMOKE)
+    assert [tuple(r) for r in persisted.collect()] == [
+        tuple(r) for r in rebuilt.collect()
+    ]
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan[:3000]

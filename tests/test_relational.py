@@ -56,3 +56,16 @@ def test_window_names_all_registered_and_sized():
     assert len(set(w)) == 50
     missing = [n for n in w if n not in registry.queries()]
     assert not missing, f"ghost window entries: {missing}"
+
+
+ROWS_ONLY_NAMES = sorted(set(registry.queries()) - set(registry.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_queries_emit_no_nulls(spark, name):
+    """The oracle differential now enforces the no-NULL output policy
+    mechanically for oracle-backed queries (conftest); rows-only queries
+    get the same scan here so the whole registry is covered."""
+    rows = registry.queries()[name](spark, SF_SMOKE).collect()
+    nulls = [(i, v) for r in rows for i, v in enumerate(r) if v is None]
+    assert not nulls, f"{name} emitted NULLs: {nulls[:3]}"

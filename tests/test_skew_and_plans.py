@@ -212,6 +212,7 @@ PYTHON_ALLOWED = {
     "doc_fingerprint",                     # vectorized winnowing
     "media_summary", "image_stats", "audio_stats", "video_frame_sample",
     "knn_ivf_pq",                          # Arrow-batched PQ encode/ADC kernels
+    "knn_ivf_pq_persisted",                # same ADC kernel, persisted codes
 }
 
 # Non-equi / cross joins allowed ONLY where the semantics are all-pairs by

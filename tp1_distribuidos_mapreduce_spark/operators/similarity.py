@@ -538,3 +538,152 @@ def knn_ivf_pq(
         cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
     )
     return _rank_topk(exact, k)
+
+
+# Bump on any observable change to PQ training/encode (same contract as
+# IVF_INDEX_VERSION): a warm /tmp cache from older code must never serve
+# the bit-identical pin against newer rebuild code.
+IVF_PQ_INDEX_VERSION = 1
+
+
+def ensure_ivf_pq_index(
+    spark,
+    sf_dir: str,
+    n_lists: int = 16,
+    m_subq: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    num_buckets: int = 8,
+) -> tuple[str, str]:
+    """Persisted IVF-PQ index: the inverted file as a bucketed-by-list_id
+    table of (vec_id, list_id, codes) — m small ints per vector, raw
+    vectors NOT stored — plus centroid and codebook parquets. This is the
+    serving layout at 100 TB: the index is ~m bytes/vector (vs dim×8 for
+    raw), bucket files prune by probed list, and raw vectors are touched
+    only by the bounded exact-rerank join against the source table.
+
+    Content-addressed and three-tier cached like ensure_ivf_index.
+    Returns (inverted_table_name, index_base_path).
+    """
+    import os
+
+    from ..sinks.bucketed import register_existing_bucketed, write_bucketed
+    from ..sources.tables import fixture_cache_tag, load_table
+
+    tag = fixture_cache_tag(
+        sf_dir, "embeddings", "ivfpq", IVF_PQ_INDEX_VERSION,
+        n_lists, m_subq, n_codes, sample_size, num_buckets,
+    )
+    table = f"ivfpq_inverted_{tag}"
+    base = f"/tmp/tp1_spark_ivfpq_{tag}"
+    cpath, bpath, ipath = f"{base}/centroids", f"{base}/codebooks", f"{base}/inverted"
+    if spark.catalog.tableExists(table):
+        return table, base
+    if os.path.exists(os.path.join(ipath, "_SUCCESS")):
+        from pyspark.sql.types import (
+            ArrayType, IntegerType, LongType, StructField, StructType,
+        )
+
+        idx_schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("list_id", IntegerType()),
+                StructField("codes", ArrayType(IntegerType())),
+            ]
+        )
+        register_existing_bucketed(
+            spark, table, ipath, idx_schema, ["list_id"], num_buckets
+        )
+        return table, base
+    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    sample = _collect_sample(e, sample_size)
+    C = _lloyd_centroids(sample, n_lists)
+    books = _train_pq_codebooks(sample, m_subq, n_codes)
+    spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(cpath)
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(bpath)
+    idx = _assign_lists(e, C).select(
+        "vec_id", "list_id", _pq_encode_udf(books)(F.col("v")).alias("codes")
+    )
+    write_bucketed(idx, table, ipath, ["list_id"], num_buckets)
+    return table, base
+
+
+def knn_ivf_pq_persisted(
+    spark,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 32,
+) -> DataFrame:
+    """IVF-PQ search over the PERSISTED index: bucket-pruned scan of the
+    probed lists' code rows, ADC scoring on codes alone, exact rerank of
+    the bounded shortlist against the source embeddings. With identical
+    index parameters the result is bit-identical to knn_ivf_pq's rebuild
+    path (deterministic shared training) — pinned by pytest.
+
+    Driver transfers stay bounded: centroids (n_lists), codebooks
+    (m × n_codes), and the query-probe rows (n_queries × n_probe).
+    """
+    from ..sinks.bucketed import read_bucketed
+    from ..sources.tables import load_table
+
+    table, base = ensure_ivf_pq_index(spark, sf_dir)
+    C = np.vstack(
+        [
+            np.asarray(r.centroid)
+            for r in spark.read.parquet(f"{base}/centroids").orderBy("list_id").collect()
+        ]
+    )
+    brows = (
+        spark.read.parquet(f"{base}/codebooks").orderBy("subspace", "code").collect()
+    )
+    m = max(r.subspace for r in brows) + 1
+    n_codes = max(r.code for r in brows) + 1
+    dsub = len(brows[0].vec)
+    books = np.zeros((m, n_codes, dsub))
+    for r in brows:
+        books[r.subspace, r.code] = np.asarray(r.vec)
+    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    q_plan = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("qlist"),
+    )
+    q_rows = q_plan.collect()
+    q = spark.createDataFrame(q_rows, q_plan.schema)
+    probed = sorted({r.qlist for r in q_rows})
+    inverted = read_bucketed(spark, table).where(F.col("list_id").isin(probed))
+    scored = inverted.join(
+        F.broadcast(q),
+        (F.col("list_id") == F.col("qlist")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_score_udf(books)(F.col("qv"), F.col("codes")).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank)
+        .drop("r", "adc")
+    )
+    exact = shortlist.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    return _rank_topk(exact, k)

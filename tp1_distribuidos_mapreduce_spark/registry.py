@@ -115,9 +115,10 @@ _WINDOW: list[str] = [
     "positional_index",
     "partitioned_pruned_daily",
     # rows-only but new this round: with it, union(r6 rows, this window)
-    # covers all 89 registered queries — no query lacks a driver row
-    # within the last two rounds (dedup_clusters, the rep it displaced,
-    # is green r6).
+    # covers every registered query except knn_ivf_pq_persisted (added
+    # after the window filled; its bit-identical-to-rebuild pytest pin is
+    # the stronger check, and it rotates in next round). dedup_clusters,
+    # the rep this displaced, is green r6.
     "knn_ivf_pq",
 ]
 
@@ -739,6 +740,16 @@ def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_ivf")
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("knn_ivf_pq_persisted")
+def q_knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search over the PERSISTED code index (operators/
+    similarity.py): bucket-pruned scan of probed lists' m-byte code rows,
+    ADC on codes, bounded exact rerank against the source table — the
+    100 TB serving shape. Bit-identical to knn_ivf_pq's rebuild path
+    (pinned in pytest); rows-only driver check."""
+    return S.knn_ivf_pq_persisted(spark, sf_dir)
 
 
 @register("knn_ivf_pq")
