@@ -342,3 +342,20 @@ def test_streaming_gap_detection_ignores_null_ts(spark, tmp_path):
     want = {_gap_key(r) for r in RX.event_gap_detection(with_null).collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """Stream-static broadcast enrichment: the event stream joined to
+    STATIC customer/nation dims per micro-batch (no dimension-side
+    streaming state) must agree with the identical batch plan — and
+    multi-micro-batch replay must converge to the same totals."""
+    customer = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    batch = SJ.stream_static_enrichment(batch_events(spark), customer, nation).collect()
+    stream = run_stream(
+        SJ.stream_static_enrichment(
+            stream_events(spark, events_dir), customer, nation
+        ),
+        "complete",
+    ).collect()
+    assert norm(stream) == norm(batch)

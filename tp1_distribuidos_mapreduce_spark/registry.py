@@ -91,7 +91,10 @@ _WINDOW: list[str] = [
     # round's late additions; both are green r6 and re-checked by the
     # sf0.001 differential plus the in-session sf0.01 driver-sim.
     "tumbling_event_counts",
-    "sessionize_events",
+    # sessionize_events (green r6) yielded its slot to the stream-static
+    # enrichment join added late this round — same new-query-gets-a-row
+    # rule; it stays covered by its r6 row and the sf0.001 differential.
+    "stream_static_enrichment",
     "purchase_asof_last_click",
     # late round-7 additions (same rule: new oracle query → driver row;
     # events_json_stats — green r6, props-JSON path untouched by the
@@ -947,6 +950,19 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("click_purchase_attribution", oracle=SJ.ATTRIBUTION_ORACLE)
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.click_purchase_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register("stream_static_enrichment", oracle=SJ.STREAM_STATIC_ENRICHMENT_ORACLE)
+def q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (streaming/joins.py): the event
+    stream broadcast-joined to static customer⨝nation per micro-batch —
+    no streaming state on the dimension side; batch mode runs the
+    identical plan for the oracle."""
+    return SJ.stream_static_enrichment(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
 
 
 STREAM_DEDUP_ORACLE = """

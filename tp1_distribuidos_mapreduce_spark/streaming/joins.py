@@ -56,3 +56,48 @@ JOIN events p
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 ORDER BY click_id, purchase_id
 """
+
+
+def stream_static_enrichment(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static dimension enrichment: per-nation, per-type activity
+    of the event stream, with the user→nation mapping joined in from
+    STATIC dimension tables.
+
+    The third join pattern alongside stream-stream (above) and batch:
+    the static side needs no watermark and holds NO streaming state —
+    Spark re-plans it as a broadcast per micro-batch, so the stream is
+    enriched map-side at any scale (the dimension is customer-cardinality
+    but the broadcast is built once per batch, and a slowly-changing
+    dimension picks up updates on the next micro-batch re-read). The
+    registry runs the identical plan in batch mode against a DuckDB
+    oracle; tests/test_streaming.py replays it as a stream and pins
+    agreement.
+    """
+    dim = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation")
+    )
+    enriched = events.join(F.broadcast(dim), "user_id")
+    out = enriched.groupBy("nation", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    # global sort is illegal on an unbounded stream; batch keeps it for
+    # the deterministic oracle comparison.
+    return out if out.isStreaming else out.orderBy("nation", "event_type")
+
+
+STREAM_STATIC_ENRICHMENT_ORACLE = """
+SELECT n.n_name AS nation,
+       e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, e.event_type
+ORDER BY nation, event_type
+"""
