@@ -238,3 +238,65 @@ def test_phrase_search_counts_adjacent_occurrences_only(spark):
     got = {r["source"]: r.asDict() for r in phrase_search(docs, ("table", "hash")).collect()}
     assert got["a"]["n_docs_with_phrase"] == 1 and got["a"]["n_occurrences"] == 2
     assert got["b"]["n_docs_with_phrase"] == 0 and got["b"]["n_occurrences"] == 0
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "{}") for i, (ts, u, t) in enumerate(rows)],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_funnel_is_ordered_not_existence(spark):
+    from tp1_distribuidos_mapreduce_spark.plans.behavior import funnel_conversion
+
+    ev = _events(
+        spark,
+        [
+            # user 1: full ordered funnel
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-01 11:00:00", 1, "click"),
+            ("2024-01-01 12:00:00", 1, "purchase"),
+            # user 2: purchase BEFORE click -> reaches click stage only
+            ("2024-01-01 10:00:00", 2, "view"),
+            ("2024-01-01 12:00:00", 2, "click"),
+            ("2024-01-01 11:00:00", 2, "purchase"),
+            # user 3: click before any view -> stuck at view stage
+            ("2024-01-01 09:00:00", 3, "click"),
+            ("2024-01-01 10:00:00", 3, "view"),
+            # user 4: never viewed -> not in the funnel at all
+            ("2024-01-01 10:00:00", 4, "click"),
+            ("2024-01-01 11:00:00", 4, "purchase"),
+        ],
+    )
+    got = {r["stage"]: r for r in funnel_conversion(ev).collect()}
+    assert got[1]["n_users"] == 3          # users 1, 2, 3 viewed
+    assert got[2]["n_users"] == 2          # users 1, 2 clicked after view
+    assert got[3]["n_users"] == 1          # only user 1 purchased after click
+    assert got[3]["conversion"] == round(1 / 3, 4)
+
+
+def test_cohort_retention_offsets_and_churn(spark):
+    from tp1_distribuidos_mapreduce_spark.plans.behavior import cohort_retention
+
+    ev = _events(
+        spark,
+        [
+            # user 1: first week W1 (Mon 2024-01-01), active W1 and W3
+            ("2024-01-02 10:00:00", 1, "view"),
+            ("2024-01-16 10:00:00", 1, "view"),
+            # user 2: first week W1, active W1 only
+            ("2024-01-03 10:00:00", 2, "view"),
+            # user 3: first week W2 -> its own cohort
+            ("2024-01-10 10:00:00", 3, "view"),
+        ],
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 2)] == 1       # only user 1 returned in W3
+    assert ("2024-01-01", 1) not in got      # nobody active in W2 from cohort 1
+    assert got[("2024-01-08", 0)] == 1       # user 3's own cohort

@@ -1,0 +1,149 @@
+"""Behavioral event analytics: ordered funnel conversion and weekly
+cohort retention — the two workhorse product-analytics workloads over an
+events table.
+
+Additive surface (the reference has no time semantics at all). Both are
+pure DataFrame compositions with exact DuckDB oracles; every shuffle is
+keyed on user_id or a (cohort, offset) pair — fixed-width, user- or
+matrix-cardinality, never event-cardinality after the first aggregate.
+
+Funnel semantics are ORDERED (the strict product definition): a user
+converts view→click only if some click happens at-or-after their first
+view, and click→purchase only if some purchase happens at-or-after that
+first qualifying click. Unordered "did both ever happen" funnels
+overcount; the ordering is what makes this a join-and-min cascade rather
+than a single conditional aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered view→click→purchase funnel: per stage, how many users
+    reached it (in order) and the conversion rate from stage 1, rounded.
+
+    Shape: one conditional aggregate for first-view per user (event scan
+    → user-cardinality), then two filtered re-aggregations of the event
+    scan joined against the previous stage's user table — each join is
+    user-cardinality on both sides and broadcastable; no event-sized
+    shuffle after the first groupBy. At 100 TB the three stage tables are
+    ~|users| rows against a ~|events| scan, the textbook funnel plan.
+    """
+    ev = events.select("user_id", "event_type", "ts")
+    first_view = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_click = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(first_view, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(first_click, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n1, n2, n3 = (
+        first_view.count(),
+        first_click.count(),
+        first_purchase.count(),
+    )
+    spark = events.sparkSession
+    rows = [
+        (1, FUNNEL_STAGES[0], n1, 1.0),
+        (2, FUNNEL_STAGES[1], n2, round(n2 / n1, 4) if n1 else 0.0),
+        (3, FUNNEL_STAGES[2], n3, round(n3 / n1, 4) if n1 else 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "stage int, event_type string, n_users bigint, conversion double"
+    ).orderBy("stage")
+
+
+FUNNEL_CONVERSION_ORACLE = """
+WITH first_view AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), first_click AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN first_view v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), first_purchase AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN first_click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+), counts AS (
+  SELECT (SELECT count(*) FROM first_view) AS n1,
+         (SELECT count(*) FROM first_click) AS n2,
+         (SELECT count(*) FROM first_purchase) AS n3
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+         1.0 AS conversion FROM counts
+  UNION ALL
+  SELECT 2, 'click', CAST(n2 AS BIGINT),
+         CASE WHEN n1 = 0 THEN 0.0 ELSE round(n2 / n1, 4) END FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+         CASE WHEN n1 = 0 THEN 0.0 ELSE round(n3 / n1, 4) END FROM counts
+)
+ORDER BY stage
+"""
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of their
+    first event; for each later week, how many of that cohort were active.
+
+    Shape: first-week per user (event scan → user table), distinct
+    (user, week) activity pairs (event scan → user×weeks), one join on
+    user_id, final aggregate on the (cohort, offset) matrix — bounded by
+    users × observed weeks, tiny relative to events at any scale. The
+    week offset divides a day difference of week-truncated dates, so it's
+    exact integer arithmetic with explicit floor() on both engines
+    (DuckDB's int cast rounds where Spark's truncates — SKILL.md gotcha).
+    """
+    ev = events.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+    first_week = ev.groupBy("user_id").agg(F.min("w").alias("w0"))
+    active = ev.distinct()
+    matrix = (
+        active.join(first_week, "user_id")
+        .select(
+            F.to_date("w0").alias("cohort_week"),
+            F.floor(F.datediff(F.to_date("w"), F.to_date("w0")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+    return matrix
+
+
+COHORT_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+), first_week AS (
+  SELECT user_id, min(w) AS w0 FROM ev GROUP BY user_id
+)
+SELECT f.w0 AS cohort_week,
+       CAST(floor(date_diff('day', f.w0, e.w) / 7) AS INTEGER) AS week_offset,
+       count(*) AS n_users
+FROM ev e JOIN first_week f ON e.user_id = f.user_id
+GROUP BY f.w0, week_offset
+ORDER BY cohort_week, week_offset
+"""

@@ -95,7 +95,10 @@ _WINDOW: list[str] = [
     # enrichment join added late this round — same new-query-gets-a-row
     # rule; it stays covered by its r6 row and the sf0.001 differential.
     "stream_static_enrichment",
-    "purchase_asof_last_click",
+    # purchase_asof_last_click (green r6) yielded its slot to the funnel
+    # added late this round; cohort_retention and knn_ivf_pq_persisted
+    # wait for the r8 rotation (both covered by pytest every round).
+    "funnel_conversion",
     # late round-7 additions (same rule: new oracle query → driver row;
     # events_json_stats — green r6, props-JSON path untouched by the
     # loader fix — yielded the third slot)
@@ -474,6 +477,25 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bloom_pruned_join(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+from .plans import behavior as BH  # noqa: E402
+
+
+@register("funnel_conversion", oracle=BH.FUNNEL_CONVERSION_ORACLE)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (plans/behavior.py): per-user
+    first-event cascade with user-cardinality joins; stage counts and
+    conversion rates."""
+    return BH.funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+@register("cohort_retention", oracle=BH.COHORT_RETENTION_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (plans/behavior.py): first-week
+    cohorts × active-week offsets, exact integer week arithmetic with
+    floor() on both engines."""
+    return BH.cohort_retention(load_table(spark, sf_dir, "events"))
 
 
 from .plans import merge as MG  # noqa: E402
