@@ -300,3 +300,36 @@ def test_cohort_retention_offsets_and_churn(spark):
     assert got[("2024-01-01", 2)] == 1       # only user 1 returned in W3
     assert ("2024-01-01", 1) not in got      # nobody active in W2 from cohort 1
     assert got[("2024-01-08", 0)] == 1       # user 3's own cohort
+
+
+def test_top_event_paths_order_ties_and_prefix_cap(spark):
+    from tp1_distribuidos_mapreduce_spark.plans.behavior import top_event_paths
+
+    ev = _events(
+        spark,
+        [
+            # user 1 and 2: identical 3-event journeys
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-01 11:00:00", 1, "click"),
+            ("2024-01-01 12:00:00", 1, "purchase"),
+            ("2024-01-01 10:00:00", 2, "view"),
+            ("2024-01-01 11:00:00", 2, "click"),
+            ("2024-01-01 12:00:00", 2, "purchase"),
+            # user 3: simultaneous events -> tie broken by event_id order
+            ("2024-01-01 10:00:00", 3, "view"),
+            ("2024-01-01 10:00:00", 3, "click"),
+            # user 4: 5 events, cap at 3 keeps only the first three
+            ("2024-01-01 10:00:00", 4, "view"),
+            ("2024-01-01 11:00:00", 4, "view"),
+            ("2024-01-01 12:00:00", 4, "view"),
+            ("2024-01-01 13:00:00", 4, "purchase"),
+            ("2024-01-01 14:00:00", 4, "purchase"),
+        ],
+    )
+    got = {r["path"]: r["n_users"] for r in top_event_paths(ev, max_events=3).collect()}
+    assert got["view>click>purchase"] == 2
+    # user 3's tie: its view row precedes its click row in _events order,
+    # so event_id ordering yields view>click
+    assert got["view>click"] == 1
+    assert got["view>view>view"] == 1          # user 4 capped at 3
+    assert "view>view>view>purchase>purchase" not in got

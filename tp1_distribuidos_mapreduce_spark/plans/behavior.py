@@ -147,3 +147,67 @@ FROM ev e JOIN first_week f ON e.user_id = f.user_id
 GROUP BY f.w0, week_offset
 ORDER BY cohort_week, week_offset
 """
+
+
+PATH_MAX_EVENTS = 8
+PATH_TOP_K = 20
+
+
+def top_event_paths(
+    events: DataFrame,
+    max_events: int = PATH_MAX_EVENTS,
+    top_k: int = PATH_TOP_K,
+) -> DataFrame:
+    """Journey mining: the most common ordered event-type paths, where a
+    user's path is their first ``max_events`` events joined 'a>b>c'.
+
+    Ordering ties (identical timestamps) break on event_id, so the path
+    strings are fully deterministic on both engines. The prefix cap is
+    applied by a rank filter BEFORE the collect — a collect_list-then-
+    slice formulation would still materialize a hyperactive user's whole
+    history inside the aggregate; filtering ``row_number() <= max_events``
+    first bounds the aggregate's per-user state at ``max_events`` structs
+    no matter the skew. Shuffles: user-keyed window + bounded aggregate,
+    then path-cardinality counts.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_events)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("rn", "event_type"))).alias("es")
+        )
+        .select(
+            F.array_join(
+                F.transform("es", lambda s: s["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(top_k)
+    )
+
+
+TOP_EVENT_PATHS_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), per_user AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= {PATH_MAX_EVENTS}
+  GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM per_user
+GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""

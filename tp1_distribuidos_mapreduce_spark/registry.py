@@ -96,8 +96,9 @@ _WINDOW: list[str] = [
     # rule; it stays covered by its r6 row and the sf0.001 differential.
     "stream_static_enrichment",
     # purchase_asof_last_click (green r6) yielded its slot to the funnel
-    # added late this round; cohort_retention and knn_ivf_pq_persisted
-    # wait for the r8 rotation (both covered by pytest every round).
+    # added late this round; cohort_retention, top_event_paths, and
+    # knn_ivf_pq_persisted wait for the r8 rotation (all covered by
+    # pytest every round).
     "funnel_conversion",
     # late round-7 additions (same rule: new oracle query → driver row;
     # events_json_stats — green r6, props-JSON path untouched by the
@@ -496,6 +497,14 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts × active-week offsets, exact integer week arithmetic with
     floor() on both engines."""
     return BH.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register("top_event_paths", oracle=BH.TOP_EVENT_PATHS_ORACLE)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining (plans/behavior.py): most common ordered event-type
+    paths, prefix-capped by a rank filter BEFORE the collect so per-user
+    aggregate state is bounded under any skew; deterministic tie-breaks."""
+    return BH.top_event_paths(load_table(spark, sf_dir, "events"))
 
 
 from .plans import merge as MG  # noqa: E402
