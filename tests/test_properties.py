@@ -145,3 +145,42 @@ def test_repetition_fold_matches_python_reference(spark, texts):
         assert got[i]["n_bigrams"] == len(bgs), (t, toks)
         want_frac = round(top / max(len(bgs), 1), 4)
         assert abs(got[i]["top_bigram_frac"] - want_frac) < 1e-9, (t, toks)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_TEXTS)
+def test_shared_span_pairs_matches_python_reference(spark, texts):
+    """The span build + df-cut + pair expansion (operators/dedup.py) must
+    agree with a direct Python computation on arbitrary unicode text,
+    including short docs (< k tokens) and boilerplate spans over the cut."""
+    import re
+    from collections import defaultdict
+    from itertools import combinations
+
+    from tp1_distribuidos_mapreduce_spark.operators.dedup import shared_span_pairs
+
+    k, cut = 3, 2
+    docs = spark.createDataFrame(
+        [(i, t, "x", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_spans"]
+        for r in shared_span_pairs(docs, k=k, max_span_df=cut).collect()
+    }
+
+    span_docs = defaultdict(set)
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-zñüßλω日本語]+", t.lower()) if w]
+        for j in range(len(toks) - k + 1):
+            span_docs[" ".join(toks[j : j + k])].add(i)
+    want = defaultdict(int)
+    for ds in span_docs.values():
+        if 2 <= len(ds) <= cut:
+            for a, b in combinations(sorted(ds), 2):
+                want[(a, b)] += 1
+    assert got == dict(want), (got, dict(want))
