@@ -257,12 +257,19 @@ def test_knn_ivf_probe_monotonicity(spark):
     assert full == exact
 
 
-def test_connected_components_raises_on_non_convergence(spark):
+def test_connected_components_pointer_jumping_closes_long_chains(spark):
+    """A 100-node path graph has diameter 100 — far beyond max_iter=3
+    plain min-label rounds — so this exercises the O(log D)
+    pointer-jumping fallback (VERDICT r7 #6) end to end: the chain must
+    converge, every node labeled with the component minimum, instead of
+    raising as the pre-fallback implementation did."""
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(pairs, max_iter=3)
+    out = D.connected_components(pairs, max_iter=3).collect()
+    assert len(out) == 101
+    assert all(r.cluster_id == 0 for r in out)
+    assert sorted(r.doc_id for r in out) == list(range(101))
 
 
 @pytest.mark.parametrize("max_df", [1, 2, 3])

@@ -591,8 +591,10 @@ def connected_components(
     DataFrame iteration: each round every vertex takes the min of its own
     label and its neighbors' labels — one shuffle per round, converging in
     O(component diameter) rounds. Near-dup graphs are dense blobs with
-    tiny diameters, so 3-4 rounds typically suffice; ``max_iter`` bounds
-    adversarial chains. Each round is localCheckpoint()ed: without it the
+    tiny diameters, so 3-4 rounds typically suffice; if ``max_iter`` plain
+    rounds don't converge (adversarial long-chain graphs), the loop falls
+    back to neighbor-min + pointer-jumping rounds, which close ANY
+    diameter in O(log D). Each round is localCheckpoint()ed: without it the
     unioned-join lineage doubles per iteration and the planner, not the
     data, becomes the bottleneck. The convergence check is a single
     sum(label) aggregate (labels only ever decrease, so an unchanged sum
@@ -614,29 +616,57 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    converged = False
-    for _ in range(max_iter):
+    def step(labels: DataFrame, jump: bool) -> DataFrame:
         msgs = edges.join(labels, edges.s == labels.id).select(
             F.col("d").alias("id"), "label"
         )
-        labels = (
-            labels.unionAll(msgs)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        stepped = labels.unionAll(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        if jump:
+            # Pointer jumping: label(v) <- min(label(v), label(label(v))).
+            # Every label value is itself a vertex id present in `stepped`,
+            # so the self-join resolves each label's own label; chasing it
+            # squares propagation distance, closing a diameter-D chain in
+            # O(log D) rounds where plain neighbor-min needs O(D).
+            lol = stepped.select(
+                F.col("id").alias("lid"), F.col("label").alias("label2")
+            )
+            stepped = stepped.join(lol, stepped.label == lol.lid, "left").select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
+                ).alias("label"),
+            )
+        return stepped.localCheckpoint(eager=True)
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
+    for _ in range(max_iter):
+        labels = step(labels, jump=False)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
     if not converged:
+        # Adversarial-diameter fallback: switch to neighbor-min + pointer
+        # jumping, which converges in O(log D) rounds for ANY diameter D
+        # (64 rounds covers 2^64-vertex chains). Dedup graphs are dense
+        # blobs in practice, so the plain loop above almost always exits
+        # first and the fallback costs nothing.
+        for _ in range(64):
+            labels = step(labels, jump=True)
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    if not converged:
         # silently returning a half-propagated labeling would split
         # components and let near-duplicates survive the keep/drop step
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter — raise it)"
+            f"connected_components did not converge in {max_iter} min-label "
+            "rounds + 64 pointer-jumping rounds (theoretically impossible "
+            "for <= 2^64 vertices — investigate the edge set)"
         )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -724,20 +754,24 @@ def incremental_dedup(documents: DataFrame) -> DataFrame:
 
     bitmap = build_bloom_bitmap(base_h, "h")
     cand = bloom_prune(new, "h", bitmap)
-    dup_ids = (
+    # Two source-cardinality aggregates joined on source — no join back on
+    # doc_id, so replay ids can never collide with fresh ids no matter how
+    # large the corpus grows (ADVICE r7: the former doc_id re-join would
+    # fan out if real ids ever reached the replay offset).
+    new_counts = new.groupBy("source").agg(F.count("*").alias("n_new"))
+    dup_counts = (
         cand.join(base_h, "h", "left_semi")
-        .select("doc_id")
-        .withColumn("is_dup", F.lit(1))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_dup_vs_base"))
     )
-    flagged = new.join(dup_ids, "doc_id", "left")
+    n_dup = F.coalesce(F.col("n_dup_vs_base"), F.lit(0)).cast("long")
     return (
-        flagged.groupBy("source")
-        .agg(
-            F.count("*").alias("n_new"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_vs_base"),
-            (F.count("*") - F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))).alias(
-                "n_kept"
-            ),
+        new_counts.join(dup_counts, "source", "left")
+        .select(
+            "source",
+            "n_new",
+            n_dup.alias("n_dup_vs_base"),
+            (F.col("n_new") - n_dup).alias("n_kept"),
         )
         .orderBy("source")
     )

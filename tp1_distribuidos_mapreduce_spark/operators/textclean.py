@@ -33,14 +33,21 @@ from ..functions.tokenize import tokenize
 # Identical meaning in Java regex and RE2 (both sides of the oracle diff).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# NANP-style phone (555-123-4567) and long ID-like digit runs (>= 9
+# consecutive digits: SSN-without-dashes / account numbers). Disjoint by
+# construction from EMAIL (needs '@'), IPV4 (needs '.'), and each other
+# (phone segments are 3-4 digits split by '-'; ID needs 9+ unbroken).
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IDNUM_RE = r"\b\d{9,}\b"
 
 
 def _with_injected_pii(documents: DataFrame) -> DataFrame:
     """The fixture corpus contains no PII, so the query derives a
     deterministic dirty variant: every 7th document gains a synthetic
-    email + IPv4 trailer built from its doc_id. The oracle derives the
-    exact same variant, so the redaction path is exercised non-trivially
-    while remaining an exact differential."""
+    email + IPv4 trailer and every 5th a phone + 9-digit account id,
+    all built from doc_id. The oracle derives the exact same variants,
+    so every redaction pattern is exercised non-trivially while
+    remaining an exact differential."""
     trailer = F.concat(
         F.lit(" Contact user"),
         F.col("doc_id").cast("string"),
@@ -50,8 +57,19 @@ def _with_injected_pii(documents: DataFrame) -> DataFrame:
         (F.col("doc_id") % 100).cast("string"),
         F.lit(" now."),
     )
-    dirty = F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), trailer)).otherwise(
-        F.col("text")
+    phone_trailer = F.concat(
+        F.lit(" Call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" acct 9"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        F.lit(" end."),
+    )
+    dirty = F.col("text")
+    dirty = F.when(F.col("doc_id") % 7 == 0, F.concat(dirty, trailer)).otherwise(dirty)
+    dirty = F.when(F.col("doc_id") % 5 == 0, F.concat(dirty, phone_trailer)).otherwise(
+        dirty
     )
     return documents.withColumn("dirty", dirty)
 
@@ -70,13 +88,27 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     d = _with_injected_pii(documents)
     n_emails = F.regexp_count(F.col("dirty"), F.lit(EMAIL_RE))
     n_ipv4 = F.regexp_count(F.col("dirty"), F.lit(IPV4_RE))
+    n_phones = F.regexp_count(F.col("dirty"), F.lit(PHONE_RE))
+    n_ids = F.regexp_count(F.col("dirty"), F.lit(IDNUM_RE))
     redacted = F.regexp_replace(
-        F.regexp_replace(F.col("dirty"), EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("dirty"), EMAIL_RE, "[EMAIL]"),
+                IPV4_RE,
+                "[IP]",
+            ),
+            PHONE_RE,
+            "[PHONE]",
+        ),
+        IDNUM_RE,
+        "[ID]",
     )
     per_doc = d.select(
         "source",
         n_emails.alias("ne"),
         n_ipv4.alias("ni"),
+        n_phones.alias("np"),
+        n_ids.alias("nd"),
         (F.length("dirty") - F.length(redacted)).alias("delta"),
     )
     return (
@@ -85,39 +117,66 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum((F.col("ne") > 0).cast("long")).alias("docs_with_email"),
             F.sum((F.col("ni") > 0).cast("long")).alias("docs_with_ipv4"),
+            F.sum((F.col("np") > 0).cast("long")).alias("docs_with_phone"),
+            F.sum((F.col("nd") > 0).cast("long")).alias("docs_with_id"),
             F.sum("ne").alias("n_emails"),
             F.sum("ni").alias("n_ipv4"),
+            F.sum("np").alias("n_phones"),
+            F.sum("nd").alias("n_ids"),
             F.sum("delta").alias("chars_removed"),
         )
         .orderBy("source")
     )
 
 
+# Every aggregate is CAST(... AS BIGINT): DuckDB sum() over INTEGER returns
+# HUGEINT, which pandas widens to float/object and the driver's value hash
+# then diverges from Spark's BIGINT even when values are identical (the
+# round-7 red-row trap; see operators/pipeline.py's same note).
 PII_SCRUB_ORACLE = rf"""
-WITH dirty AS (
-  SELECT source,
+WITH dirty1 AS (
+  SELECT doc_id, source,
          CASE WHEN doc_id % 7 = 0
               THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
                         || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                         || '.' || CAST(doc_id % 100 AS VARCHAR) || ' now.'
-              ELSE text END AS dirty
+              ELSE text END AS d1
   FROM documents
+), dirty AS (
+  SELECT source,
+         CASE WHEN doc_id % 5 = 0
+              THEN d1 || ' Call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' acct 9' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                      || ' end.'
+              ELSE d1 END AS dirty
+  FROM dirty1
 ), counted AS (
   SELECT source,
          len(regexp_extract_all(dirty, '{EMAIL_RE}')) AS ne,
          len(regexp_extract_all(dirty, '{IPV4_RE}')) AS ni,
+         len(regexp_extract_all(dirty, '{PHONE_RE}')) AS np,
+         len(regexp_extract_all(dirty, '{IDNUM_RE}')) AS nd,
          length(dirty) - length(
-           regexp_replace(regexp_replace(dirty, '{EMAIL_RE}', '[EMAIL]', 'g'),
-                          '{IPV4_RE}', '[IP]', 'g')) AS delta
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(regexp_replace(dirty, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{IPV4_RE}', '[IP]', 'g'),
+               '{PHONE_RE}', '[PHONE]', 'g'),
+             '{IDNUM_RE}', '[ID]', 'g')) AS delta
   FROM dirty
 )
 SELECT source,
-       count(*) AS n_docs,
-       sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS docs_with_email,
-       sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS docs_with_ipv4,
-       sum(ne) AS n_emails,
-       sum(ni) AS n_ipv4,
-       sum(delta) AS chars_removed
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ipv4,
+       CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(sum(CASE WHEN nd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_id,
+       CAST(sum(ne) AS BIGINT) AS n_emails,
+       CAST(sum(ni) AS BIGINT) AS n_ipv4,
+       CAST(sum(np) AS BIGINT) AS n_phones,
+       CAST(sum(nd) AS BIGINT) AS n_ids,
+       CAST(sum(delta) AS BIGINT) AS chars_removed
 FROM counted
 GROUP BY source
 ORDER BY source

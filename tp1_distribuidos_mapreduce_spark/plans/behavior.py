@@ -17,6 +17,8 @@ than a single conditional aggregate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +35,21 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     user-cardinality on both sides and broadcastable; no event-sized
     shuffle after the first groupBy. At 100 TB the three stage tables are
     ~|users| rows against a ~|events| scan, the textbook funnel plan.
+
+    All three stage counts come out of ONE driver action: the later
+    stages left-join onto first_view (a containment chain — every
+    click-converter is a view-converter) and a single count-non-null
+    aggregate produces (n1, n2, n3). The shared first_view / first_click
+    subtrees end in identical exchanges, which Spark's exchange reuse
+    (spark.sql.exchange.reuse, on by default) materializes once — the
+    round-7 version's three .count() actions re-executed the cascade
+    across jobs (~6 event scans); this is one job, one pass per stage
+    filter, reused shuffles.
+
+    Conversion uses explicit round-half-up (floor(x*1e4 + 0.5)/1e4) to
+    match DuckDB/Spark round() semantics — Python's round() is
+    half-to-even and diverges on exactly-representable halves such as
+    1/32 (ADVICE r7).
     """
     ev = events.select("user_id", "event_type", "ts")
     first_view = (
@@ -54,16 +71,28 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    n1, n2, n3 = (
-        first_view.count(),
-        first_click.count(),
-        first_purchase.count(),
+    counts = (
+        first_view.join(first_click, "user_id", "left")
+        .join(first_purchase, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n1"),
+            F.count("t_click").alias("n2"),
+            F.count("t_purchase").alias("n3"),
+        )
+        .first()
     )
+    n1, n2, n3 = counts["n1"], counts["n2"], counts["n3"]
+
+    def _conv(n: int) -> float:
+        if not n1:
+            return 0.0
+        return math.floor(n / n1 * 10000 + 0.5) / 10000
+
     spark = events.sparkSession
     rows = [
         (1, FUNNEL_STAGES[0], n1, 1.0),
-        (2, FUNNEL_STAGES[1], n2, round(n2 / n1, 4) if n1 else 0.0),
-        (3, FUNNEL_STAGES[2], n3, round(n3 / n1, 4) if n1 else 0.0),
+        (2, FUNNEL_STAGES[1], n2, _conv(n2)),
+        (3, FUNNEL_STAGES[2], n3, _conv(n3)),
     ]
     return spark.createDataFrame(
         rows, "stage int, event_type string, n_users bigint, conversion double"

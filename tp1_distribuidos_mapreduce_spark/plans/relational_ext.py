@@ -845,7 +845,10 @@ def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
     threshold — impossible-in-practice for continuous measures (the same
     determinism argument as the verify notes' 'continuous measures are
     safe' rule; boundary-exact synthetic data would need the scaled-int
-    pattern instead).
+    pattern instead). Pre-rounding the gap (ADVICE r7) was considered and
+    rejected: `round(gap, 6) > 0` merely moves the single divergence
+    boundary from 0 to 5e-7 without shrinking its measure, so the honest
+    fix for boundary-exact fixtures remains scaled-int, not rounding.
     """
     stats = events.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
