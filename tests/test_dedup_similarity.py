@@ -125,15 +125,22 @@ def test_embedding_near_dup_group_budget_guard(spark):
 
 def test_knn_lsh_recall_vs_bruteforce(spark):
     """Bucketed ANN must recover a reasonable fraction of true top-5.
-    With 16 hyperplanes on random data recall is limited by single-probe
-    LSH; we pin a floor to catch regressions, not SOTA recall."""
+    Multi-probe (Hamming-1 bucket flips, query-side only) measured 0.66
+    on this fixture vs 0.14 single-probe — deterministic (seed-42
+    hyperplanes). Pinned ~10% below the measured values."""
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     exact = {
         (r.query_id, r.neighbor_id) for r in S.knn_bruteforce(emb, 10, 5).collect()
     }
     approx = {(r.query_id, r.neighbor_id) for r in S.knn_lsh(emb, 10, 5).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.1, f"LSH recall collapsed: {recall}"
+    assert recall >= 0.58, f"multi-probe LSH recall regressed: {recall}"
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_lsh(emb, 10, 5, multiprobe=False).collect()
+    }
+    single_recall = len(exact & single) / len(exact)
+    assert single_recall >= 0.1, f"LSH recall collapsed: {single_recall}"
 
 
 def test_knn_ivf_pq_recall_vs_bruteforce(spark):

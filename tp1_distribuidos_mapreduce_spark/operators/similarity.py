@@ -108,9 +108,14 @@ def _band_buckets_udf(dim: int):
 
 
 def knn_lsh(
-    embeddings: DataFrame, n_queries: int = 10, k: int = 5, dim: int = 64
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    dim: int = 64,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate cosine top-k via banded random-hyperplane LSH.
+    """Approximate cosine top-k via banded random-hyperplane LSH with
+    multi-probe (Lv et al. 2007, "Multi-Probe LSH").
 
     Candidates = corpus vectors sharing ≥1 of 8 8-bit sign-bands with the
     query; exact cosine rank within candidates. Shuffle is on (band,
@@ -118,6 +123,14 @@ def knn_lsh(
     collide on a band with P ≈ 8/256, so the candidate join stays sparse
     at any corpus size while true neighbors (smaller angle → higher
     per-bit agreement) are recalled with tunable probability.
+
+    Multi-probe additionally probes every Hamming-distance-1 bucket of
+    each query band (flip one of the 8 sign bits → 8 extra buckets per
+    band): a near neighbor that disagreed on exactly one hyperplane of a
+    band is still found, lifting recall without adding hyperplanes or
+    corpus-side rows. The expansion is QUERY-side only — the (tiny,
+    broadcast) probe table grows 9×, the corpus index is untouched — so
+    the 100 TB cost model is unchanged.
     """
     e = _as_double(embeddings)
     banded = e.select(
@@ -131,6 +144,22 @@ def knn_lsh(
         F.col("band").alias("qband"),
         F.col("bucket").alias("qbucket"),
     )
+    if multiprobe:
+        flips = F.array(
+            F.lit(0), *(F.lit(1 << b) for b in range(_BITS_PER_BAND))
+        )
+        q = q.select(
+            "query_id",
+            "qv",
+            "qband",
+            F.explode(flips).alias("flip"),
+            "qbucket",
+        ).select(
+            "query_id",
+            "qv",
+            "qband",
+            F.col("qbucket").bitwiseXOR(F.col("flip")).alias("qbucket"),
+        )
     cands = (
         banded.join(
             F.broadcast(q),

@@ -224,6 +224,61 @@ def top_event_paths(
     )
 
 
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix between consecutive event
+    types per user: count and row-normalized probability for every
+    (from_type, to_type) cell.
+
+    Ordering ties break on event_id (same discipline as
+    top_event_paths), so the lag pairing is deterministic on both
+    engines. Shuffles: one user-keyed window (the lag), then a
+    type×type-cardinality aggregate — fixed-width output no matter the
+    event volume; the probability divides two BIGINTs of the same
+    aggregate so the 4dp round is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n_transitions") / F.sum("n_transitions").over(wrow), 4)
+        )
+        .select("from_type", "to_type", "n_transitions", F.col("p").alias("prob"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITION_ORACLE = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       round(n_transitions / sum(n_transitions) OVER (PARTITION BY from_type), 4) AS prob
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
 TOP_EVENT_PATHS_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id, event_type,

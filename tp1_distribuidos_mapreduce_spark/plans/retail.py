@@ -1,0 +1,281 @@
+"""Retail/commerce analytics over orders + lineitem: RFM segmentation,
+market-basket co-occurrence, interval (range-join) month overlap, and an
+exact weighted median — four classic warehouse workloads the reference's
+wc/ii surface cannot express, each with an exact DuckDB oracle.
+
+Scale notes per operator are on the functions; the shared discipline:
+every money aggregate runs on scaled-cent BIGINTs (sum order between
+partial aggregates never changes an integer sum — the verify notes'
+round(avg) flake class), and every top-k / quantile cut carries a full
+deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _pairs_within
+
+RFM_QUANTILES = 5
+BASKET_TOP_K = 25
+
+
+def rfm_segmentation(orders: DataFrame) -> DataFrame:
+    """RFM grid: customers quintiled by Recency (days since last order,
+    vs the corpus max date), Frequency (order count), and Monetary
+    (lifetime spend); output is the (r_quintile, f_quintile) segment
+    matrix with customer counts and average spend.
+
+    Shape: orders collapse to one row per customer (the only data-sized
+    shuffle), then three ntile windows run over the CUSTOMER table —
+    a global sort each, fine for |customers| << |orders|; at extreme
+    customer cardinality you'd swap ntile for approx-percentile
+    boundaries (plans/approx.py) at the cost of the exact oracle. The
+    reference date is max(o_orderdate) via a window, not a collect, so
+    the whole plan is one job. Ties order by custkey so quintile
+    assignment is engine-deterministic; spend is summed in cent BIGINTs.
+    """
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .withColumn(
+            "recency_days",
+            F.datediff(
+                F.to_date(F.max("last_order").over(Window.partitionBy())),
+                F.to_date("last_order"),
+            ),
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(RFM_QUANTILES).over(r_w).alias("r_quintile"),
+        F.ntile(RFM_QUANTILES).over(f_w).alias("f_quintile"),
+    )
+    return (
+        scored.groupBy("r_quintile", "f_quintile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary_cents") / F.count("*") / 100.0, 2).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_quintile", "f_quintile")
+    )
+
+
+RFM_SEGMENTATION_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), with_recency AS (
+  SELECT o_custkey, frequency, monetary_cents,
+         date_diff('day', CAST(last_order AS DATE),
+                   CAST(max(last_order) OVER () AS DATE)) AS recency_days
+  FROM per_cust
+), scored AS (
+  SELECT o_custkey, monetary_cents,
+         ntile({RFM_QUANTILES}) OVER (
+           ORDER BY recency_days ASC, o_custkey ASC) AS r_quintile,
+         ntile({RFM_QUANTILES}) OVER (
+           ORDER BY frequency DESC, o_custkey ASC) AS f_quintile
+  FROM with_recency
+)
+SELECT CAST(r_quintile AS INTEGER) AS r_quintile,
+       CAST(f_quintile AS INTEGER) AS f_quintile,
+       count(*) AS n_customers,
+       round(CAST(sum(monetary_cents) AS BIGINT) / count(*) / 100.0, 2)
+         AS avg_monetary
+FROM scored
+GROUP BY r_quintile, f_quintile
+ORDER BY r_quintile, f_quintile
+"""
+
+
+def market_basket_pairs(lineitem: DataFrame, top_k: int = BASKET_TOP_K) -> DataFrame:
+    """Top co-purchased part pairs: how many orders contain both parts.
+
+    Plan: per-order distinct part sets built with ONE groupBy (order
+    sizes are bounded — TPC-H orders carry <= 7 lineitems — so the
+    collect_set state is bounded), then IN-ROW pair expansion via the
+    same `_pairs_within` expression the shared-span dedup uses, then a
+    pair-keyed count. The naive lineitem-self-join-on-orderkey shuffles
+    |lineitem| rows twice and fans out quadratically on hot orders;
+    this shape shuffles each lineitem once and expands pairs inside the
+    row, which is how you'd mine baskets at 100 TB.
+    """
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(F.explode(_pairs_within("parts")).alias("p"))
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(top_k)
+    )
+
+
+MARKET_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a,
+       b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP_K}
+"""
+
+
+def open_orders_by_month(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Interval/range join via month bucketing: for each calendar month,
+    how many orders were 'open' (between order date and their last
+    shipment) and their total value.
+
+    Spark has no native interval join; the scalable encoding is to
+    explode each interval into the fixed-granularity buckets it spans
+    (bounded by interval length — months here) and aggregate on the
+    bucket key, which is exactly what `sequence(start_month, end_month,
+    interval 1 month)` + explode does — no global calendar table, no
+    collect, no cross join. The `end >= start` guard matters: Spark's
+    sequence() REVERSES instead of returning empty when start > end.
+    """
+    spans = (
+        lineitem.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderdate",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            ),
+            "l_orderkey",
+        )
+        .where(F.col("last_ship") >= F.col("o_orderdate"))
+    )
+    months = F.expr(
+        "sequence(date_trunc('MONTH', o_orderdate),"
+        " date_trunc('MONTH', last_ship), interval 1 month)"
+    )
+    return (
+        spans.select(F.explode(months).alias("m"), "cents")
+        .groupBy(F.to_date("m").alias("month"))
+        .agg(
+            F.count("*").alias("n_open_orders"),
+            (F.sum("cents") / 100.0).alias("open_value"),
+        )
+        .orderBy("month")
+    )
+
+
+OPEN_ORDERS_BY_MONTH_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey, o.o_orderdate,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         s.last_ship
+  FROM orders o
+  JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey) s
+    ON s.l_orderkey = o.o_orderkey
+  WHERE s.last_ship >= o.o_orderdate
+), exploded AS (
+  SELECT CAST(unnest(generate_series(date_trunc('month', o_orderdate),
+                                     date_trunc('month', last_ship),
+                                     INTERVAL 1 MONTH)) AS DATE) AS month,
+         cents
+  FROM spans
+)
+SELECT month,
+       count(*) AS n_open_orders,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS open_value
+FROM exploded
+GROUP BY month
+ORDER BY month
+"""
+
+
+def weighted_median_price(lineitem: DataFrame) -> DataFrame:
+    """Exact quantity-weighted median of extended price per return flag —
+    the robust 'typical item value' statistic, an operator Spark lacks
+    natively (percentile() is unweighted), composed from two aggregates
+    and one cumulative window.
+
+    Plan: collapse to (flag, price) with summed integer weights FIRST —
+    the window then sorts only distinct prices per flag, not lineitems —
+    and select the smallest price whose cumulative weight reaches half
+    the total (`2*cum >= total`, pure BIGINT arithmetic, no float
+    boundary). The result is an ACTUAL data value, so the differential
+    is bit-exact with no rounding discipline needed.
+    """
+    wp = (
+        lineitem.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.round("l_quantity").cast("long").alias("wt"),
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    return (
+        wp.withColumn("cum", F.sum("wt").over(cum_w))
+        .withColumn("tot", F.sum("wt").over(tot_w))
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.first("tot").alias("total_quantity"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH wp AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS wt
+  FROM lineitem
+  GROUP BY l_returnflag, l_extendedprice
+), cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+  FROM wp
+)
+SELECT l_returnflag,
+       min(l_extendedprice) AS weighted_median_price,
+       CAST(min(tot) AS BIGINT) AS total_quantity
+FROM cum
+WHERE 2 * cum >= tot
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
