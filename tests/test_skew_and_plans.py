@@ -224,6 +224,8 @@ NESTED_LOOP_ALLOWED = {
     "cms_heavy_hitters",     # single-row broadcast of the 64 KB CMS grid
     "idle_customers_opportunity",  # single-row broadcast scalar aggregate
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
+    "numeric_histogram",           # single-row broadcast min/max aggregate
+    "rolling_7d_active_users",     # single-row broadcast max-day aggregate
 }
 
 

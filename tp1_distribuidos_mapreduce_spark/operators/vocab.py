@@ -141,3 +141,132 @@ GROUP BY pair
 ORDER BY n_pairs DESC, pair ASC
 LIMIT {BPE_TOP_K}
 """
+
+
+SEQ_LEN = 2048
+PACK_BUCKETS = 32
+TRIGRAM_TOP_K = 20
+
+
+def sequence_packing(
+    documents: DataFrame, seq_len: int = SEQ_LEN, n_buckets: int = PACK_BUCKETS
+) -> DataFrame:
+    """Pack the token stream into fixed-length training sequences — the
+    step between a curated corpus and a pretraining dataloader. Documents
+    are concatenated in deterministic order and each doc is assigned to
+    the sequence where its first token lands (offset // seq_len).
+
+    Distributed shape: packing is embarrassingly parallel across
+    ``n_buckets`` independent streams (bucket = doc_id % n_buckets), so
+    the only non-map work is a cumulative-sum window PARTITIONED BY
+    bucket — no global sort, no single-partition window. At 100 TB you
+    raise n_buckets to O(cores); each bucket's stream packs
+    independently, which is exactly how multi-worker dataloaders shard.
+
+    Output: one row per (bucket, seq_id) with docs packed, token count,
+    and the sequence fill ratio against seq_len (>1.0 means a doc
+    straddles into the next sequence; a production packer would split
+    it — the assignment bookkeeping is identical).
+
+    Token counts use the whitespace tokenizer contract shared with
+    token_stats (Spark split ≡ DuckDB regexp_split_to_array on '\\s+').
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("long").alias("bucket"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = d.select(
+        "bucket",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+    ).withColumn("seq_id", (F.col("start_offset") / seq_len).cast("long"))
+    return (
+        placed.groupBy("bucket", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.round(F.sum("n_tokens") / F.lit(float(seq_len)), 4).alias("fill_ratio"),
+        )
+        .orderBy("bucket", "seq_id")
+    )
+
+
+SEQUENCE_PACKING_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % {PACK_BUCKETS} AS bucket,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT bucket, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM d
+)
+SELECT bucket,
+       CAST(floor(start_offset / {SEQ_LEN}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       round(sum(n_tokens) / {SEQ_LEN}.0, 4) AS fill_ratio
+FROM placed
+GROUP BY bucket, floor(start_offset / {SEQ_LEN}.0)
+ORDER BY bucket, seq_id
+"""
+
+
+def trigram_topk(documents: DataFrame, k: int = TRIGRAM_TOP_K) -> DataFrame:
+    """Top-k word trigrams across the corpus — the n-gram LM / boilerplate
+    detection primitive (a C4-style pipeline uses exactly this table to
+    find over-represented spans).
+
+    Trigrams are built IN-ROW with a higher-order transform over the
+    token array — no posexplode+window, no per-token shuffle; the only
+    shuffle carries (trigram, partial_count) pairs after map-side
+    partial aggregation, bounded by distinct-trigram cardinality. The
+    top-k cut is a deterministic (count DESC, trigram ASC) order.
+    """
+    words = F.filter(tokenize("text"), lambda x: x != "")
+    tris = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+    )
+    return (
+        documents.select(words.alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(F.explode(tris).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(k)
+    )
+
+
+TRIGRAM_TOPK_ORACLE = rf"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tris AS (
+  SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS trigram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+  WHERE len(t) >= 3
+)
+SELECT trigram, count(*) AS n
+FROM tris
+GROUP BY trigram
+ORDER BY n DESC, trigram ASC
+LIMIT {TRIGRAM_TOP_K}
+"""

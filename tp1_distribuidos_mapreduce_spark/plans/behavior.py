@@ -295,3 +295,63 @@ GROUP BY path
 ORDER BY n_users DESC, path ASC
 LIMIT {PATH_TOP_K}
 """
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_active_users(events: DataFrame, days: int = ROLLING_WINDOW_DAYS) -> DataFrame:
+    """Rolling 7-day active users per calendar day — the DAU/WAU board
+    metric, computed EXACTLY (no sketch) with a scalable plan.
+
+    Naive formulations are a rolling COUNT(DISTINCT) window (unsupported
+    or quadratic in most engines) or a day×day range self-join. Instead:
+    dedup events to (day, user) pairs FIRST (the big shuffle, bounded by
+    users×days not events), then explode each pair to the ``days``
+    window end-days it contributes to — an in-row sequence, turning the
+    range join into a linear ×7 map — and count distinct users per end
+    day. End days past the observed maximum are cut by a broadcast 1-row
+    max-day aggregate, so every reported day has complete-window-or-
+    partial-from-data semantics identical to the oracle's.
+
+    Output: (day DATE, active_users) for every day observed in the data
+    plus tail days still covered by a trailing window.
+    """
+    day_user = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    max_day = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    contributes = (
+        day_user.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), days - 1)
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        .join(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("max_day"))
+    )
+    return (
+        contributes.groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_USERS_ORACLE = f"""
+WITH day_user AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), max_day AS (
+  SELECT max(CAST(ts AS DATE)) AS max_day FROM events
+), contributes AS (
+  SELECT CAST(day + to_days(CAST(i AS INTEGER)) AS DATE) AS day, user_id
+  FROM day_user, LATERAL (SELECT unnest(generate_series(0, {ROLLING_WINDOW_DAYS - 1})) AS i)
+)
+SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
+FROM contributes c, max_day m
+WHERE c.day <= m.max_day
+GROUP BY c.day
+ORDER BY c.day
+"""

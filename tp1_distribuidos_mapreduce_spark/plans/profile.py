@@ -1,0 +1,292 @@
+"""Data profiling and quality gates — the Deequ/Great-Expectations-style
+surface a warehouse team runs before trusting a table, expressed as pure
+Catalyst plans with exact DuckDB oracles.
+
+Three operators:
+
+- ``table_profile``: one-pass per-column statistics of ``lineitem`` in
+  long format (column, metric, value). The scale-critical property is
+  ONE aggregate job over ONE scan for every column × metric — a naive
+  profiler that loops columns re-scans the table per column, which at
+  100 TB turns a profile into N full reads. The unpivot to long format
+  happens on the single 1-row aggregate result, i.e. for free.
+- ``data_quality_checks``: named constraint checks (PK uniqueness, FK
+  integrity, range and domain rules) each evaluated as an aggregate and
+  unioned into a (check, n_violations, passed) report. Single-table
+  rules fold into one shared aggregate per table; the FK rule is an
+  anti-join on the key — the honest distributed shape (shuffle on the
+  FK; at 100 TB you would bloom-prefilter it exactly like
+  ``plans/bloom.py`` does for joins).
+- ``numeric_histogram``: 10-bin equi-width histogram of
+  ``l_extendedprice``. min/max come from a 1-row aggregate broadcast
+  back over the scan (two passes over one lineage, no collect); bin
+  assignment is a map-side expression, so the histogram is a plain
+  partial+final hash aggregate on ≤10 keys.
+
+Float discipline (verify notes): every mean is computed from scaled-cent
+BIGINT sums so partial-aggregation order can never perturb the rounded
+result; mins/maxes/histogram edges are raw doubles on which both engines
+perform the identical IEEE-754 expression, so the value-hash compare is
+bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# lineitem numeric columns profiled, with their cent-scale factor for
+# exact means (quantity is integral-valued so scale 1 suffices, but the
+# shared cent path keeps one discipline for all columns).
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+HISTOGRAM_BINS = 10
+
+
+def table_profile(lineitem: DataFrame) -> DataFrame:
+    """Long-format profile of lineitem's numeric columns.
+
+    Output: (col_name, metric, value) for metrics n, n_null,
+    n_distinct, min, max, mean — every cell from ONE aggregate over ONE
+    scan (map-side partial aggregation does the heavy lifting; the
+    exchange carries a single row per partition).
+    """
+    aggs = []
+    for c in _PROFILE_COLS:
+        cents = F.round(F.col(c) * 100).cast("long")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__n_distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(cents).alias(f"{c}__cents"),
+        ]
+    one = lineitem.agg(*aggs)
+    # Unpivot the 1-row aggregate with a stack() expression — executes on
+    # a single row, no second scan. mean = cents / n / 100 rounded to 4,
+    # identical rational → identical double in both engines.
+    cells = []
+    for c in _PROFILE_COLS:
+        cells += [
+            f"'{c}', 'n', CAST({c}__n AS DOUBLE)",
+            f"'{c}', 'n_null', CAST({c}__n_null AS DOUBLE)",
+            f"'{c}', 'n_distinct', CAST({c}__n_distinct AS DOUBLE)",
+            f"'{c}', 'min', {c}__min",
+            f"'{c}', 'max', {c}__max",
+            f"'{c}', 'mean', round({c}__cents / {c}__n / 100.0, 4)",
+        ]
+    n_cells = len(cells)
+    stacked = one.select(
+        F.expr(
+            f"stack({n_cells}, "
+            + ", ".join(cells)
+            + ") AS (col_name, metric, value)"
+        )
+    )
+    return stacked.orderBy("col_name", "metric")
+
+
+TABLE_PROFILE_ORACLE = (
+    """
+WITH one AS (
+  SELECT
+"""
+    + ",\n".join(
+        f"""    count(*) AS {c}__n,
+    CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}__n_null,
+    CAST(count(DISTINCT {c}) AS BIGINT) AS {c}__n_distinct,
+    min({c}) AS {c}__min,
+    max({c}) AS {c}__max,
+    CAST(sum(CAST(round({c} * 100) AS BIGINT)) AS BIGINT) AS {c}__cents"""
+        for c in _PROFILE_COLS
+    )
+    + """
+  FROM lineitem
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, 'n' AS metric, CAST({c}__n AS DOUBLE) AS value FROM one
+UNION ALL SELECT '{c}', 'n_null', CAST({c}__n_null AS DOUBLE) FROM one
+UNION ALL SELECT '{c}', 'n_distinct', CAST({c}__n_distinct AS DOUBLE) FROM one
+UNION ALL SELECT '{c}', 'min', {c}__min FROM one
+UNION ALL SELECT '{c}', 'max', {c}__max FROM one
+UNION ALL SELECT '{c}', 'mean', round({c}__cents / {c}__n / 100.0, 4) FROM one"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name, metric"
+)
+
+
+def data_quality_checks(
+    orders: DataFrame, lineitem: DataFrame, events: DataFrame
+) -> DataFrame:
+    """Constraint-check report: (check_name, n_violations, passed).
+
+    Single-table rules share one aggregate per table (one scan each);
+    the lineitem→orders FK rule is a left-anti join on the key. The
+    ``events_value_le_300`` rule is a deliberately tight business bound
+    so the report demonstrably carries non-zero violation counts.
+    """
+    orders_checks = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("orders_pk_unique"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias(
+            "orders_totalprice_not_null"
+        ),
+    )
+    lineitem_checks = lineitem.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("lineitem_qty_in_1_50"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
+        ).alias("lineitem_discount_in_0_01"),
+    )
+    events_checks = events.agg(
+        F.sum(
+            (
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                )
+            ).cast("long")
+        ).alias("events_type_domain"),
+        F.sum((F.col("value") > 300.0).cast("long")).alias(
+            "events_value_le_300"
+        ),
+    )
+    fk_violations = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_orderkey_fk"))
+    )
+
+    def unpivot(df: DataFrame) -> DataFrame:
+        names = df.columns
+        cells = ", ".join(f"'{n}', {n}" for n in names)
+        return df.select(
+            F.expr(f"stack({len(names)}, {cells}) AS (check_name, n_violations)")
+        )
+
+    report = (
+        unpivot(orders_checks)
+        .unionByName(unpivot(lineitem_checks))
+        .unionByName(unpivot(events_checks))
+        .unionByName(unpivot(fk_violations))
+        .select(
+            "check_name",
+            "n_violations",
+            (F.col("n_violations") == 0).cast("long").alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+    return report
+
+
+DATA_QUALITY_CHECKS_ORACLE = """
+WITH checks AS (
+  SELECT 'orders_pk_unique' AS check_name,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_not_null',
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_qty_in_1_50',
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_in_0_01',
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events_type_domain',
+         CAST(sum(CASE WHEN event_type NOT IN
+                  ('view','click','purchase','signup','error')
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events_value_le_300',
+         CAST(sum(CASE WHEN value > 300.0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk',
+         CAST(count(*) AS BIGINT)
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT check_name, n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM checks
+ORDER BY check_name
+"""
+
+
+def numeric_histogram(lineitem: DataFrame, bins: int = HISTOGRAM_BINS) -> DataFrame:
+    """Equi-width histogram of l_extendedprice: (bin, lo, hi, n_items).
+
+    min/max come from a 1-row aggregate joined back by broadcast (two
+    passes over one scan lineage, zero driver collects); bin assignment
+    and edges are map-side doubles computed by the identical IEEE
+    expression in both engines. The top edge clamps into the last bin.
+    """
+    stats = lineitem.agg(
+        F.min("l_extendedprice").alias("lo_all"),
+        F.max("l_extendedprice").alias("hi_all"),
+    )
+    with_bin = lineitem.select("l_extendedprice").join(F.broadcast(stats)).select(
+        "l_extendedprice",
+        "lo_all",
+        "hi_all",
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo_all"))
+                / ((F.col("hi_all") - F.col("lo_all")) / bins)
+            ),
+            F.lit(bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        with_bin.groupBy("bin")
+        .agg(
+            F.round(
+                F.first("lo_all")
+                + F.col("bin") * ((F.first("hi_all") - F.first("lo_all")) / bins),
+                2,
+            ).alias("lo"),
+            F.round(
+                F.first("lo_all")
+                + (F.col("bin") + 1)
+                * ((F.first("hi_all") - F.first("lo_all")) / bins),
+                2,
+            ).alias("hi"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("bin", "lo", "hi", "n_items")
+        .orderBy("bin")
+    )
+
+
+NUMERIC_HISTOGRAM_ORACLE = f"""
+WITH stats AS (
+  SELECT min(l_extendedprice) AS lo_all, max(l_extendedprice) AS hi_all
+  FROM lineitem
+), binned AS (
+  SELECT CAST(least(floor((l_extendedprice - lo_all) /
+                          ((hi_all - lo_all) / {HISTOGRAM_BINS})),
+                    {HISTOGRAM_BINS - 1}) AS BIGINT) AS bin,
+         lo_all, hi_all
+  FROM lineitem, stats
+)
+SELECT bin,
+       round(max(lo_all) + bin * ((max(hi_all) - max(lo_all)) / {HISTOGRAM_BINS}), 2) AS lo,
+       round(max(lo_all) + (bin + 1) * ((max(hi_all) - max(lo_all)) / {HISTOGRAM_BINS}), 2) AS hi,
+       count(*) AS n_items
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""

@@ -279,3 +279,65 @@ WHERE 2 * cum >= tot
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def orders_yoy_growth(orders: DataFrame) -> DataFrame:
+    """Year-over-year revenue growth — the board-deck trend table.
+
+    One year-keyed aggregate (cent-BIGINT sums so partial-agg order can
+    never perturb the value) then a lag window over the handful of year
+    rows — the window input is year-cardinality, so the global sort it
+    implies is free at any data scale. Growth is a BIGINT/BIGINT
+    quotient rounded at 2dp: identical rational → identical double in
+    both engines. The first year has no prior and is dropped (no-NULL
+    output policy).
+    """
+    per_year = (
+        orders.select(
+            F.year("o_orderdate").alias("year"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("year")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.orderBy("year")
+    return (
+        per_year.select(
+            "year",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.lag("cents").over(w).alias("prev_cents"),
+            "cents",
+        )
+        .where(F.col("prev_cents").isNotNull())
+        .select(
+            "year",
+            "revenue",
+            F.round(F.col("prev_cents") / 100.0, 2).alias("prev_revenue"),
+            F.round(
+                (F.col("cents") - F.col("prev_cents"))
+                / F.col("prev_cents")
+                * 100.0,
+                2,
+            ).alias("growth_pct"),
+        )
+        .orderBy("year")
+    )
+
+
+ORDERS_YOY_GROWTH_ORACLE = """
+WITH per_year AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT year, cents, lag(cents) OVER (ORDER BY year) AS prev_cents
+  FROM per_year
+)
+SELECT year,
+       round(cents / 100.0, 2) AS revenue,
+       round(prev_cents / 100.0, 2) AS prev_revenue,
+       round((cents - prev_cents) / CAST(prev_cents AS DOUBLE) * 100.0, 2) AS growth_pct
+FROM lagged
+WHERE prev_cents IS NOT NULL
+ORDER BY year
+"""

@@ -973,6 +973,68 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.weighted_median_price(load_table(spark, sf_dir, "lineitem"))
 
 
+@register("sequence_packing", oracle=VB.SEQUENCE_PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence packing (operators/vocab.py):
+    bucket-sharded cumulative-offset assignment — the dataloader-shard
+    shape, no global sort; window partitioned by bucket only."""
+    return VB.sequence_packing(load_table(spark, sf_dir, "documents"))
+
+
+@register("trigram_topk", oracle=VB.TRIGRAM_TOPK_ORACLE)
+def q_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-k word trigrams (operators/vocab.py): in-row
+    higher-order transform builds trigrams (no posexplode+window), the
+    only shuffle is (trigram, partial_count) after map-side combine."""
+    return VB.trigram_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register("rolling_7d_active_users", oracle=BH.ROLLING_ACTIVE_USERS_ORACLE)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day actives per day (plans/behavior.py): (day,
+    user) dedup first, then in-row ×7 window-end explode — a linear map
+    replacing the quadratic range self-join — then per-day distinct."""
+    return BH.rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
+@register("orders_yoy_growth", oracle=RT.ORDERS_YOY_GROWTH_ORACLE)
+def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth (plans/retail.py): cent-BIGINT
+    year aggregate + lag window over year-cardinality rows."""
+    return RT.orders_yoy_growth(load_table(spark, sf_dir, "orders"))
+
+
+from .plans import profile as PF  # noqa: E402
+
+
+@register("table_profile", oracle=PF.TABLE_PROFILE_ORACLE)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass column profiler (plans/profile.py): every
+    column × metric cell from ONE aggregate over ONE lineitem scan,
+    unpivoted on the 1-row result; means from cent-BIGINT sums."""
+    return PF.table_profile(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("data_quality_checks", oracle=PF.DATA_QUALITY_CHECKS_ORACLE)
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-check report (plans/profile.py): PK/NULL/range/domain
+    rules folded into one aggregate per table plus an anti-join FK
+    check, unioned into (check_name, n_violations, passed)."""
+    return PF.data_quality_checks(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "events"),
+    )
+
+
+@register("numeric_histogram", oracle=PF.NUMERIC_HISTOGRAM_ORACLE)
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram (plans/profile.py): 1-row min/max
+    aggregate broadcast back over the scan, map-side bin assignment,
+    ≤10-key hash aggregate."""
+    return PF.numeric_histogram(load_table(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # Multimodal surface (operators/multimodal.py) — binary media columns with
 # decode/feature/resize/frame-sample via mapInPandas. Blob synthesis is
