@@ -213,6 +213,7 @@ PYTHON_ALLOWED = {
     "media_summary", "image_stats", "audio_stats", "video_frame_sample",
     "knn_ivf_pq",                          # Arrow-batched PQ encode/ADC kernels
     "knn_ivf_pq_persisted",                # same ADC kernel, persisted codes
+    "embedding_pca",                       # bounded mapInPandas Gram partials
 }
 
 # Non-equi / cross joins allowed ONLY where the semantics are all-pairs by

@@ -1035,6 +1035,37 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PF.numeric_histogram(load_table(spark, sf_dir, "lineitem"))
 
 
+from .operators import vectors as VC  # noqa: E402
+
+
+@register("label_centroid_cosine", oracle=VC.LABEL_CENTROID_COSINE_ORACLE)
+def q_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion (operators/vectors.py): centroids via
+    a (label, dim)-keyed aggregate broadcast back over the scan, cosine
+    as a Catalyst fold — label-noise triage with an exact DuckDB
+    list_cosine_similarity oracle."""
+    return VC.label_centroid_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_pca")
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PCA projection (operators/vectors.py): one mapInPandas
+    Gram-partial pass (dim×dim per partition), dim²-bounded reduce +
+    driver eigendecomposition, JVM-side projection. Float-order
+    sensitive at the last ulp → rows-only; numpy-pinned in
+    tests/test_vectors.py."""
+    return VC.embedding_pca(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means census (operators/vectors.py): deterministic
+    lowest-vec_id init, fixed rounds, map-side Catalyst argmin
+    assignment, k×dim-bounded per-round collect. Rows-only; agreement-
+    pinned vs a numpy reference in tests/test_vectors.py."""
+    return VC.kmeans_clusters(load_table(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # Multimodal surface (operators/multimodal.py) — binary media columns with
 # decode/feature/resize/frame-sample via mapInPandas. Blob synthesis is
