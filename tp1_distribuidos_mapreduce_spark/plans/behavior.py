@@ -355,3 +355,96 @@ WHERE c.day <= m.max_day
 GROUP BY c.day
 ORDER BY c.day
 """
+
+
+def user_state_islands(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive same-type event
+    runs into validity intervals — the SCD2-style state history a
+    warehouse derives from an event stream.
+
+    The classic two-window formulation: a lag marks run boundaries, a
+    cumulative sum numbers the runs (island id), then one aggregate per
+    (user, island) yields the interval. Both windows are PARTITIONED BY
+    user_id — no global sort, parallel across users at any scale; the
+    output is island-cardinality.
+
+    Output: (user_id, event_type, valid_from, valid_to, n_events) per
+    island, plus is_current for each user's last island.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.coalesce(
+                (F.lag("event_type").over(w) != F.col("event_type")).cast("int"),
+                F.lit(1),
+            )
+        ).alias("is_boundary"),
+    ).withColumn(
+        "island",
+        F.sum("is_boundary").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = runs.groupBy("user_id", "island").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_last = Window.partitionBy("user_id")
+    return (
+        islands.withColumn(
+            "is_current",
+            (F.col("island") == F.max("island").over(w_last)).cast("long"),
+        )
+        .select(
+            "user_id",
+            F.col("island").cast("long").alias("island"),
+            "event_type",
+            "valid_from",
+            "valid_to",
+            "n_events",
+            "is_current",
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+USER_STATE_ISLANDS_ORACLE = """
+WITH runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_type, ts,
+         sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM runs
+), islands AS (
+  SELECT user_id, island,
+         min(event_type) AS event_type,
+         min(ts) AS valid_from,
+         max(ts) AS valid_to,
+         count(*) AS n_events
+  FROM numbered
+  GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(island AS BIGINT) AS island,
+       event_type,
+       valid_from,
+       valid_to,
+       n_events,
+       CAST(CASE WHEN island = max(island) OVER (PARTITION BY user_id)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM islands
+ORDER BY user_id, island
+"""

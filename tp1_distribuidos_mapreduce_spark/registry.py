@@ -1035,6 +1035,27 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PF.numeric_histogram(load_table(spark, sf_dir, "lineitem"))
 
 
+@register("user_state_islands", oracle=BH.USER_STATE_ISLANDS_ORACLE)
+def q_user_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands state history (plans/behavior.py): lag boundary
+    marks + cumulative island numbering, both windows partitioned by
+    user_id — the SCD2 interval derivation from an event stream."""
+    return BH.user_state_islands(load_table(spark, sf_dir, "events"))
+
+
+from .operators import graph as GR  # noqa: E402
+
+
+@register("pagerank_copurchase")
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (operators/graph.py):
+    in-row basket pair expansion → edge list, then fixed-round
+    join+aggregate power iteration with per-round localCheckpoint.
+    Float-order sensitive at the last ulp → rows-only; every node's
+    rank numpy-pinned in tests/test_graph.py."""
+    return GR.pagerank_copurchase(load_table(spark, sf_dir, "lineitem"))
+
+
 from .operators import vectors as VC  # noqa: E402
 
 
