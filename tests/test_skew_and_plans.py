@@ -227,6 +227,7 @@ NESTED_LOOP_ALLOWED = {
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate
     "rolling_7d_active_users",     # single-row broadcast max-day aggregate
+    "source_vocab_overlap",        # source-cardinality sizes cross (< join)
 }
 
 

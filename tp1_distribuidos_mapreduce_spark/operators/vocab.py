@@ -189,7 +189,7 @@ def sequence_packing(
         "doc_id",
         "n_tokens",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
-    ).withColumn("seq_id", (F.col("start_offset") / seq_len).cast("long"))
+    ).withColumn("seq_id", F.floor(F.col("start_offset") / seq_len).cast("long"))
     return (
         placed.groupBy("bucket", "seq_id")
         .agg(
@@ -269,4 +269,96 @@ FROM tris
 GROUP BY trigram
 ORDER BY n DESC, trigram ASC
 LIMIT {TRIGRAM_TOP_K}
+"""
+
+
+def source_vocab_overlap(documents: DataFrame) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the source-similarity
+    matrix a curation pass uses to spot mirrored/duplicated feeds before
+    mixing weights are chosen.
+
+    Shape: distinct (source, word) pairs (the corpus_card vocab shape —
+    map-side partial distinct, shuffle bounded by vocabulary size), one
+    word-keyed self-join whose per-word fan-out is bounded by sources²
+    (never corpus-sized), and a source-cardinality cross of the sizes
+    table for the union denominators (tiny, broadcast). Jaccard divides
+    two BIGINTs → identical double in both engines, rounded 4dp.
+    """
+    words = F.filter(tokenize("text"), lambda x: x != "")
+    vocab = (
+        documents.select("source", F.explode(words).alias("w")).distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        sizes.alias("x")
+        .join(
+            F.broadcast(sizes.alias("y")),
+            F.col("x.source") < F.col("y.source"),
+        )
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            F.col("x.n").alias("na"),
+            F.col("y.n").alias("nb"),
+        )
+    )
+    return (
+        pairs.join(
+            inter,
+            (F.col("sa") == F.col("source_a")) & (F.col("sb") == F.col("source_b")),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("i"), F.lit(0)).cast("long").alias("n_common"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+            .cast("long")
+            .alias("n_union"),
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (
+                    F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+                ).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_ORACLE = r"""
+WITH vocab AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                              x -> x <> '')) AS w
+    FROM documents)
+), sizes AS (
+  SELECT source, count(*) AS n FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS i
+  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT x.source AS source_a, y.source AS source_b,
+       CAST(coalesce(i.i, 0) AS BIGINT) AS n_common,
+       CAST(x.n + y.n - coalesce(i.i, 0) AS BIGINT) AS n_union,
+       round(coalesce(i.i, 0) /
+             CAST(x.n + y.n - coalesce(i.i, 0) AS DOUBLE), 4) AS jaccard
+FROM sizes x JOIN sizes y ON x.source < y.source
+LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source
+ORDER BY source_a, source_b
 """

@@ -899,3 +899,79 @@ FROM events e JOIN stats s USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+
+def daily_revenue_anomalies(orders: DataFrame) -> DataFrame:
+    """Seasonal anomaly census: each day's revenue against its
+    day-of-week baseline (mean ± 2·stddev over the corpus) — the
+    ops-dashboard alert a revenue pipeline runs nightly.
+
+    Two aggregates over one scan lineage: day-keyed cent sums (exact
+    BIGINTs; double sums of cent-integers stay exact below 2^53 so the
+    mean is engine-identical), then a 7-row day-of-week baseline joined
+    back by broadcast. The 2σ gate shares value_outliers' continuous-
+    measure determinism argument (σ carries last-ulp wobble; integer
+    cents sit on a boundary with probability ~0). Output is every day
+    with its flag, so the differential never depends on which side of a
+    boundary a single day falls… the flag itself does, which is why the
+    inputs are integer cents, not floats.
+
+    Day-of-week convention: 0 = Sunday on both engines (Spark
+    dayofweek()−1, DuckDB date_part('dow')).
+    """
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    base = (
+        daily.select(
+            (F.dayofweek("day") - 1).alias("dow"), "cents"
+        )
+        .groupBy("dow")
+        .agg(
+            F.avg("cents").alias("mu"),
+            F.stddev("cents").alias("sigma"),
+        )
+    )
+    return (
+        daily.select((F.dayofweek("day") - 1).alias("dow"), "day", "cents")
+        .join(F.broadcast(base), "dow")
+        .select(
+            "day",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.col("dow").cast("int").alias("dow"),
+            F.round(F.col("mu") / 100.0, 2).alias("dow_mean"),
+            (
+                F.abs(F.col("cents") - F.col("mu"))
+                > F.lit(2.0) * F.coalesce(F.col("sigma"), F.lit(0.0))
+            )
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_REVENUE_ANOMALIES_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT date_part('dow', day) AS dow,
+         avg(cents) AS mu, stddev_samp(cents) AS sigma
+  FROM daily GROUP BY 1
+)
+SELECT d.day,
+       round(d.cents / 100.0, 2) AS revenue,
+       CAST(b.dow AS INTEGER) AS dow,
+       round(b.mu / 100.0, 2) AS dow_mean,
+       CAST(CASE WHEN abs(d.cents - b.mu) > 2.0 * coalesce(b.sigma, 0.0)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM daily d JOIN base b ON date_part('dow', d.day) = b.dow
+ORDER BY d.day
+"""

@@ -41,22 +41,23 @@ _ORACLES: dict[str, str] = {}
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
     # ---- round-8 window (exactly 50 names), rotated per VERDICT r7
-    # "Next round" #3. Priorities, in order: reference parity pinned
-    # first (always); pii_scrub (r7's only red row — oracle typing fixed,
-    # must re-prove green); knn_ivf_pq_persisted (never had a driver
-    # row); the 13 queries the r7 window displaced; every query whose
-    # CODE changed this round (funnel_conversion single-job rewrite,
+    # "Next round" #3, then re-balanced mid-round-8 when 12 more queries
+    # landed. Priorities, in order: reference parity pinned first
+    # (always); pii_scrub (r7's only red row — oracle typing fixed, must
+    # re-prove green); knn_ivf_pq_persisted (never had a driver row);
+    # the 13 queries the r7 window displaced; every query whose CODE
+    # changed in the r7 tail (funnel_conversion single-job rewrite,
     # incremental_dedup_bloom join-back removal, dedup_clusters
-    # pointer-jumping fallback, knn_lsh multi-probe); the 8 queries ADDED
-    # this round (new-oracle-query-gets-a-row rule); then 18 freshness
-    # rotations from the set with no r7 row. With 105 registered queries
-    # and a 50-slot window, 14 r6-green queries necessarily fall outside
-    # union(r7, r8) — chosen as the lowest-risk class (unchanged TPC-H
-    # classics q3/q5/monthly/brand_having/top_customers/pivot/set_ops/
-    # top_parts, the sql_* passthroughs whose Spark side IS the oracle
-    # string, and the pytest-pinned rows-only IVF variants); all stay
+    # pointer-jumping fallback, knn_lsh multi-probe); the 8 queries the
+    # r7 tail ADDED plus the 12 round-8 additions (new-query-gets-a-row
+    # rule — 9 oracle-backed + 3 numpy-pinned rows-only); then 6
+    # freshness rotations biased toward higher-risk shapes (pandas-UDF
+    # kernels, skew, layout, the avg-flake-history curation pair). With
+    # 117 registered queries and a 50-slot window, the remaining r6-green
+    # unchanged TPC-H classics / sql_* passthroughs / pytest-pinned IVF
+    # variants fall outside union(r7, r8) — the lowest-risk class, still
     # covered by tests/test_relational.py's sf0.001 differential every
-    # round.
+    # round and by this session's driver-sim replay at sf0.01.
     # reference parity (SURVEY §2: wc + ii, native, plugin, and raw-text)
     "wc",
     "wc_textfiles",
@@ -95,26 +96,27 @@ _WINDOW: list[str] = [
     "market_basket_pairs",
     "open_orders_by_month",
     "weighted_median_price",
-    # freshness rotations: the remaining no-r7-row queries (higher-risk
-    # shapes kept — windows, pivots, rollup/cube, layout, skew, curation)
-    "rollup_lineitem_flags",
-    "cube_order_status_priority",
-    "supplier_activity",
-    "order_price_quantiles",
-    "daily_revenue_moving_avg",
-    "priorities_with_big_items",
-    "brand_type_vocabulary",
-    "weekday_order_stats",
-    "returned_item_revenue",
-    "order_value_deciles",
+    # added in round 8 (12) — each lands with a driver row
+    "table_profile",
+    "data_quality_checks",
+    "numeric_histogram",
+    "sequence_packing",
+    "trigram_topk",
+    "rolling_7d_active_users",
+    "orders_yoy_growth",
+    "label_centroid_cosine",
+    "user_state_islands",
+    "source_vocab_overlap",
+    "daily_revenue_anomalies",
+    "embedding_pca",
+    "kmeans_clusters",
+    "pagerank_copurchase",
+    # freshness rotations: higher-risk no-r7-row shapes (pandas-UDF
+    # kernels, skew, layout, curation)
     "bucketed_colocated_join",
-    "waiting_suppliers",
-    "idle_customers_opportunity",
     "skewed_distinct_users",
     "dedup_embedding_cosine",
     "corpus_curation",
-    "language_rebalance",
-    "token_stats",
 ]
 
 
@@ -1041,6 +1043,23 @@ def q_user_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     marks + cumulative island numbering, both windows partitioned by
     user_id — the SCD2 interval derivation from an event stream."""
     return BH.user_state_islands(load_table(spark, sf_dir, "events"))
+
+
+@register("source_vocab_overlap", oracle=VB.SOURCE_VOCAB_OVERLAP_ORACLE)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard (operators/vocab.py): distinct
+    (source, word) shape, word-keyed self-join with sources²-bounded
+    fan-out, source-cardinality broadcast cross for denominators —
+    mirrored-feed detection before mixing weights."""
+    return VB.source_vocab_overlap(load_table(spark, sf_dir, "documents"))
+
+
+@register("daily_revenue_anomalies", oracle=RX.DAILY_REVENUE_ANOMALIES_ORACLE)
+def q_daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal anomaly census (plans/relational_ext.py):
+    day-keyed cent sums, 7-row baseline broadcast back, 2σ gate on
+    integer cents — every day reported with its flag."""
+    return RX.daily_revenue_anomalies(load_table(spark, sf_dir, "orders"))
 
 
 from .operators import graph as GR  # noqa: E402
