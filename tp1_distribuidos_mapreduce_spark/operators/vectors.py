@@ -211,10 +211,14 @@ def kmeans_clusters(
     ties → lowest cluster id. Each round is ONE job: assignment happens
     map-side against k×dim literals baked into the plan, the centroid
     update is a (cluster, dim)-keyed average whose k×dim result is the
-    only driver transfer. Plans are rebuilt from the base scan each
-    round, so there is no lineage growth and no checkpoint needed.
+    only driver transfer. The cast base vectors are materialized ONCE
+    (localCheckpoint) before the loop — the canonical Lloyd's shape of
+    caching the working set across iterations (at cluster scale this is
+    ``persist(MEMORY_AND_DISK)``); without it every round re-scans and
+    re-casts the source, n_iter+2 scans total. Checkpointing also caps
+    lineage, so per-round plans stay constant-size.
     """
-    e = _as_double(embeddings)
+    e = _as_double(embeddings).localCheckpoint()
     init_rows = (
         e.where(F.col("vec_id") < k).orderBy("vec_id").select("v").collect()
     )

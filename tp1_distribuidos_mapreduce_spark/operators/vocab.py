@@ -19,7 +19,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize
@@ -361,4 +361,145 @@ SELECT x.source AS source_a, y.source AS source_b,
 FROM sizes x JOIN sizes y ON x.source < y.source
 LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source
 ORDER BY source_a, source_b
+"""
+
+
+def source_mix_weights(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature-based source mixing weights — the sampling table a
+    pre-training run derives before interleaving corpora (the
+    multilingual/domain up-sampling rule of mBERT/XLM-R and the Pile:
+    w_i ∝ p_i^alpha with alpha < 1 flattening the source distribution).
+
+    Output: (source, n_docs, n_tokens, raw_share, mix_weight,
+    upsample_factor) where raw_share = n_docs/total, mix_weight is the
+    normalized p^alpha, and upsample_factor = mix_weight/raw_share (>1
+    means the source is repeated relative to natural sampling).
+
+    Shape: ONE source-keyed aggregate over the corpus (map-side
+    combinable counts; the token count rides the same pass), then all
+    share/weight math runs on the source-cardinality result frame via
+    single-partition windows — bounded by #sources, never corpus-sized.
+    alpha is fixed at 0.5 so both engines compute ``sqrt`` (bit-identical
+    IEEE op) rather than ``pow`` (libm-dependent).
+    """
+    assert alpha == 0.5, "oracle parity requires sqrt (alpha = 0.5)"
+    toks = F.filter(tokenize("text"), lambda x: x != "")
+    per = documents.select("source", F.size(toks).alias("nt")).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(total)
+    withp = per.withColumn("p", p).withColumn("sq", F.sqrt(F.col("p")))
+    w = F.col("sq") / F.sum("sq").over(total)
+    return (
+        withp.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("p", 4).alias("raw_share"),
+            F.round(w, 4).alias("mix_weight"),
+            F.round(w / F.col("p"), 4).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_MIX_WEIGHTS_ORACLE = r"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), shares AS (
+  SELECT source, n_docs, n_tokens,
+         n_docs / sum(n_docs) OVER () AS p,
+         sqrt(n_docs / sum(n_docs) OVER ()) AS sq
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(p, 4) AS raw_share,
+       round(sq / sum(sq) OVER (), 4) AS mix_weight,
+       round(sq / sum(sq) OVER () / p, 4) AS upsample_factor
+FROM shares
+ORDER BY source
+"""
+
+
+def trigram_novelty(documents: DataFrame) -> DataFrame:
+    """Per-document trigram novelty: the fraction of a document's distinct
+    word trigrams whose FIRST corpus occurrence (lowest doc_id) is this
+    document — the contribution/novelty score curation uses to rank
+    near-boilerplate docs below genuinely new material (the inverse of
+    benchmark-contamination's span-overlap view).
+
+    Output: (doc_id, n_trigrams, n_novel, novelty_frac) for every doc
+    with >= 3 tokens, ordered by doc_id.
+
+    Shape: trigrams are built and deduplicated IN-ROW (transform +
+    array_distinct — no per-token shuffle), exploded to sparse
+    (doc_id, trigram) rows, and the first-occurrence attribution is ONE
+    trigram-keyed window min. The shuffle is keyed on the trigram (high
+    cardinality, uniform — no skew), and the final rollup is a doc-keyed
+    aggregate with map-side combine. At 100 TB the only change is keying
+    the shuffle on a fixed-width trigram hash instead of the string.
+    """
+    toks = F.filter(tokenize("text"), lambda x: x != "")
+    tris = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+        )
+    )
+    g = (
+        documents.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(tris).alias("g"))
+    )
+    first = Window.partitionBy("g")
+    flagged = g.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(first)).cast("long").alias("novel"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("novel").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_trigrams"), 4).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRIGRAM_NOVELTY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks
+  WHERE len(t) >= 3
+), flagged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY g) THEN 1 ELSE 0 END AS novel
+  FROM tri
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(novel) AS BIGINT) AS n_novel,
+       round(sum(novel) / CAST(count(*) AS DOUBLE), 4) AS novelty_frac
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
 """

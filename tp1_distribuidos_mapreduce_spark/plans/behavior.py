@@ -448,3 +448,51 @@ SELECT user_id,
 FROM islands
 ORDER BY user_id, island
 """
+
+
+def views_before_purchase(events: DataFrame, minutes: int = 30) -> DataFrame:
+    """Banded range-join coverage: for every purchase event, how many
+    views the SAME user made in the preceding ``minutes`` —
+    (event_id, user_id, n_views) including zero-view purchases.
+
+    Shape: an equi-join on user_id carrying a range predicate
+    (p.ts − Δ <= v.ts < p.ts) — Catalyst plans the equi-key shuffle
+    (sort-merge / shuffled-hash on user_id) and evaluates the band as a
+    post-join filter, so per-task state is one user's sorted run, never a
+    cross product. This is the attribution-window primitive ("views in
+    the half hour before checkout"); purchase_asof_last_click covers the
+    as-of (nearest-one) variant, this covers the count-in-band variant.
+    """
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("pts")
+    )
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("vts")
+    )
+    joined = p.alias("p").join(
+        v.alias("v"),
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("v.vts") >= F.col("p.pts") - F.expr(f"INTERVAL {minutes} MINUTES"))
+        & (F.col("v.vts") < F.col("p.pts")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("p.event_id").alias("event_id"), F.col("p.user_id").alias("user_id"))
+        .agg(F.count(F.col("v.vts")).alias("n_views"))
+        .orderBy("event_id")
+    )
+
+
+VIEWS_BEFORE_PURCHASE_ORACLE = """
+SELECT p.event_id, p.user_id,
+       CAST(count(v.ts) AS BIGINT) AS n_views
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""

@@ -975,3 +975,105 @@ SELECT d.day,
 FROM daily d JOIN base b ON date_part('dow', d.day) = b.dow
 ORDER BY d.day
 """
+
+
+def supplier_balance_percentiles(supplier: DataFrame) -> DataFrame:
+    """Rank-family window coverage (percent_rank + cume_dist): every
+    supplier's balance rank WITHIN its nation plus a top-quartile flag —
+    (s_nationkey, s_suppkey, s_acctbal, pct_rank, cume, top_quartile).
+
+    Shape: one nation-keyed window sort (the shuffle is keyed on the
+    partition column; per-nation state is the sort run, spillable), then
+    a map-side filter. percent_rank/cume_dist are exact rationals
+    ((rank−1)/(n−1), rank/n) computed identically by both engines, so the
+    4dp rounding and the >= 0.75 flag are deterministic. The flag is a
+    column rather than a filter so the differential exercises every
+    partition size — at sf0.001 each nation holds exactly one supplier
+    and both engines define the degenerate ranks as (0.0, 1.0) — unlike a gate on
+    a float aggregate, no partial-sum wobble exists here.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    ranked = supplier.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+    return ranked.withColumn(
+        "top_quartile", (F.col("pct_rank") >= 0.75).cast("long")
+    ).orderBy("s_nationkey", "s_suppkey")
+
+
+BALANCE_PERCENTILES_ORACLE = """
+WITH ranked AS (
+  SELECT s_nationkey, s_suppkey,
+         round(s_acctbal, 2) AS s_acctbal,
+         round(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal), 4)
+           AS pct_rank,
+         round(cume_dist() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal), 4)
+           AS cume
+  FROM supplier
+)
+SELECT *, CAST(CASE WHEN pct_rank >= 0.75 THEN 1 ELSE 0 END AS BIGINT) AS top_quartile
+FROM ranked
+ORDER BY s_nationkey, s_suppkey
+"""
+
+
+def monthly_metrics_unpivot(orders: DataFrame) -> DataFrame:
+    """Wide→long reshape coverage (DataFrame.unpivot / SQL stack): monthly
+    order KPIs pivoted into a (month, metric, value) fact stream — the
+    shape dashboards and metric stores ingest.
+
+    Shape: month-keyed aggregate over EXACT integer cents (the
+    daily_revenue_anomalies discipline: cent sums are order-independent,
+    so the 2dp rounding never flakes on partial-sum order), then unpivot
+    — a map-only row expansion (3 rows per month, no shuffle).
+    """
+    wide = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "month",
+            F.col("n").cast("double").alias("n_orders"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("cents") / 100.0 / F.col("n"), 2).alias("avg_price"),
+        )
+    )
+    return wide.unpivot(
+        ["month"], ["n_orders", "revenue", "avg_price"], "metric", "value"
+    ).orderBy("month", "metric")
+
+
+MONTHLY_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), metrics AS (
+  SELECT month,
+         CAST(n AS DOUBLE) AS n_orders,
+         round(cents / 100.0, 2) AS revenue,
+         round(cents / 100.0 / n, 2) AS avg_price
+  FROM wide
+)
+SELECT month, metric, value FROM (
+  SELECT month, 'n_orders' AS metric, n_orders AS value FROM metrics
+  UNION ALL
+  SELECT month, 'revenue', revenue FROM metrics
+  UNION ALL
+  SELECT month, 'avg_price', avg_price FROM metrics
+)
+ORDER BY month, metric
+"""

@@ -76,8 +76,6 @@ _WINDOW: list[str] = [
     "events_json_stats",
     "cohort_retention",
     "top_event_paths",
-    "q1_pricing_summary",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "knn_bruteforce",
     "bloom_pruned_join",
@@ -111,12 +109,22 @@ _WINDOW: list[str] = [
     "embedding_pca",
     "kmeans_clusters",
     "pagerank_copurchase",
-    # freshness rotations: higher-risk no-r7-row shapes (pandas-UDF
-    # kernels, skew, layout, curation)
-    "bucketed_colocated_join",
-    "skewed_distinct_users",
-    "dedup_embedding_cosine",
-    "corpus_curation",
+    # added in round-8 batch 2 (6) — new-query-gets-a-row outranks both
+    # the freshness-rotation tier (dropped: bucketed_colocated_join,
+    # skewed_distinct_users, dedup_embedding_cosine, corpus_curation —
+    # all r6-green, re-checked by the per-session driver-sim replay) and
+    # the two most stable members of the displaced-13 list
+    # (q1_pricing_summary, dedup_exact — r6-green classics,
+    # code-unchanged, still differentially tested at sf0.001 every run).
+    # With 125 registered queries a 50-slot window cannot give union(r7,
+    # r8) full coverage; the cut keeps every row that is new, changed, or
+    # historically red inside the window.
+    "url_domain_stats",
+    "source_mix_weights",
+    "trigram_novelty",
+    "views_before_purchase",
+    "supplier_balance_percentiles",
+    "monthly_metrics_unpivot",
 ]
 
 
@@ -1209,3 +1217,55 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Doubled input models at-least-once delivery; dedup must collapse it.
     ev = load_table(spark, sf_dir, "events")
     return SD.deduped_event_type_counts(ev.unionAll(ev))
+
+
+# Round-8 batch 2: web-corpus domain census, mixing weights, novelty
+# scoring, range-join attribution, rank windows, and wide→long reshape.
+from .operators import urls as UR  # noqa: E402
+
+
+@register("url_domain_stats", oracle=UR.URL_DOMAIN_STATS_ORACLE)
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain link census (operators/urls.py): codegen regexp
+    extraction, sparse explode, domain-keyed aggregate; share-of-total
+    window runs over the domain-cardinality frame only."""
+    return UR.url_domain_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("source_mix_weights", oracle=VB.SOURCE_MIX_WEIGHTS_ORACLE)
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling mix table (operators/vocab.py): one
+    source-keyed aggregate; sqrt-based p^0.5 weights normalized over the
+    source-cardinality frame — the pre-training interleave table."""
+    return VB.source_mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register("trigram_novelty", oracle=VB.TRIGRAM_NOVELTY_ORACLE)
+def q_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty (operators/vocab.py): in-row distinct
+    trigrams, trigram-keyed window-min attribution, doc-keyed rollup —
+    contribution scoring for curation ranking."""
+    return VB.trigram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register("views_before_purchase", oracle=BH.VIEWS_BEFORE_PURCHASE_ORACLE)
+def q_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (plans/behavior.py): user-keyed equi-join with a
+    30-minute band predicate — count-in-window attribution; the as-of
+    variant lives in purchase_asof_last_click."""
+    return BH.views_before_purchase(load_table(spark, sf_dir, "events"))
+
+
+@register("supplier_balance_percentiles", oracle=RX.BALANCE_PERCENTILES_ORACLE)
+def q_supplier_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows (plans/relational_ext.py): percent_rank +
+    cume_dist per nation, top-decile gate on the exact rational rank —
+    no float-aggregate wobble by construction."""
+    return RX.supplier_balance_percentiles(load_table(spark, sf_dir, "supplier"))
+
+
+@register("monthly_metrics_unpivot", oracle=RX.MONTHLY_UNPIVOT_ORACLE)
+def q_monthly_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (plans/relational_ext.py): exact-cent monthly
+    KPIs reshaped with DataFrame.unpivot — map-only row expansion."""
+    return RX.monthly_metrics_unpivot(load_table(spark, sf_dir, "orders"))
