@@ -64,6 +64,15 @@ def benchmark_contamination(
     left-semi probe of the corpus span stream → doc_id-keyed count.
     Nothing corpus-sized ever shuffles on a text key.
     """
+    # The tokenize+md5-span pipeline is CPU-bound and narrow: a small
+    # parquet input (one 128 MB split — the sf0.1 fixture) pins it to ONE
+    # core. Widen to session shuffle parallelism first — measured 20.7s →
+    # 3.6s at sf0.1 (adjacent A/B, idle machine); at cluster scale inputs
+    # already have thousands of splits and this is a planning-time no-op
+    # (same policy as ngram_jaccard_pairs / minhash_lsh_pairs).
+    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
     bench_spans = (
         _doc_spans(documents.where(F.col("doc_id") % 13 == 0), k)
         .select("s")

@@ -879,3 +879,61 @@ WITH toks AS (
 )
 SELECT doc_a, doc_b, n_shared_spans FROM pairs ORDER BY doc_a, doc_b
 """
+
+
+def prefix_duplicates(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Prefix-fingerprint duplicate groups: documents whose first ``k``
+    tokens are identical — the cheap boilerplate-header dedup key a
+    curation pass runs before any pairwise similarity (shared intros /
+    templated openings collapse into one group each).
+
+    Output: one row per duplicate group — (prefix_hash, n_docs,
+    n_sources, first_doc, last_doc), ordered by first_doc. Groups of
+    size 1 are dropped (they're the clean majority); docs with fewer
+    than ``k`` tokens can't form a prefix and are excluded on both
+    engines.
+
+    Shape: the fingerprint is a map-only md5 over the in-row token
+    slice (the shared-span discipline — fixed-width keys, bit-identical
+    in DuckDB), and the census is ONE hash-keyed aggregate with
+    map-side combine; nothing document-sized shuffles except the
+    16-byte key rows. This is exact dedup generalized from whole-text
+    md5 (dedup_exact) to a prefix key.
+    """
+    t = F.filter(tokenize("text"), lambda x: x != "")
+    d = documents.select("doc_id", "source", t.alias("t")).where(F.size("t") >= k)
+    h = F.md5(F.concat_ws(" ", F.slice("t", 1, k)).cast("binary"))
+    return (
+        d.select("doc_id", "source", h.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("first_doc")
+    )
+
+
+PREFIX_DUPLICATES_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, md5(array_to_string(t[1:8], ' ')) AS prefix_hash
+  FROM toks WHERE len(t) >= 8
+)
+SELECT prefix_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM keyed
+GROUP BY prefix_hash
+HAVING count(*) > 1
+ORDER BY first_doc
+"""

@@ -290,3 +290,71 @@ FROM binned
 GROUP BY bin
 ORDER BY bin
 """
+
+
+def mad_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust (median/MAD) outlier census per event type — the
+    resistant-statistics counterpart to value_outliers' mean/σ z-score:
+    median and MAD ignore the very outliers they're hunting, so a few
+    extreme values can't drag the gate (the classic robust-stats
+    argument; consistency constant 1.4826 rescales MAD to σ under
+    normality).
+
+    Output: (event_type, n, med, mad, n_outliers, outlier_frac) — one
+    row per type; a point is an outlier when |x − med| > k·1.4826·MAD.
+
+    Shape: two type-keyed exact-median aggregates over the events scan
+    (Spark ``median`` is the sort-based exact percentile; at 100 TB
+    you'd swap both for ``approx_percentile`` — the plan shape is
+    identical), with the 5-row median table broadcast back between
+    passes. The gate compares continuous doubles (the value_outliers
+    boundary-determinism argument).
+    """
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    j = events.join(F.broadcast(med), "event_type")
+    stats = j.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+    )
+    scored = events.join(F.broadcast(stats), "event_type")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(k) * F.lit(1.4826) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_frac", F.round(F.col("n_outliers") / F.col("n"), 4)
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIERS_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), stats AS (
+  SELECT e.event_type, min(m.med) AS med,
+         median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(min(s.med), 4) AS med,
+       round(min(s.mad), 4) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
+                 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS outlier_frac
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

@@ -341,3 +341,81 @@ FROM lagged
 WHERE prev_cents IS NOT NULL
 ORDER BY year
 """
+
+
+def customer_ltv_pareto(orders: DataFrame) -> DataFrame:
+    """Pareto / ABC revenue-concentration analysis: every customer with
+    their lifetime revenue, cumulative revenue share (customers ranked
+    richest-first), and a head-of-distribution flag — "which customers
+    make up the first 80% of revenue".
+
+    Output: (o_custkey, revenue, cum_share, in_top80) ordered by the
+    ranking (revenue DESC, custkey ASC tiebreak).
+
+    Determinism discipline: all ranking and the 80% gate run on EXACT
+    integer cents — the flag is the integer comparison
+    5·(cum − own) < 4·total, so no float partial-sum order can flip it
+    (the daily_revenue_anomalies cents discipline taken one step
+    further: even the gate is integral). cum_share is rounded from an
+    exact integer ratio. Shape: customer-keyed cent aggregate, then one
+    global-ordered window cumsum — the unkeyed window runs over the
+    customer-cardinality aggregate, not the orders scan; at 100 TB
+    you'd range-partition that final ranking, the aggregate below it is
+    unchanged.
+    """
+    per = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    total = Window.partitionBy()
+    rank = (
+        Window.partitionBy()
+        .orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.select(
+            "o_custkey",
+            "cents",
+            F.sum("cents").over(rank).alias("cum"),
+            F.sum("cents").over(total).alias("tot"),
+        )
+        .select(
+            "o_custkey",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("cum") / F.col("tot"), 4).alias("cum_share"),
+            (
+                (F.col("cum") - F.col("cents")) * 5 < F.col("tot") * 4
+            )
+            .cast("long")
+            .alias("in_top80"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    )
+
+
+CUSTOMER_LTV_PARETO_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(cents) OVER () AS BIGINT) AS tot
+  FROM per
+)
+SELECT o_custkey,
+       round(cents / 100.0, 2) AS revenue,
+       round(cum / CAST(tot AS DOUBLE), 4) AS cum_share,
+       CAST(CASE WHEN (cum - cents) * 5 < tot * 4 THEN 1 ELSE 0 END AS BIGINT)
+         AS in_top80
+FROM ranked
+ORDER BY revenue DESC, o_custkey
+"""

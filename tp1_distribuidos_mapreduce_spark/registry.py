@@ -71,9 +71,6 @@ _WINDOW: list[str] = [
     # the 13 queries displaced from the r7 window (VERDICT r7 list)
     "sessionize_events",
     "purchase_asof_last_click",
-    "hourly_event_gapfill",
-    "customer_order_gaps",
-    "events_json_stats",
     "cohort_retention",
     "top_event_paths",
     "dedup_ngram_jaccard",
@@ -125,6 +122,13 @@ _WINDOW: list[str] = [
     "views_before_purchase",
     "supplier_balance_percentiles",
     "monthly_metrics_unpivot",
+    # added in round-8 batch 3 (3) — same new-query-gets-a-row rule;
+    # displaced hourly_event_gapfill / customer_order_gaps /
+    # events_json_stats (r6-green, code-unchanged, sf0.001-differential
+    # covered) from the displaced-13 tier.
+    "mad_outliers",
+    "customer_ltv_pareto",
+    "prefix_duplicates",
 ]
 
 
@@ -1269,3 +1273,27 @@ def q_monthly_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (plans/relational_ext.py): exact-cent monthly
     KPIs reshaped with DataFrame.unpivot — map-only row expansion."""
     return RX.monthly_metrics_unpivot(load_table(spark, sf_dir, "orders"))
+
+
+@register("mad_outliers", oracle=PF.MAD_OUTLIERS_ORACLE)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier census (plans/profile.py): two exact-
+    median type-keyed aggregates with a 5-row broadcast between passes
+    — the resistant counterpart to value_outliers' z-scores."""
+    return PF.mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+@register("customer_ltv_pareto", oracle=RT.CUSTOMER_LTV_PARETO_ORACLE)
+def q_customer_ltv_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue concentration (plans/retail.py): customer-keyed
+    exact-cent aggregate + one global window cumsum; the 80% head flag
+    is a pure integer comparison — no float gate."""
+    return RT.customer_ltv_pareto(load_table(spark, sf_dir, "orders"))
+
+
+@register("prefix_duplicates", oracle=D.PREFIX_DUPLICATES_ORACLE)
+def q_prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dup groups (operators/dedup.py): in-row
+    8-token md5 key, one hash-keyed census aggregate — exact dedup
+    generalized to a boilerplate-header key."""
+    return D.prefix_duplicates(load_table(spark, sf_dir, "documents"))
