@@ -116,3 +116,40 @@ def test_media_summary_is_metadata_only(spark, media):
     assert sum(r.n for r in rows.values()) == n_docs
     for r in rows.values():
         assert r.min_bytes > 0 and r.total_bytes >= r.max_bytes >= r.min_bytes
+
+
+def test_image_phash_dupes_match_numpy_reference(spark):
+    """Every duplicate group the operator reports must be exactly the
+    groups a direct numpy pass over the replayed media table computes —
+    and the replay construction guarantees at least one group."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    replayed = M.media_with_replayed_images(docs).cache()
+    got = {
+        r.ahash: (r.n_images, r.first_media_id, r.last_media_id)
+        for r in M.image_phash_dupes(replayed).collect()
+    }
+    from collections import defaultdict
+
+    ref = defaultdict(list)
+    for row in replayed.where("kind = 'image'").collect():
+        ref[M.ahash64(M.decode_fimg(bytes(row.data)))].append(row.media_id)
+    want = {
+        h: (len(ids), min(ids), max(ids))
+        for h, ids in ref.items()
+        if len(ids) > 1
+    }
+    assert got == want
+    assert got, "replay construction must produce at least one dup group"
+    # Each replayed blob pairs with its original: negative mirror id.
+    for _, (n, first, last) in got.items():
+        assert n == 2 and first == -last - 1
+
+
+def test_ahash64_properties():
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (24, 17, 3)).astype(np.uint8)
+    h = M.ahash64(px)
+    assert len(h) == 16 and int(h, 16) >= 0
+    assert M.ahash64(px) == h  # deterministic
+    # Constant images hash to all-zero bits (no pixel exceeds the mean).
+    assert M.ahash64(np.full((9, 9, 3), 128, dtype=np.uint8)) == "0" * 16

@@ -269,3 +269,75 @@ def media_summary(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+def ahash64(px: np.ndarray) -> str:
+    """64-bit average-hash of an image array: nearest-neighbor downsample
+    to 8×8, channel-mean to gray, threshold at the gray mean, bits packed
+    MSB-first into a fixed-width hex string. Pure numpy — the same
+    function is the pytest ground-truth reference."""
+    yi = (np.arange(8) * px.shape[0] // 8).astype(int)
+    xi = (np.arange(8) * px.shape[1] // 8).astype(int)
+    gray = px[yi][:, xi].astype(np.float64).mean(axis=2)
+    bits = (gray > gray.mean()).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return f"{val:016x}"
+
+
+def image_phash_dupes(media: DataFrame) -> DataFrame:
+    """Perceptual-hash image dedup: groups of images whose 64-bit
+    average-hash is identical — (ahash, n_images, first_media_id,
+    last_media_id), groups of size 1 dropped, ordered by first id.
+
+    This is the multimodal twin of prefix_duplicates: decode + hash run
+    as an Arrow-batched ``mapInPandas`` (bytes never reach the driver),
+    then ONE 16-char-key census aggregate with map-side combine — the
+    pixel data stays in the executors, only fixed-width hashes shuffle.
+    A production pass would bucket on the hash and verify within buckets
+    (the SimHash discipline); exact-equality groups are the precision-1
+    core of that.
+
+    Rows-only by nature (DuckDB cannot decode FIMG blobs);
+    tests/test_multimodal.py pins every group against the numpy
+    reference computed directly from the synthesized pixel arrays.
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                rows.append((int(mid), ahash64(decode_fimg(bytes(blob)))))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    hashed = (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "data")
+        .mapInPandas(hashes, "media_id long, ahash string")
+    )
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("media_id").alias("first_media_id"),
+            F.max("media_id").alias("last_media_id"),
+        )
+        .where(F.col("n_images") > 1)
+        .orderBy("first_media_id")
+    )
+
+
+def media_with_replayed_images(documents: DataFrame) -> DataFrame:
+    """Media fixture with at-least-once image replays: every 5th image
+    blob re-appears under the NEGATIVE mirror id (-media_id − 1), which
+    cannot collide with any real non-negative id at any SF (the
+    incremental-dedup re-key lesson — no arithmetic offset to outgrow).
+    Gives image_phash_dupes non-trivial exact-duplicate groups to find:
+    each replayed blob forms a size-2 group with its original."""
+    media = synthesize_media(documents)
+    replayed = (
+        media.where((F.col("kind") == "image") & (F.col("media_id") % 5 == 0))
+        .withColumn("media_id", -F.col("media_id") - 1)
+    )
+    return media.unionByName(replayed)

@@ -1077,3 +1077,88 @@ SELECT month, metric, value FROM (
 )
 ORDER BY month, metric
 """
+
+
+def nation_trade_flows(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing from each
+    supplier nation to each DIFFERENT customer nation per ship year —
+    the classic two-role dimension join (nation joined twice under two
+    aliases) over the full lineitem⨝orders⨝customer⨝supplier chain.
+
+    Q7 proper fixes two nations; this generalizes to the full flow
+    matrix so every nation pair lands in the differential. Both nation
+    aliases broadcast unconditionally (25 rows at any SF); supplier is
+    broadcast-eligible and left to AQE. The cross-nation filter runs
+    BEFORE the nation-name joins — it needs only the two key columns
+    already present after the supplier join, so mismatched rows never
+    reach the broadcast probes.
+
+    Revenue uses the exact-integer discipline one step further than the
+    cents sums: price and discount both carry exactly 2 decimals, so
+    cents × (100 − discount_pct) is an exact BIGINT per row and the sum
+    is partial-order-independent — the flow matrix has enough groups
+    that a float sum WILL land on a half-cent boundary somewhere (it
+    did, at sf0.001, in this query's first draft). The half-cent tie
+    that remains after exact summation is resolved by INTEGER half-up
+    division ((u + 50) div 100): Spark's round() re-decimalizes the
+    double via shortest-repr BigDecimal while DuckDB rounds the raw
+    double, so a genuine ...*.485 tie splits the engines — integer
+    division cannot.
+    """
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("u")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("(u + 50) div 100") / 100.0).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+NATION_TRADE_FLOWS_ORACLE = """
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       ((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         + 50) // 100) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

@@ -69,8 +69,6 @@ _WINDOW: list[str] = [
     # never driver-checked (added after the r7 window froze)
     "knn_ivf_pq_persisted",
     # the 13 queries displaced from the r7 window (VERDICT r7 list)
-    "sessionize_events",
-    "purchase_asof_last_click",
     "cohort_retention",
     "top_event_paths",
     "dedup_ngram_jaccard",
@@ -129,6 +127,10 @@ _WINDOW: list[str] = [
     "mad_outliers",
     "customer_ltv_pareto",
     "prefix_duplicates",
+    # added in round-8 batch 4 (2) — displaced sessionize_events /
+    # purchase_asof_last_click (same r6-green code-unchanged tier).
+    "nation_trade_flows",
+    "image_phash_dupes",
 ]
 
 
@@ -1297,3 +1299,29 @@ def q_prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-token md5 key, one hash-keyed census aggregate — exact dedup
     generalized to a boilerplate-header key."""
     return D.prefix_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register("nation_trade_flows", oracle=RX.NATION_TRADE_FLOWS_ORACLE)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped flow matrix (plans/relational_ext.py): 4-table
+    fact chain with nation broadcast twice under two roles; cross-nation
+    filter runs before the name joins."""
+    return RX.nation_trade_flows(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("image_phash_dupes")
+def q_image_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (operators/multimodal.py): Arrow-
+    batched decode→ahash, 16-char-key census — rows-only (DuckDB cannot
+    decode FIMG); groups pinned against the numpy reference in
+    tests/test_multimodal.py. Input replays every 5th image under a
+    negative mirror id so duplicate groups exist at every SF."""
+    return MM.image_phash_dupes(
+        MM.media_with_replayed_images(load_table(spark, sf_dir, "documents"))
+    )
