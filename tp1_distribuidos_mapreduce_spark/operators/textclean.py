@@ -253,3 +253,128 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 ORDER BY t.doc_id
 """
+
+
+def source_quality_gates(documents: DataFrame) -> DataFrame:
+    """Per-source Gopher-gate pass-rate table: how many documents each
+    source loses to each quality gate (Rae et al. 2021 §A1.1) — the
+    report a curation run publishes per feed before mixing:
+
+    - short:   fewer than 10 tokens
+    - wordlen: mean word length outside [3, 10]
+    - dup:     duplicated-token fraction > 0.3
+    - bigram:  modal-bigram fraction > 0.18
+
+    Output: (source, n_docs, n_fail_short, n_fail_wordlen, n_fail_dup,
+    n_fail_bigram, n_pass, pass_rate) — n_pass counts docs clearing ALL
+    gates.
+
+    Shape: every gate is an in-row Catalyst expression (token array,
+    length fold, sorted-bigram run fold — the repetition_stats
+    machinery), so the whole query is one projection + one
+    source-keyed aggregate; no per-token shuffle exists at any scale.
+    Every gate compares exact integer ratios (identical doubles on both
+    engines), so the flags are deterministic.
+    """
+    t = F.filter(tokenize("text"), lambda x: x != "")
+    d = documents.select("source", t.alias("t"))
+    n = F.size("t")
+    sum_len = F.expr("aggregate(t, 0L, (acc, x) -> acc + length(x))")
+    mean_len = sum_len / F.greatest(n, F.lit(1))
+    dup_frac = F.lit(1) - F.size(F.array_distinct("t")) / F.greatest(n, F.lit(1))
+    bg = F.expr(
+        """
+        CASE WHEN size(t) < 2 THEN array()
+             ELSE transform(sequence(0, size(t) - 2),
+                            i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))
+        END
+        """
+    )
+    d = d.withColumn("n", n).withColumn("mean_len", mean_len).withColumn(
+        "dup_frac", dup_frac
+    ).withColumn("bg", bg)
+    top_run = F.expr(
+        """
+        aggregate(
+          array_sort(bg),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          (acc, x) -> named_struct(
+              'prev', x,
+              'run',  CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END,
+              'best', greatest(acc.best,
+                               CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END)),
+          acc -> acc.best)
+        """
+    )
+    bigram_frac = top_run / F.greatest(F.size("bg"), F.lit(1))
+    flags = d.select(
+        "source",
+        (F.col("n") < 10).cast("long").alias("f_short"),
+        ((F.col("mean_len") < 3.0) | (F.col("mean_len") > 10.0))
+        .cast("long")
+        .alias("f_wordlen"),
+        (F.col("dup_frac") > 0.3).cast("long").alias("f_dup"),
+        (bigram_frac > 0.18).cast("long").alias("f_bigram"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_short").alias("n_fail_short"),
+            F.sum("f_wordlen").alias("n_fail_wordlen"),
+            F.sum("f_dup").alias("n_fail_dup"),
+            F.sum("f_bigram").alias("n_fail_bigram"),
+            F.sum(
+                (
+                    (F.col("f_short") + F.col("f_wordlen") + F.col("f_dup") + F.col("f_bigram"))
+                    == 0
+                ).cast("long")
+            ).alias("n_pass"),
+        )
+        .withColumn("pass_rate", F.round(F.col("n_pass") / F.col("n_docs"), 4))
+        .orderBy("source")
+    )
+
+
+SOURCE_QUALITY_GATES_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM toks
+), bgc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+), bga AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total_bg FROM bgc GROUP BY doc_id
+), flags AS (
+  SELECT k.source,
+         CASE WHEN len(k.t) < 10 THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN len(k.t) = 0 THEN 1
+              WHEN list_sum(list_transform(k.t, x -> length(x)))
+                     / CAST(greatest(len(k.t), 1) AS DOUBLE) < 3.0 THEN 1
+              WHEN list_sum(list_transform(k.t, x -> length(x)))
+                     / CAST(greatest(len(k.t), 1) AS DOUBLE) > 10.0 THEN 1
+              ELSE 0 END AS f_wordlen,
+         CASE WHEN 1 - len(list_distinct(k.t)) / CAST(greatest(len(k.t), 1) AS DOUBLE) > 0.3
+              THEN 1 ELSE 0 END AS f_dup,
+         CASE WHEN coalesce(a.top_c, 0) / CAST(greatest(coalesce(a.total_bg, 0), 1) AS DOUBLE) > 0.18
+              THEN 1 ELSE 0 END AS f_bigram
+  FROM toks k LEFT JOIN bga a ON k.doc_id = a.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_short) AS BIGINT) AS n_fail_short,
+       CAST(sum(f_wordlen) AS BIGINT) AS n_fail_wordlen,
+       CAST(sum(f_dup) AS BIGINT) AS n_fail_dup,
+       CAST(sum(f_bigram) AS BIGINT) AS n_fail_bigram,
+       CAST(sum(CASE WHEN f_short + f_wordlen + f_dup + f_bigram = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(sum(CASE WHEN f_short + f_wordlen + f_dup + f_bigram = 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS pass_rate
+FROM flags
+GROUP BY source
+ORDER BY source
+"""

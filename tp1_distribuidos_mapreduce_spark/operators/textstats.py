@@ -271,3 +271,63 @@ def doc_fingerprint(documents: DataFrame, k: int = 5, window: int = 4) -> DataFr
         )
         .orderBy("doc_id")
     )
+
+
+def language_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of the stopword-profile language-ID against the
+    fixture's ground-truth ``lang`` column — the eval table a curation
+    pipeline publishes for its classifier: (true_lang, pred_lang, n,
+    frac_of_true).
+
+    Shape: the per-doc prediction is the same map-only Catalyst
+    expression as language_id; the matrix is ONE (true, pred)-keyed
+    aggregate (≤ |langs|² rows after map-side combine), and the per-row
+    fraction normalizes over a true_lang-keyed window on the already-
+    aggregated matrix. frac is an exact integer ratio → deterministic.
+    """
+    from pyspark.sql import Window
+
+    m = (
+        documents.select(
+            F.col("lang").alias("true_lang"), pred_lang_expr().alias("pred_lang")
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    per_true = Window.partitionBy("true_lang")
+    return (
+        m.withColumn(
+            "frac_of_true", F.round(F.col("n") / F.sum("n").over(per_true), 4)
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+LANGUAGE_CONFUSION_ORACLE = rf"""
+WITH scored AS (
+  SELECT lang AS true_lang,
+         {_profile_sql(_LANG_PROFILES['en'])} AS s_en,
+         {_profile_sql(_LANG_PROFILES['es'])} AS s_es,
+         {_profile_sql(_LANG_PROFILES['de'])} AS s_de,
+         {_profile_sql(_LANG_PROFILES['fr'])} AS s_fr
+  FROM (SELECT lang,
+               list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '') AS t
+        FROM documents)
+), pred AS (
+  SELECT true_lang,
+         CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_es, s_de, s_fr) THEN 'es'
+              WHEN s_de = greatest(s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM scored
+), m AS (
+  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 4)
+         AS frac_of_true
+FROM m
+ORDER BY true_lang, pred_lang
+"""

@@ -69,11 +69,8 @@ _WINDOW: list[str] = [
     # never driver-checked (added after the r7 window froze)
     "knn_ivf_pq_persisted",
     # the 13 queries displaced from the r7 window (VERDICT r7 list)
-    "cohort_retention",
-    "top_event_paths",
     "dedup_ngram_jaccard",
     "knn_bruteforce",
-    "bloom_pruned_join",
     "cms_heavy_hitters",
     # code changed this round → driver re-confirmation
     "funnel_conversion",
@@ -131,6 +128,11 @@ _WINDOW: list[str] = [
     # purchase_asof_last_click (same r6-green code-unchanged tier).
     "nation_trade_flows",
     "image_phash_dupes",
+    # added in round-8 batch 5 (3) — displaced cohort_retention /
+    # top_event_paths / bloom_pruned_join (same r6-green tier).
+    "language_confusion",
+    "copurchase_jaccard",
+    "source_quality_gates",
 ]
 
 
@@ -1325,3 +1327,27 @@ def q_image_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_phash_dupes(
         MM.media_with_replayed_images(load_table(spark, sf_dir, "documents"))
     )
+
+
+@register("language_confusion", oracle=T.LANGUAGE_CONFUSION_ORACLE)
+def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier eval matrix (operators/textstats.py): map-only
+    stopword-profile prediction vs the fixture truth label, one
+    (true, pred)-keyed aggregate + matrix-frame window normalize."""
+    return T.language_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@register("copurchase_jaccard", oracle=GR.COPURCHASE_JACCARD_ORACLE)
+def q_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item Jaccard neighbors (operators/graph.py): in-row basket
+    pair expansion, pair-keyed count, two item-keyed joins, exact
+    integer-ratio top-k — the collaborative-filtering primitive."""
+    return GR.copurchase_jaccard(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("source_quality_gates", oracle=TC.SOURCE_QUALITY_GATES_ORACLE)
+def q_source_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-gate pass rates (operators/textclean.py): four
+    in-row gates (token count, word length, dup fraction, modal bigram)
+    → one source-keyed aggregate; all gates exact integer ratios."""
+    return TC.source_quality_gates(load_table(spark, sf_dir, "documents"))
