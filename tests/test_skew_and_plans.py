@@ -215,6 +215,7 @@ PYTHON_ALLOWED = {
     "knn_ivf_pq_persisted",                # same ADC kernel, persisted codes
     "embedding_pca",                       # bounded mapInPandas Gram partials
     "image_phash_dupes",                   # Arrow-batched decode+ahash kernel
+    "kmeans_clusters",                     # Arrow+BLAS assignment partials
 }
 
 # Non-equi / cross joins allowed ONLY where the semantics are all-pairs by
