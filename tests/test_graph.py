@@ -67,3 +67,56 @@ def test_pagerank_is_a_distribution(spark):
     # the 6dp rounding × node count).
     assert abs(total - 1.0) <= 5e-7 * len(rows) + 1e-6
     assert all(r["rank"] > 0 for r in rows)
+
+
+def test_triangle_count_hand_graph(spark):
+    """Orientation correctness on a hand-built graph: baskets {1,2,3}
+    and {2,3,4} → K3 on {1,2,3} plus K3 on {2,3,4} sharing edge (2,3):
+    5 undirected edges, 2 triangles, each counted exactly once."""
+    rows = [(100, p) for p in (1, 2, 3)] + [(200, p) for p in (2, 3, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = GR.triangle_count(li).collect()[0]
+    assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) == (4, 5, 2)
+
+
+def test_degree_distribution_hand_graph(spark):
+    """Same two-basket graph: nodes 1 and 4 have degree 2, nodes 2 and 3
+    have degree 3."""
+    rows = [(100, p) for p in (1, 2, 3)] + [(200, p) for p in (2, 3, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {r["degree"]: r["n_nodes"] for r in GR.degree_distribution(li).collect()}
+    assert got == {2: 2, 3: 2}
+
+
+def test_weighted_sample_hits_token_budget(spark):
+    """Systematic-sample invariants on the fixture: (a) per source the
+    sample has at most k + (docs wider than one stride) rows and at
+    least 1, (b) every selected doc's span really crosses a grid line
+    (re-derived independently in Python), (c) selection is reproducible."""
+    from tp1_distribuidos_mapreduce_spark.operators import pipeline as P
+
+    docs = registry.queries()["weighted_token_sample"](spark, SF_SMOKE)
+    got = [(r["source"], r["doc_id"], r["n_chars"]) for r in docs.collect()]
+    con = duckdb.connect()
+    all_rows = con.execute(
+        f"SELECT source, doc_id, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+        " ORDER BY source, doc_id"
+    ).fetchall()
+    con.close()
+    k = P.SYSTEMATIC_SAMPLE_K
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for src, did, w in all_rows:
+        by_source.setdefault(src, []).append((did, w))
+    expect = []
+    for src, rows in sorted(by_source.items()):
+        total = sum(w for _, w in rows)
+        stride = -(-total // k)
+        cum = 0
+        n_sel = 0
+        for did, w in rows:
+            cum += w
+            if cum // stride > (cum - w) // stride:
+                expect.append((src, did, w))
+                n_sel += 1
+        assert 1 <= n_sel <= k
+    assert got == expect

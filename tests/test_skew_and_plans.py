@@ -230,6 +230,8 @@ NESTED_LOOP_ALLOWED = {
     "numeric_histogram",           # single-row broadcast min/max aggregate
     "rolling_7d_active_users",     # single-row broadcast max-day aggregate
     "source_vocab_overlap",        # source-cardinality sizes cross (< join)
+    "triangle_count",              # three 1-row tallies cross-joined into
+                                   # the single output row
 }
 
 

@@ -186,3 +186,116 @@ JOIN part_counts y ON p.b = y.part
 ORDER BY jaccard DESC, p.a, p.b
 LIMIT 50
 """
+
+
+# --------------------------------------------------------------------------
+# Triangle counting and degree distribution over the co-purchase graph
+# --------------------------------------------------------------------------
+
+
+def copurchase_degrees(lineitem: DataFrame) -> DataFrame:
+    """Per-node degree of the undirected co-purchase graph: (part_id,
+    degree). One count over the directed edge rows (each undirected edge
+    appears once per endpoint in copurchase_edges' output)."""
+    return (
+        copurchase_edges(lineitem)
+        .groupBy(F.col("src").alias("part_id"))
+        .agg(F.count("*").cast("long").alias("degree"))
+        .orderBy("part_id")
+    )
+
+
+def degree_distribution(lineitem: DataFrame) -> DataFrame:
+    """Degree histogram of the co-purchase graph: (degree, n_nodes) —
+    the first diagnostic anyone runs on a large graph (power-law check,
+    skew sizing for the joins that follow). Two hash aggregates, the
+    second over |distinct degrees| rows."""
+    return (
+        copurchase_degrees(lineitem)
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+DEGREE_DISTRIBUTION_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), degrees AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+  GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM degrees GROUP BY degree ORDER BY degree
+"""
+
+
+def triangle_count(lineitem: DataFrame) -> DataFrame:
+    """Global triangle count of the co-purchase graph plus the
+    supporting edge/node tallies: one row (n_nodes, n_edges,
+    n_triangles).
+
+    Algorithm (the standard distributed formulation): orient every
+    undirected edge from the lower id to the higher id (a<b), join
+    oriented⨝oriented on the middle vertex to enumerate wedges
+    a<b<c, then semi-join the wedge's closing edge (a,c) against the
+    oriented edge list. Orientation makes each triangle counted exactly
+    once and caps the wedge fan-out by the ORIENTED out-degree — the
+    trick that keeps the join tractable on skewed graphs (a hub's
+    wedges split across the nodes below it). Two shuffles total at any
+    scale; for a hub-dominated 100 TB graph the next refinement is
+    degree-ordered orientation (orient toward the HIGHER-degree
+    endpoint) which this fixture's near-uniform basket graph does not
+    need.
+    """
+    edges = copurchase_edges(lineitem)
+    oriented = edges.where(F.col("src") < F.col("dst")).localCheckpoint()
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            F.col("e1.dst") == F.col("e2.src"),
+        )
+        .select(F.col("e1.src").alias("a"), F.col("e2.dst").alias("c"))
+    )
+    closed = wedges.join(
+        oriented,
+        (F.col("a") == F.col("src")) & (F.col("c") == F.col("dst")),
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count("*").alias("n")).select("n")
+    n_edges = oriented.agg(F.count("*").alias("n")).select("n")
+    n_nodes = (
+        oriented.select(F.col("src").alias("v"))
+        .unionByName(oriented.select(F.col("dst").alias("v")))
+        .agg(F.countDistinct("v").alias("n"))
+        .select("n")
+    )
+    return (
+        n_nodes.select(F.col("n").cast("long").alias("n_nodes"))
+        .crossJoin(n_edges.select(F.col("n").cast("long").alias("n_edges")))
+        .crossJoin(n_tri.select(F.col("n").cast("long").alias("n_triangles")))
+    )
+
+
+TRIANGLE_COUNT_ORACLE = """
+WITH oriented AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT
+  (SELECT CAST(count(DISTINCT v) AS BIGINT)
+   FROM (SELECT src AS v FROM oriented UNION ALL SELECT dst FROM oriented))
+    AS n_nodes,
+  (SELECT CAST(count(*) AS BIGINT) FROM oriented) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM oriented e1
+   JOIN oriented e2 ON e1.dst = e2.src
+   JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
+"""

@@ -379,3 +379,75 @@ WHERE bucket < (CASE lang WHEN 'en' THEN 300
                           ELSE 1000 END)
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Weighted systematic sampling: hit a per-source TOKEN budget, not a row
+# budget
+# --------------------------------------------------------------------------
+
+SYSTEMATIC_SAMPLE_K = 8  # target docs per source stratum
+
+
+def weighted_systematic_sample(
+    documents: DataFrame, k: int = SYSTEMATIC_SAMPLE_K
+) -> DataFrame:
+    """Per-source weighted systematic sample: walk each source's docs in
+    doc_id order, lay a grid of ``k`` equal-weight strides over the
+    source's total character mass, and keep exactly the documents whose
+    cumulative-weight span crosses a grid line. Selection probability is
+    proportional to n_chars (big docs straddle more grid lines — a doc
+    wider than one stride is simply kept), which is how a curation
+    pipeline samples to a TOKEN budget rather than a row budget.
+
+    Everything is 64-bit integer arithmetic — cumulative sums, stride =
+    ceil(total/k), and the grid-crossing test cum div S > (cum-w) div S
+    — so Spark and the oracle agree bit-for-bit with no float rounding
+    surface anywhere (the ADVICE-r7 lesson: cross-engine float
+    thresholds are latent flakes). Every operand is non-negative, so
+    truncating division (Spark ``div``, DuckDB ``//``) and floor
+    division coincide — the off-by-one family that a (cum-1)/(cum-w-1)
+    formulation hits on the first row of a stratum (−1 div S is 0 when
+    truncating but −1 when flooring) cannot arise. Deterministic in
+    partitioning and scan order because the walk order is
+    (source, doc_id).
+
+    Scale shape: one shuffle on source for the ordered window plus a
+    broadcast-size per-source total joined back. Stride walks are
+    per-stratum, so no global ordering exists anywhere; a pathologically
+    hot source would take the same salted two-phase treatment as
+    operators/skew.py (sample within salted sub-strata, then thin).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    totals = documents.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("total_w")
+    )
+    cum = (
+        documents.select("doc_id", "source", F.col("n_chars").cast("long").alias("w"))
+        .withColumn("cum_w", F.sum("w").over(w).cast("long"))
+        .join(F.broadcast(totals), "source")
+        .withColumn("stride", F.expr(f"(total_w + {k} - 1) div {k}"))
+    )
+    crosses = F.expr("cum_w div stride") > F.expr("(cum_w - w) div stride")
+    return (
+        cum.where(crosses)
+        .select("source", "doc_id", F.col("w").alias("n_chars"))
+        .orderBy("source", "doc_id")
+    )
+
+
+WEIGHTED_SYSTEMATIC_SAMPLE_ORACLE = """
+WITH cum AS (
+  SELECT source, doc_id, n_chars AS w,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_w,
+         sum(n_chars) OVER (PARTITION BY source) AS total_w
+  FROM documents
+)
+SELECT source, doc_id, CAST(w AS BIGINT) AS n_chars
+FROM (SELECT source, doc_id, w, cum_w, (total_w + 7) // 8 AS stride FROM cum)
+WHERE cum_w // stride > (cum_w - w) // stride
+ORDER BY source, doc_id
+"""
