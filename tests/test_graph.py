@@ -120,3 +120,12 @@ def test_weighted_sample_hits_token_budget(spark):
                 n_sel += 1
         assert 1 <= n_sel <= k
     assert got == expect
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Path-shaped baskets 1-2, 2-3, 3-4 plus isolated pair 5-6: root is
+    part 1 → dists 0,1,2,3; the disconnected component gets sentinel -1."""
+    rows = [(10, 1), (10, 2), (20, 2), (20, 3), (30, 3), (30, 4), (40, 5), (40, 6)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {r["part_id"]: r["dist"] for r in GR.bfs_distances(li).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: -1, 6: -1}

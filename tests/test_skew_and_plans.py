@@ -232,6 +232,7 @@ NESTED_LOOP_ALLOWED = {
     "source_vocab_overlap",        # source-cardinality sizes cross (< join)
     "triangle_count",              # three 1-row tallies cross-joined into
                                    # the single output row
+    "bigram_perplexity",           # single-row broadcast vocab-size scalar
 }
 
 

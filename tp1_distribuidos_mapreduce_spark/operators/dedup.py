@@ -937,3 +937,78 @@ GROUP BY prefix_hash
 HAVING count(*) > 1
 ORDER BY first_doc
 """
+
+
+def cross_source_span_matrix(
+    documents: DataFrame,
+    k: int = DEFAULT_SPAN_K,
+    max_span_df: int = DEFAULT_MAX_SPAN_DF,
+) -> DataFrame:
+    """Source-to-source verbatim-overlap matrix: for every pair of
+    sources, how many distinct k-token spans appear verbatim in both —
+    the provenance census a curation team reads to find which feeds
+    syndicate from which (mirrors, scrapes, shared boilerplate) before
+    deciding what to dedup or down-weight.
+
+    Same span keys and df-cut skew guard as shared_span_pairs (md5-
+    hashed fixed-width shuffle keys; spans in > ``max_span_df`` docs are
+    boilerplate and dropped on both sides). After the span groupBy the
+    per-span DISTINCT SOURCE set is bounded by |sources| — in-row pair
+    expansion over it can never blow up the way doc pairs can, so the
+    matrix aggregate is |sources|²-bounded regardless of corpus size.
+    """
+    t = F.filter(tokenize("text"), lambda x: x != "")
+    d = documents.select("doc_id", "source", t.alias("t"))
+    spans = F.expr(
+        f"""
+        CASE WHEN size(t) < {k} THEN array()
+             ELSE array_distinct(transform(
+                    sequence(1, size(t) - {k} + 1),
+                    i -> md5(cast(array_join(slice(t, i, {k}), ' ') AS binary))))
+        END
+        """
+    )
+    span_docs = d.select("source", F.explode(spans).alias("s"))
+    groups = (
+        span_docs.groupBy("s")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_set("source")).alias("sources"),
+        )
+        .where((F.col("n_docs") >= 2) & (F.col("n_docs") <= max_span_df))
+        .where(F.size("sources") >= 2)
+    )
+    pairs = groups.select(F.explode(_pairs_within("sources")).alias("p"))
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_spans"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_SPAN_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'), x -> x <> '') AS t
+  FROM documents
+), spans AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(t) - {DEFAULT_SPAN_K} + 2, 1)),
+                i -> md5(array_to_string(t[i:i+{DEFAULT_SPAN_K}-1], ' ')))) AS s
+  FROM toks
+), grp AS (
+  SELECT s, count(*) AS n_docs, count(DISTINCT source) AS n_src
+  FROM spans GROUP BY s
+  HAVING count(*) BETWEEN 2 AND {DEFAULT_MAX_SPAN_DF}
+     AND count(DISTINCT source) >= 2
+), pair_src AS (
+  SELECT DISTINCT a.source AS source_a, b.source AS source_b, a.s
+  FROM spans a JOIN grp USING (s) JOIN spans b USING (s)
+  WHERE a.source < b.source
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_spans
+FROM pair_src GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""

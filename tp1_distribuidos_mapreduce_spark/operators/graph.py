@@ -299,3 +299,93 @@ SELECT
    JOIN oriented e2 ON e1.dst = e2.src
    JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
 """
+
+
+# --------------------------------------------------------------------------
+# BFS shortest-path distances from a deterministic root
+# --------------------------------------------------------------------------
+
+BFS_MAX_ROUNDS = 64
+
+
+def bfs_distances(lineitem: DataFrame) -> DataFrame:
+    """Unweighted shortest-path distance from a deterministic root (the
+    minimum part id in the graph) to every node: (part_id, dist), with
+    unreachable nodes at sentinel −1 (engine no-NULL output policy).
+
+    Frontier-relaxation BFS, the iterative-DataFrame discipline of
+    connected components (operators/dedup.py): each round joins the
+    CURRENT FRONTIER (only the nodes whose distance was just settled —
+    never the full distance table) against the edge list, anti-joins
+    already-settled nodes away, and folds the newly reached nodes in.
+    Per round that is one |frontier|⨝edges equi-join — the textbook
+    distributed BFS whose total work is O(|edges|) summed over rounds.
+    localCheckpoint every round keeps lineage flat; the only driver
+    actions are the root scalar and one bounded frontier-empty check per
+    round (a count — never node data). Rounds are capped at
+    BFS_MAX_ROUNDS (= graph diameter bound a co-occurrence graph never
+    approaches); hitting the cap raises loudly rather than returning a
+    silently truncated answer.
+
+    Oracle: DuckDB recursive CTE over the same edge list — min(dist) per
+    node under UNION-distinct frontier expansion.
+    """
+    edges = copurchase_edges(lineitem).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("part_id")).distinct().localCheckpoint()
+    root = nodes.agg(F.min("part_id").alias("r")).collect()[0]["r"]
+
+    settled = nodes.sparkSession.createDataFrame(
+        [(int(root), 0)], "part_id long, dist int"
+    ).localCheckpoint()
+    frontier = settled
+    for _ in range(BFS_MAX_ROUNDS):
+        nxt = (
+            frontier.join(edges, frontier["part_id"] == edges["src"])
+            .select(F.col("dst").alias("part_id"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("part_id")
+            .agg(F.min("dist").alias("dist"))
+            .join(settled.select("part_id"), "part_id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"BFS did not terminate within {BFS_MAX_ROUNDS} rounds — "
+            "graph diameter exceeds the bound; raise BFS_MAX_ROUNDS"
+        )
+    return (
+        nodes.join(settled, "part_id", "left")
+        .select(
+            "part_id",
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
+        )
+        .orderBy("part_id")
+    )
+
+
+BFS_DISTANCES_ORACLE = """
+WITH RECURSIVE und AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und
+), nodes AS (
+  SELECT DISTINCT src AS part_id FROM edges
+), walk(part_id, dist) AS (
+  SELECT (SELECT min(part_id) FROM nodes), 0
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.part_id
+  WHERE w.dist < 64
+), best AS (
+  SELECT part_id, min(dist) AS dist FROM walk GROUP BY part_id
+)
+SELECT n.part_id, CAST(coalesce(b.dist, -1) AS BIGINT) AS dist
+FROM nodes n LEFT JOIN best b USING (part_id)
+ORDER BY n.part_id
+"""

@@ -75,16 +75,12 @@ _WINDOW: list[str] = [
     "dedup_clusters",
     # added this round (8) — each lands with a driver row
     "benchmark_contamination",
-    "corpus_card",
     "bpe_pair_counts",
     "event_transition_matrix",
     "rfm_segmentation",
     "market_basket_pairs",
     "weighted_median_price",
     # added in round 8 (12) — each lands with a driver row
-    "table_profile",
-    "data_quality_checks",
-    "numeric_histogram",
     "sequence_packing",
     "trigram_topk",
     "rolling_7d_active_users",
@@ -103,12 +99,10 @@ _WINDOW: list[str] = [
     # With 125 registered queries a 50-slot window cannot give union(r7,
     # r8) full coverage; the cut keeps every row that is new, changed, or
     # historically red inside the window.
-    "url_domain_stats",
     "source_mix_weights",
     "trigram_novelty",
     "views_before_purchase",
     "supplier_balance_percentiles",
-    "monthly_metrics_unpivot",
     # added in round-8 batch 3 (3) — same new-query-gets-a-row rule;
     # displaced hourly_event_gapfill / customer_order_gaps /
     # events_json_stats (r6-green, code-unchanged, sf0.001-differential
@@ -143,6 +137,18 @@ _WINDOW: list[str] = [
     "degree_distribution",
     "triangle_count",
     "weighted_token_sample",
+    # added in round-8 batch 7 (6) — new-query-gets-a-row; displaced six
+    # of the simplest-shape batch-1/2 profiling aggregates (corpus_card,
+    # table_profile, data_quality_checks, numeric_histogram,
+    # url_domain_stats, monthly_metrics_unpivot — all green in this
+    # session's sf0.01 driver-sim replay and the sf0.001 differential;
+    # plain single-aggregate shapes with the least cross-engine risk).
+    "bigram_perplexity",
+    "bpe_train_merges",
+    "bfs_distances",
+    "trimmed_mean_price",
+    "source_gini",
+    "cross_source_span_matrix",
 ]
 
 
@@ -1453,3 +1459,61 @@ def q_weighted_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact grid-crossing selection proportional to n_chars — the
     token-budget sampler; zero float surface cross-engine."""
     return P.weighted_systematic_sample(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 7: LM-based curation, iterative graph/BPE, robust stats,
+# provenance matrix
+# --------------------------------------------------------------------------
+
+from .operators import lm as LM  # noqa: E402
+from .plans import robust as RB  # noqa: E402
+
+
+@register("bigram_perplexity", oracle=LM.BIGRAM_PERPLEXITY_ORACLE)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter signal (operators/lm.py): add-one bigram LM
+    trained on the trusted source, every source scored by mean NLL —
+    the CCNet/Gopher quality-filter shape, all Catalyst."""
+    return LM.bigram_perplexity_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@register("bpe_train_merges")
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative greedy BPE trainer (operators/lm.py): per-round
+    distributed pair-count aggregate + bounded argmax collect + in-row
+    fold merge. Rows-only (iterative argmax is not ANSI-SQL); the full
+    rule sequence is pinned against a sequential Python reference in
+    tests/test_lm.py."""
+    return LM.bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
+@register("bfs_distances", oracle=GR.BFS_DISTANCES_ORACLE)
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-relaxation BFS (operators/graph.py) from the minimum
+    part id over the co-purchase graph; recursive-CTE oracle — the
+    iterative algorithm class with a full differential check."""
+    return GR.bfs_distances(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("trimmed_mean_price", oracle=RB.TRIMMED_MEAN_ORACLE)
+def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-trimmed per-brand mean (plans/robust.py): exact
+    percent_rank cut + integer-cents half-up mean — zero float-boundary
+    surface."""
+    return RB.trimmed_mean_price(load_table(spark, sf_dir, "part"))
+
+
+@register("source_gini", oracle=RB.SOURCE_GINI_ORACLE)
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini of document-length mass (plans/robust.py):
+    integer-exact rank formula, one window + one aggregate."""
+    return RB.source_gini(load_table(spark, sf_dir, "documents"))
+
+
+@register("cross_source_span_matrix", oracle=D.CROSS_SOURCE_SPAN_ORACLE)
+def q_cross_source_span_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source verbatim-span overlap census (operators/
+    dedup.py): md5 span keys, df-cut, |sources|²-bounded matrix — the
+    provenance view of the shared-span dedup stack."""
+    return D.cross_source_span_matrix(load_table(spark, sf_dir, "documents"))
