@@ -233,6 +233,7 @@ NESTED_LOOP_ALLOWED = {
     "triangle_count",              # three 1-row tallies cross-joined into
                                    # the single output row
     "bigram_perplexity",           # single-row broadcast vocab-size scalar
+    "association_rules",           # single-row broadcast basket-count scalar
 }
 
 

@@ -419,3 +419,100 @@ SELECT o_custkey,
 FROM ranked
 ORDER BY revenue DESC, o_custkey
 """
+
+
+# --------------------------------------------------------------------------
+# Association rules: confidence and lift over the basket pair counts
+# --------------------------------------------------------------------------
+
+RULE_MIN_SUPPORT = 3
+
+
+def association_rules(lineitem: DataFrame, min_support: int = RULE_MIN_SUPPORT) -> DataFrame:
+    """Directed association rules a→b over co-purchase baskets:
+    confidence = P(b|a) = n_ab/n_a and lift = P(b|a)/P(b) =
+    n_ab·N/(n_a·n_b), for every ordered pair whose joint support meets
+    ``min_support`` — the market-basket output a recommender actually
+    consumes (market_basket_pairs reports the raw counts; this derives
+    the decision metrics).
+
+    Same in-row pair expansion as market_basket_pairs bounds the fan-out
+    by basket size; the support cut keeps the rule table |frequent
+    pairs|-sized. Both metrics are ratios of identical 64-bit integers
+    evaluated once into doubles, so the 6dp rounding is deterministic
+    cross-engine; ordering is by exact integers (n_ab) with a pair
+    tiebreak, never by a float.
+    """
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    n_baskets = baskets.agg(F.count("*").cast("long").alias("n_total"))
+    pair_counts = (
+        baskets.where(F.size("parts") >= 2)
+        .select(F.explode(_pairs_within("parts")).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    item_counts = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").cast("long").alias("n_part"))
+    )
+    directed = pair_counts.select("a", "b", "n_ab").unionByName(
+        pair_counts.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"
+        )
+    )
+    na = item_counts.select(F.col("part").alias("a"), F.col("n_part").alias("n_a"))
+    nb = item_counts.select(F.col("part").alias("b"), F.col("n_part").alias("n_b"))
+    return (
+        directed.join(na, "a")
+        .join(nb, "b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n_total"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "antecedent", "consequent")
+    )
+
+
+ASSOCIATION_RULES_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_total AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM items
+), pair_counts AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {RULE_MIN_SUPPORT}
+), directed AS (
+  SELECT a, b, n_ab FROM pair_counts
+  UNION ALL
+  SELECT b, a, n_ab FROM pair_counts
+), item_counts AS (
+  SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n_part
+  FROM items GROUP BY 1
+)
+SELECT d.a AS antecedent, d.b AS consequent, d.n_ab,
+       round(d.n_ab / CAST(x.n_part AS DOUBLE), 6) AS confidence,
+       round((d.n_ab * n_total.n_total)
+             / CAST(x.n_part * y.n_part AS DOUBLE), 6) AS lift
+FROM directed d
+JOIN item_counts x ON d.a = x.part
+JOIN item_counts y ON d.b = y.part
+CROSS JOIN n_total
+ORDER BY d.n_ab DESC, antecedent, consequent
+"""

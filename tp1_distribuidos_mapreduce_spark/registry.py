@@ -77,14 +77,12 @@ _WINDOW: list[str] = [
     "benchmark_contamination",
     "bpe_pair_counts",
     "event_transition_matrix",
-    "rfm_segmentation",
     "market_basket_pairs",
     "weighted_median_price",
     # added in round 8 (12) — each lands with a driver row
     "sequence_packing",
     "trigram_topk",
     "rolling_7d_active_users",
-    "orders_yoy_growth",
     "label_centroid_cosine",
     "user_state_islands",
     "source_vocab_overlap",
@@ -101,14 +99,11 @@ _WINDOW: list[str] = [
     # historically red inside the window.
     "source_mix_weights",
     "trigram_novelty",
-    "views_before_purchase",
-    "supplier_balance_percentiles",
     # added in round-8 batch 3 (3) — same new-query-gets-a-row rule;
     # displaced hourly_event_gapfill / customer_order_gaps /
     # events_json_stats (r6-green, code-unchanged, sf0.001-differential
     # covered) from the displaced-13 tier.
     "mad_outliers",
-    "customer_ltv_pareto",
     "prefix_duplicates",
     # added in round-8 batch 4 (2) — displaced sessionize_events /
     # purchase_asof_last_click (same r6-green code-unchanged tier).
@@ -149,6 +144,17 @@ _WINDOW: list[str] = [
     "trimmed_mean_price",
     "source_gini",
     "cross_source_span_matrix",
+    # added in round-8 batch 8 (5) — new-query-gets-a-row; displaced
+    # five more simple-shape window/aggregate queries from batches 1-2
+    # (orders_yoy_growth, supplier_balance_percentiles,
+    # views_before_purchase, rfm_segmentation, customer_ltv_pareto —
+    # all green in this session's sf0.01 driver-sim replay and the
+    # sf0.001 differential).
+    "q1_from_orc",
+    "schema_evolution_census",
+    "association_rules",
+    "incremental_agg_merge",
+    "table_diff",
 ]
 
 
@@ -1517,3 +1523,52 @@ def q_cross_source_span_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.py): md5 span keys, df-cut, |sources|²-bounded matrix — the
     provenance view of the shared-span dedup stack."""
     return D.cross_source_span_matrix(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 8: format breadth, schema evolution, association rules,
+# incremental view maintenance, table reconciliation
+# --------------------------------------------------------------------------
+
+from .plans import ivm as IV  # noqa: E402
+from .sources import formats as FM  # noqa: E402
+
+
+@register("q1_from_orc", oracle=R.Q1_ORACLE)
+def q_q1_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 over an ORC materialization of lineitem (sources/
+    formats.py): the ORC scan path end-to-end under the same oracle as
+    the parquet twin — any value/type drift between format paths fails
+    the differential."""
+    return R.q1_pricing_summary(FM.read_lineitem_orc(spark, sf_dir))
+
+
+@register("schema_evolution_census", oracle=FM.SCHEMA_EVOLUTION_ORACLE)
+def q_schema_evolution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema read over heterogeneous parquet batches (sources/
+    formats.py): footer reconciliation + partition discovery, per-batch
+    late-column census — the long-lived-table ingestion reality."""
+    return FM.schema_evolution_census(spark, sf_dir)
+
+
+@register("association_rules", oracle=RT.ASSOCIATION_RULES_ORACLE)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed confidence/lift rules over basket pairs (plans/
+    retail.py): in-row pair expansion, support cut, integer-ratio
+    metrics — the recommender-facing market-basket output."""
+    return RT.association_rules(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("incremental_agg_merge", oracle=IV.INCREMENTAL_AGG_ORACLE)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (plans/ivm.py): persisted base
+    state + delta-only aggregation + full-outer combine, proven equal
+    to the full recompute in exact integer cents."""
+    return IV.incremental_agg_merge(spark, sf_dir)
+
+
+@register("table_diff", oracle=IV.TABLE_DIFF_ORACLE)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-restatement reconciliation (plans/ivm.py): full-outer key
+    join, added/removed/changed/unchanged census in exact cents."""
+    return IV.table_diff(load_table(spark, sf_dir, "orders"))

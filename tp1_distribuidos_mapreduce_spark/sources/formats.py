@@ -1,0 +1,99 @@
+"""Columnar-format breadth and ingestion-reality sources: ORC
+materialization (format parity under the same oracle gate) and a
+schema-evolution corpus (heterogeneous parquet batches read with
+mergeSchema — what a long-lived 100 TB table actually looks like after
+a column was added mid-history).
+
+Same /tmp discipline as sources/text.py's raw-text corpus: artifacts
+are content-addressed via fixture_cache_tag (a regenerated fixture or a
+changed derivation spec gets a fresh path, never a stale-cache reuse),
+written once, idempotent via the _SUCCESS marker.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import fixture_cache_tag, load_table
+
+
+def lineitem_as_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the lineitem fixture as ORC files under /tmp (once)
+    and return the directory. Exists so a registered query can run the
+    engine's ORC scan path end-to-end under the driver's oracle gate —
+    the oracle keeps reading the parquet twin, so any value or type
+    drift between the two format paths fails the differential."""
+    tag = fixture_cache_tag(sf_dir, "lineitem", "orc-v1")
+    out = f"/tmp/tp1_spark_orc_lineitem_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
+    return out
+
+
+def read_lineitem_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem via the ORC reader (predicate pushdown and column
+    pruning work the same as parquet — both are stripe/row-group
+    columnar formats with min/max stats)."""
+    return spark.read.orc(lineitem_as_orc(spark, sf_dir))
+
+
+def orders_evolved_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders as TWO parquet batches with different schemas
+    under one directory — batch v1 (even orderkeys) written BEFORE the
+    o_orderpriority column existed, batch v2 (odd orderkeys) with the
+    full schema — and return the directory.
+
+    This is the ingestion reality of any long-lived table: schema
+    evolved mid-history, and the reader must reconcile footers rather
+    than assume homogeneity. Spark handles it via mergeSchema (v1 rows
+    surface the missing column as NULL); the census query quantifies
+    exactly what a backfill would need to touch.
+    """
+    tag = fixture_cache_tag(sf_dir, "orders", "evolved-v1")
+    out = f"/tmp/tp1_spark_evolved_orders_{tag}"
+    if not os.path.exists(os.path.join(out, "batch=v2", "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders")
+        v1 = orders.where(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+        v2 = orders.where(F.col("o_orderkey") % 2 == 1)
+        v1.write.mode("overwrite").parquet(os.path.join(out, "batch=v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(out, "batch=v2"))
+    return out
+
+
+def schema_evolution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch schema-evolution census over the heterogeneous orders
+    directory: row count and how many rows carry the late-added
+    o_orderpriority column — the "what would a backfill touch" report.
+
+    The read uses mergeSchema=true (footer reconciliation across
+    batches; v1 rows surface o_orderpriority as NULL) and the batch
+    identity comes from partition discovery on the ``batch=`` directory
+    key. Output is NULL-free (counts only) per the engine output
+    policy; the oracle recomputes both batches from the parquet fixture
+    with the same orderkey-parity split rule.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(
+        orders_evolved_batches(spark, sf_dir)
+    )
+    return (
+        df.groupBy(F.col("batch").cast("string").alias("batch"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+        )
+        .orderBy("batch")
+    )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT 'v1' AS batch, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_with_priority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'v2', CAST(count(*) AS BIGINT), CAST(count(o_orderpriority) AS BIGINT)
+FROM orders WHERE o_orderkey % 2 = 1
+ORDER BY batch
+"""
