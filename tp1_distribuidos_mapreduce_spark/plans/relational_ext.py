@@ -1162,3 +1162,68 @@ WHERE s_nationkey <> c_nationkey
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+def trailing_30d_revenue(orders: DataFrame) -> DataFrame:
+    """Per-day order revenue with a TRAILING 30-DAY RANGE-frame mean:
+    the frame is bounded by date VALUE (days 29-back through today),
+    not row count — on a calendar with gaps the two frames differ, and
+    the RANGE form is the correct 'last 30 days' semantics
+    (daily_revenue_moving_avg covers the ROWS form).
+
+    Revenue is integer cents; the windowed mean divides summed cents by
+    the frame's day COUNT with half-up integer division before the one
+    exact /100.0 — the corpus_curation scaled-int discipline, since a
+    mean of 2dp values lands exactly on rounding boundaries. The window
+    orders by epoch-day int; one day-keyed aggregate precedes it, so
+    the global window runs over |days| aggregated rows.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")).cast("long"))
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-29, 0)
+    return (
+        daily.withColumn("sum_c", F.sum("cents").over(w))
+        .withColumn("n_days", F.count("cents").over(w).cast("long"))
+        .select(
+            "day",
+            (F.col("cents") / 100.0).alias("day_revenue"),
+            "n_days",
+            (
+                F.expr("(sum_c + n_days div 2) div n_days") / 100.0
+            ).alias("trailing_30d_avg"),
+        )
+        .orderBy("day")
+    )
+
+
+TRAILING_30D_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS epoch_day
+  FROM orders GROUP BY 1, 3
+), win AS (
+  SELECT day, cents,
+         sum(cents) OVER (ORDER BY epoch_day
+                          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+           AS sum_c,
+         count(cents) OVER (ORDER BY epoch_day
+                            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+           AS n_days
+  FROM daily
+)
+SELECT day, cents / 100.0 AS day_revenue, CAST(n_days AS BIGINT) AS n_days,
+       ((sum_c + n_days // 2) // n_days) / 100.0 AS trailing_30d_avg
+FROM win ORDER BY day
+"""

@@ -80,8 +80,6 @@ _WINDOW: list[str] = [
     "market_basket_pairs",
     "weighted_median_price",
     # added in round 8 (12) — each lands with a driver row
-    "sequence_packing",
-    "trigram_topk",
     "rolling_7d_active_users",
     "label_centroid_cosine",
     "user_state_islands",
@@ -97,7 +95,6 @@ _WINDOW: list[str] = [
     # With 125 registered queries a 50-slot window cannot give union(r7,
     # r8) full coverage; the cut keeps every row that is new, changed, or
     # historically red inside the window.
-    "source_mix_weights",
     "trigram_novelty",
     # added in round-8 batch 3 (3) — same new-query-gets-a-row rule;
     # displaced hourly_event_gapfill / customer_order_gaps /
@@ -155,6 +152,13 @@ _WINDOW: list[str] = [
     "association_rules",
     "incremental_agg_merge",
     "table_diff",
+    # added in round-8 batch 9 (3) — new-query-gets-a-row; displaced
+    # sequence_packing / trigram_topk / source_mix_weights (batch-1
+    # shapes, green in this session's sf0.01 driver-sim replay and the
+    # sf0.001 differential).
+    "pareto_frontier_parts",
+    "nucleus_token_cut",
+    "trailing_30d_revenue",
 ]
 
 
@@ -1572,3 +1576,30 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-restatement reconciliation (plans/ivm.py): full-outer key
     join, added/removed/changed/unchanged census in exact cents."""
     return IV.table_diff(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 9: skyline, nucleus coverage cut, RANGE-frame window
+# --------------------------------------------------------------------------
+
+
+@register("pareto_frontier_parts", oracle=RB.PARETO_FRONTIER_ORACLE)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D price/size skyline (plans/robust.py): per-price reduce +
+    one window over distinct prices — no pairwise dominance join."""
+    return RB.pareto_frontier_parts(load_table(spark, sf_dir, "part"))
+
+
+@register("nucleus_token_cut", oracle=RB.NUCLEUS_CUT_ORACLE)
+def q_nucleus_token_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-p character-mass nucleus (plans/robust.py):
+    integer head gate, one window + one aggregate — the token-budget
+    concentration census."""
+    return RB.nucleus_token_cut(load_table(spark, sf_dir, "documents"))
+
+
+@register("trailing_30d_revenue", oracle=RX.TRAILING_30D_ORACLE)
+def q_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day RANGE-frame mean (plans/relational_ext.py):
+    value-bounded frame over day-aggregated integer cents."""
+    return RX.trailing_30d_revenue(load_table(spark, sf_dir, "orders"))
