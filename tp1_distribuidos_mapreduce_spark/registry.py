@@ -75,8 +75,6 @@ _WINDOW: list[str] = [
     "dedup_clusters",
     # added this round (8) — each lands with a driver row
     "benchmark_contamination",
-    "bpe_pair_counts",
-    "event_transition_matrix",
     "market_basket_pairs",
     "weighted_median_price",
     # added in round 8 (12) — each lands with a driver row
@@ -159,6 +157,13 @@ _WINDOW: list[str] = [
     "pareto_frontier_parts",
     "nucleus_token_cut",
     "trailing_30d_revenue",
+    # added in round-8 batch 10 (2) — the CSV/JSONL connector parity
+    # queries (these proved out a real microsecond-truncation fix in
+    # files.py, so their driver row matters); displaced bpe_pair_counts
+    # (its iterative successor bpe_train_merges holds a slot) and
+    # event_transition_matrix (batch-1 shape, sim-replay green).
+    "weekday_orders_from_csv",
+    "latest_event_from_jsonl",
 ]
 
 
@@ -1603,3 +1608,27 @@ def q_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 30-day RANGE-frame mean (plans/relational_ext.py):
     value-bounded frame over day-aggregated integer cents."""
     return RX.trailing_30d_revenue(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 10: CSV and JSONL connector parity under the oracle gate
+# --------------------------------------------------------------------------
+
+
+@register("weekday_orders_from_csv", oracle=RX.WEEKDAY_ORACLE)
+def q_weekday_orders_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday order stats over a CSV round-trip of orders (sources/
+    formats.py → files.py read_csv): the schema-enforced line-oriented
+    CSV connector end-to-end under the same oracle as the parquet twin —
+    null discipline, header removal, and timestamp round-trip all score
+    on the differential."""
+    return RX.weekday_order_stats(FM.read_orders_csv(spark, sf_dir))
+
+
+@register("latest_event_from_jsonl", oracle=RX.LATEST_EVENT_ORACLE)
+def q_latest_event_from_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-user over a gzip JSONL round-trip of events
+    (sources/formats.py → files.py read_jsonl): the quarantining JSONL
+    connector end-to-end under the parquet oracle — ISO-8601 UTC
+    timestamps and double round-trips must be lossless to pass."""
+    return RX.latest_event_per_user(FM.read_events_jsonl(spark, sf_dir))

@@ -38,6 +38,23 @@ def _as_struct(schema: str | StructType) -> StructType:
     return StructType.fromDDL(schema) if isinstance(schema, str) else schema
 
 
+# Timestamp precision contract for the text connectors: the fixture's
+# events carry MICROsecond timestamps, and Spark's JSON/CSV writer default
+# (millisecond .SSS) silently truncates them — caught by the
+# latest_event_from_jsonl oracle differential. The writer always emits 6
+# fraction digits; the reader accepts both 6-digit and fraction-less
+# forms (bracket-optional section) so foreign midnight-only data still
+# parses.
+TS_WRITE_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+TS_READ_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX"
+# TIMESTAMP_NTZ columns (the fixture's orders.o_orderdate) are governed by
+# the SEPARATE timestampNTZFormat option — timestampFormat is silently
+# ignored for them (how the truncation first slipped through). No offset
+# section: NTZ has no zone to render.
+TS_NTZ_WRITE_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+TS_NTZ_READ_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]"
+
+
 def _parse_lines(
     raw: DataFrame, schema: StructType, parser: str, options: dict[str, str]
 ) -> DataFrame:
@@ -88,9 +105,20 @@ def read_jsonl(
     """
     st = _as_struct(schema)
     if strict:
-        return spark.read.schema(st).option("mode", "FAILFAST").json(path)
+        return (
+            spark.read.schema(st)
+            .option("mode", "FAILFAST")
+            .option("timestampFormat", TS_READ_FMT)
+            .option("timestampNTZFormat", TS_NTZ_READ_FMT)
+            .json(path)
+        )
     raw = spark.read.text(path).where(F.col("value") != "")
-    return _parse_lines(raw, st, "json", {})
+    return _parse_lines(
+        raw,
+        st,
+        "json",
+        {"timestampFormat": TS_READ_FMT, "timestampNTZFormat": TS_NTZ_READ_FMT},
+    )
 
 
 def read_csv(
@@ -131,6 +159,8 @@ def read_csv(
             # univocity trims by default, silently corrupting padded strings
             "ignoreLeadingWhiteSpace": "false",
             "ignoreTrailingWhiteSpace": "false",
+            "timestampFormat": TS_READ_FMT,
+            "timestampNTZFormat": TS_NTZ_READ_FMT,
             **(options or {}),
         },
     )
@@ -169,7 +199,12 @@ def write_jsonl(
     read_jsonl round-trip with the same schema is lossless for all fixture
     types including array columns.
     """
-    w = df.write.mode("overwrite").option("compression", compression)
+    w = (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .option("timestampFormat", TS_WRITE_FMT)
+        .option("timestampNTZFormat", TS_NTZ_WRITE_FMT)
+    )
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
@@ -190,6 +225,8 @@ def write_csv(
         df.write.mode("overwrite")
         .option("header", str(header).lower())
         .option("compression", compression)
+        .option("timestampFormat", TS_WRITE_FMT)
+        .option("timestampNTZFormat", TS_NTZ_WRITE_FMT)
         .option("nullValue", "\\N")
         .option("emptyValue", '""')
         .option("ignoreLeadingWhiteSpace", "false")

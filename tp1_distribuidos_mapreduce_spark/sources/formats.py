@@ -97,3 +97,58 @@ SELECT 'v2', CAST(count(*) AS BIGINT), CAST(count(o_orderpriority) AS BIGINT)
 FROM orders WHERE o_orderkey % 2 = 1
 ORDER BY batch
 """
+
+
+ORDERS_CSV_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+EVENTS_JSONL_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def orders_as_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders as headered CSV under /tmp (once) and return
+    the directory — so a registered query can drive the schema-enforced
+    CSV connector (sources/files.py read_csv: line-oriented scan,
+    explicit schema, corrupt-row quarantine, \\N null discipline)
+    end-to-end under the parquet oracle."""
+    from .files import write_csv
+
+    tag = fixture_cache_tag(sf_dir, "orders", "csv-v3")
+    out = f"/tmp/tp1_spark_csv_orders_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_csv(load_table(spark, sf_dir, "orders"), out)
+    return out
+
+
+def read_orders_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .files import read_csv, valid_records
+
+    return valid_records(
+        read_csv(spark, orders_as_csv(spark, sf_dir), ORDERS_CSV_SCHEMA)
+    )
+
+
+def events_as_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as gzip JSONL under /tmp (once) — the JSONL
+    connector twin of orders_as_csv (ISO-8601 UTC timestamps, lossless
+    round-trip per write_jsonl's contract)."""
+    from .files import write_jsonl
+
+    tag = fixture_cache_tag(sf_dir, "events", "jsonl-v3")
+    out = f"/tmp/tp1_spark_jsonl_events_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_jsonl(load_table(spark, sf_dir, "events"), out)
+    return out
+
+
+def read_events_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .files import read_jsonl, valid_records
+
+    return valid_records(
+        read_jsonl(spark, events_as_jsonl(spark, sf_dir), EVENTS_JSONL_SCHEMA)
+    )
