@@ -359,3 +359,49 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
         "complete",
     ).collect()
     assert norm(stream) == norm(batch)
+
+
+def test_stream_ivm_state_equals_batch_recompute(spark, tmp_path):
+    """write_stream_ivm folded across MULTIPLE micro-batches must equal
+    the one-shot batch aggregate exactly (integer cents), and a rerun
+    with the same checkpoint must be a no-op (exactly-once fold)."""
+    from pyspark.sql import functions as F
+
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "ivm_src")
+    state = str(tmp_path / "ivm_state")
+    ckpt = str(tmp_path / "ivm_ckpt")
+
+    ev = batch_events(spark)
+    # several source files -> maxFilesPerTrigger splits the replay into
+    # genuinely separate foreachBatch folds
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    SK.write_stream_ivm(stream_events(spark, src, max_files=1), state, ckpt)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in SK.read_ivm_state(spark, state).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in (
+            ev.groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+                ).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == expect
+
+    # restart with the same checkpoint: no re-fold, state unchanged
+    SK.write_stream_ivm(stream_events(spark, src, max_files=1), state, ckpt)
+    got2 = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in SK.read_ivm_state(spark, state).collect()
+    }
+    assert got2 == expect

@@ -75,7 +75,6 @@ _WINDOW: list[str] = [
     "dedup_clusters",
     # added this round (8) — each lands with a driver row
     "benchmark_contamination",
-    "market_basket_pairs",
     "weighted_median_price",
     # added in round 8 (12) — each lands with a driver row
     "rolling_7d_active_users",
@@ -164,6 +163,12 @@ _WINDOW: list[str] = [
     # event_transition_matrix (batch-1 shape, sim-replay green).
     "weekday_orders_from_csv",
     "latest_event_from_jsonl",
+    # added in round-8 batch 11 (1) — the streaming-IVM drain (a real
+    # availableNow foreachBatch fold, the only streaming-sink path with
+    # a driver-visible oracle row); displaced market_basket_pairs
+    # (batch-1 shape whose derived metrics successor association_rules
+    # holds a slot; sim-replay green).
+    "stream_ivm_user_totals",
 ]
 
 
@@ -1632,3 +1637,53 @@ def q_latest_event_from_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     connector end-to-end under the parquet oracle — ISO-8601 UTC
     timestamps and double round-trips must be lossless to pass."""
     return RX.latest_event_per_user(FM.read_events_jsonl(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Round-8 batch 11: streaming incremental view maintenance
+# --------------------------------------------------------------------------
+
+STREAM_IVM_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("stream_ivm_user_totals", oracle=STREAM_IVM_ORACLE)
+def q_stream_ivm_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance end-to-end (streaming/
+    sinks.py write_stream_ivm): an availableNow drain folds per-user
+    (count, value-cents) deltas into a persisted state table via
+    foreachBatch full-outer combines; the returned final state must
+    equal the one-shot batch aggregate exactly — integer cents make the
+    fold exact across any micro-batch boundaries (multi-batch replay
+    and restart no-op pinned in tests/test_streaming.py). Fresh
+    state/checkpoint dirs per invocation keep the query idempotent."""
+    import os
+    import tempfile
+
+    from .sources.tables import fixture_cache_tag, stream_events
+    from .streaming import sinks as SK
+
+    # The streaming file source requires a DIRECTORY; the fixture ships a
+    # single parquet file. Materialize a multi-file landing dir once
+    # (content-addressed) so the drain also exercises >1 source file.
+    tag = fixture_cache_tag(sf_dir, "events", "stream-src-v1")
+    src = f"/tmp/tp1_spark_stream_events_{tag}"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+    work = tempfile.mkdtemp(prefix="tp1_spark_ivm_q_")
+    SK.write_stream_ivm(
+        stream_events(spark, src, max_files_per_trigger=2),
+        f"{work}/state",
+        f"{work}/ckpt",
+    )
+    return SK.read_ivm_state(spark, f"{work}/state")

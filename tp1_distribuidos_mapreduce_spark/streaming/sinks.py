@@ -82,3 +82,96 @@ def write_stream_restatement(
         .start()
         .awaitTermination()
     )
+
+
+def write_stream_ivm(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming incremental view maintenance: fold each micro-batch of
+    events into a persisted per-user aggregate state table — the
+    streaming twin of plans/ivm.py's batch combine, and the shape of
+    every 'keep a running aggregate fresh off the firehose' pipeline.
+
+    Per batch (foreachBatch runs serially, exactly once per epoch under
+    the checkpoint): aggregate ONLY the batch delta (n_events, value
+    cents — both algebraic), full-outer-combine it with the current
+    state parquet, and atomically replace the state (write new, swap).
+    Only the delta is ever scanned per epoch; the combine join is
+    state-cardinality. Integer cents keep the fold exact, so the final
+    state equals the one-shot batch aggregate bit-for-bit regardless of
+    micro-batch boundaries (pinned in tests/test_streaming.py across a
+    multi-batch replay).
+
+    Restart contract: the checkpoint's offset log makes each source file
+    contribute exactly one delta even across crash/restart — rerunning a
+    completed drain is a no-op.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        import os
+
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            cur = spark.read.parquet(state_path)
+            b = cur.select(
+                "user_id",
+                F.col("n_events").alias("b_n"),
+                F.col("cents").alias("b_c"),
+            )
+            d = delta.select(
+                "user_id",
+                F.col("n_events").alias("d_n"),
+                F.col("cents").alias("d_c"),
+            )
+            merged = b.join(d, "user_id", "full_outer").select(
+                "user_id",
+                (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+                .cast("long")
+                .alias("n_events"),
+                (F.coalesce("b_c", F.lit(0)) + F.coalesce("d_c", F.lit(0)))
+                .cast("long")
+                .alias("cents"),
+            )
+        else:
+            merged = delta
+        tmp = state_path + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = state_path + ".old"
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_ivm_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Final IVM state as (user_id, n_events, total_value) with cents
+    divided once at the edge."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_path)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
