@@ -79,6 +79,53 @@ def test_triangle_count_hand_graph(spark):
     assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) == (4, 5, 2)
 
 
+def test_triangle_orientation_bounds_hub_adjacency(spark):
+    """Skew hardening: on a star graph (hub in every basket of size 2)
+    the degree orientation must point every edge leaf→hub, so no
+    adjacency list exceeds size 1 — with id-orientation a low-id hub
+    would hold an n_leaves-sized list, the row that OOMs a power-law
+    100 TB graph. Count and tallies must also stay exact: a star has
+    0 triangles; adding one leaf-leaf basket closes exactly 1."""
+    hub, leaves = 0, list(range(1, 41))
+    rows = []
+    for i, leaf in enumerate(leaves):
+        rows += [(1000 + i, hub), (1000 + i, leaf)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = GR.triangle_count(li).collect()[0]
+    assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) == (41, 40, 0)
+
+    # pin the bounded-adjacency property via the same oriented
+    # construction the operator uses (degree-ordered, tie-break id)
+    from pyspark.sql import functions as F
+
+    edges = GR.copurchase_edges(li).where(F.col("src") < F.col("dst"))
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    wd = edges.join(
+        deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg")), "src"
+    ).join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+    lower_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = wd.select(
+        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u")
+    )
+    max_out = oriented.groupBy("u").count().agg(F.max("count")).collect()[0][0]
+    assert max_out == 1  # every leaf points at the hub; hub points nowhere
+
+    # close one triangle via a leaf-leaf basket and re-count
+    li2 = spark.createDataFrame(
+        rows + [(2000, leaves[0]), (2000, leaves[1])],
+        "l_orderkey long, l_partkey long",
+    )
+    out2 = GR.triangle_count(li2).collect()[0]
+    assert (out2["n_edges"], out2["n_triangles"]) == (41, 1)
+
+
 def test_degree_distribution_hand_graph(spark):
     """Same two-basket graph: nodes 1 and 4 have degree 2, nodes 2 and 3
     have degree 3."""

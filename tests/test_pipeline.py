@@ -95,3 +95,31 @@ def test_avg_quality_rounding_portable_at_half_boundaries(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_weighted_sample_zero_mass_source_defined_and_dropped(spark, duck):
+    """A source whose total character mass is 0 (all-empty docs) must not
+    crash either engine nor be sampled: with greatest(stride, 1) the
+    grid-crossing test is defined and no zero-weight row crosses a line.
+    Before the guard, stride=0 made Spark's div yield NULL (silent drop)
+    while DuckDB's // raised — a latent engine/oracle divergence."""
+    rows = [
+        (1, "empty", 0),
+        (2, "empty", 0),
+        (3, "full", 40),
+        (4, "full", 40),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {(r.source, r.doc_id) for r in P.weighted_systematic_sample(d, k=2).collect()}
+    assert got and all(s == "full" for s, _ in got)
+    # oracle side runs without error on the same degenerate input
+    values = ",".join(f"({i},'{s}',{w})" for i, s, w in rows)
+    duck.sql(
+        "WITH documents AS (SELECT * FROM (VALUES " + values + ") t(doc_id, source, n_chars)), "
+        "cum AS (SELECT source, doc_id, n_chars AS w, "
+        " sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_w, "
+        " sum(n_chars) OVER (PARTITION BY source) AS total_w FROM documents) "
+        "SELECT source, doc_id FROM (SELECT source, doc_id, w, cum_w, "
+        " greatest((total_w + 1) // 2, 1) AS stride FROM cum) "
+        "WHERE cum_w // stride > (cum_w - w) // stride"
+    ).fetchall()

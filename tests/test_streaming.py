@@ -405,3 +405,77 @@ def test_stream_ivm_state_equals_batch_recompute(spark, tmp_path):
         for r in SK.read_ivm_state(spark, state).collect()
     }
     assert got2 == expect
+
+
+def test_stream_ivm_replayed_batch_is_not_double_counted(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the state commit but
+    before the checkpoint's epoch commit replays the SAME (batch_id,
+    batch) on restart. The batch_id fence in the pointer must make the
+    replayed fold a no-op — the bug a clean-drain rerun cannot catch."""
+    import json
+    import os
+
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    state = str(tmp_path / "ivm_state")
+    ev = batch_events(spark).limit(40)
+
+    # drive the production fold directly with an injected replay — the
+    # delivery sequence an at-least-once foreachBatch produces after a
+    # crash between state commit and epoch commit
+    first = ev.limit(20)
+    second = ev.subtract(first)
+
+    SK._ivm_fold(first, 0, state)
+    SK._ivm_fold(first, 0, state)  # REPLAY of epoch 0 — must be a no-op
+    SK._ivm_fold(second, 1, state)
+    SK._ivm_fold(second, 1, state)  # REPLAY of epoch 1 — must be a no-op
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in SK.read_ivm_state(spark, state).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .collect()
+    }
+    assert got == expect
+
+    # crash-window invariant: the pointer always names a complete
+    # version dir — CURRENT exists and its target has a _SUCCESS marker
+    ptr = json.load(open(os.path.join(state, "CURRENT")))
+    assert os.path.exists(os.path.join(state, ptr["dir"], "_SUCCESS"))
+    # and exactly one committed version is retained (older GC'd)
+    vdirs = [d for d in os.listdir(state) if d.startswith("v")]
+    assert vdirs == [ptr["dir"]]
+
+
+def test_stream_ivm_fold_via_public_drain_uses_fence(spark, tmp_path):
+    """End-to-end drain through write_stream_ivm with the NEW versioned
+    layout: multi-batch fold equals batch recompute and the pointer
+    records the last batch_id (exactly-once bookkeeping is visible)."""
+    import os
+
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ev = batch_events(spark)
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    SK.write_stream_ivm(stream_events(spark, src, max_files=1), state, ckpt)
+    ptr = SK._read_ivm_pointer(state)
+    assert ptr is not None and ptr["batch_id"] >= 1  # multiple epochs folded
+    assert SK.read_ivm_state(spark, state).count() == (
+        ev.select("user_id").distinct().count()
+    )
+    assert os.path.exists(os.path.join(state, ptr["dir"], "_SUCCESS"))

@@ -428,7 +428,12 @@ def weighted_systematic_sample(
         documents.select("doc_id", "source", F.col("n_chars").cast("long").alias("w"))
         .withColumn("cum_w", F.sum("w").over(w).cast("long"))
         .join(F.broadcast(totals), "source")
-        .withColumn("stride", F.expr(f"(total_w + {k} - 1) div {k}"))
+        # greatest(..., 1): a source whose total mass is 0 (all-empty
+        # docs) would otherwise get stride = 0 — Spark's div yields NULL
+        # (silently dropping the source) while DuckDB's // raises; the
+        # floor of 1 keeps both engines defined and agreeing (no row of
+        # an all-zero source crosses a grid line, so none are sampled).
+        .withColumn("stride", F.expr(f"greatest((total_w + {k} - 1) div {k}, 1)"))
     )
     crosses = F.expr("cum_w div stride") > F.expr("(cum_w - w) div stride")
     return (
@@ -447,7 +452,8 @@ WITH cum AS (
   FROM documents
 )
 SELECT source, doc_id, CAST(w AS BIGINT) AS n_chars
-FROM (SELECT source, doc_id, w, cum_w, (total_w + 7) // 8 AS stride FROM cum)
+FROM (SELECT source, doc_id, w, cum_w,
+             greatest((total_w + 7) // 8, 1) AS stride FROM cum)
 WHERE cum_w // stride > (cum_w - w) // stride
 ORDER BY source, doc_id
 """

@@ -223,13 +223,30 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
     natively (percentile() is unweighted), composed from two aggregates
     and one cumulative window.
 
-    Plan: collapse to (flag, price) with summed integer weights FIRST —
-    the window then sorts only distinct prices per flag, not lineitems —
-    and select the smallest price whose cumulative weight reaches half
-    the total (`2*cum >= total`, pure BIGINT arithmetic, no float
-    boundary). The result is an ACTUAL data value, so the differential
-    is bit-exact with no rounding discipline needed.
+    Plan: TWO-PHASE exact median, so no window partition ever sorts the
+    full distinct-price set of a flag (there are only 3 flags — a
+    single-phase cumulative window would serialize millions of distinct
+    prices onto 3 tasks at sf100):
+
+    1. collapse to (flag, price, summed BIGINT weight) — the only
+       lineitem-cardinality shuffle;
+    2. range-bucket prices (fixed width — deterministic, no
+       data-dependent split points) and aggregate weight per
+       (flag, bucket): a tiny frame, flags × ~100 buckets;
+    3. bucket-level cumulative weights (window over the tiny frame)
+       locate the single bucket containing the median and its
+       prior-bucket cumulative weight;
+    4. broadcast-join that one-row-per-flag locator back and run the
+       in-bucket cumulative window ONLY over the median bucket's
+       distinct prices — per-task input is one bucket, not one flag.
+
+    The median price p* (min price whose cumulative weight reaches half
+    the total, `2*cum >= tot`, pure BIGINT arithmetic) provably lies in
+    the located bucket: every earlier bucket's inclusive cumulative is
+    below tot/2. The result is an ACTUAL data value, bit-exact against
+    the single-phase oracle with no rounding discipline needed.
     """
+    bucket_width = 1024  # fixed price-range width; ~100 buckets on TPC-H
     wp = (
         lineitem.select(
             "l_returnflag",
@@ -238,21 +255,45 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
         )
         .groupBy("l_returnflag", "l_extendedprice")
         .agg(F.sum("wt").alias("wt"))
+        .withColumn(
+            "bkt", F.floor(F.col("l_extendedprice") / bucket_width).cast("long")
+        )
     )
-    cum_w = (
+    per_bkt = wp.groupBy("l_returnflag", "bkt").agg(F.sum("wt").alias("bwt"))
+    cum_b = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    bkts = per_bkt.withColumn("cumb", F.sum("bwt").over(cum_b)).withColumn(
+        "tot", F.sum("bwt").over(tot_w)
+    )
+    med_bkt = (
+        bkts.where(2 * F.col("cumb") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("bkt").alias("bkt"))
+        .join(bkts, ["l_returnflag", "bkt"])
+        .select(
+            "l_returnflag",
+            "bkt",
+            (F.col("cumb") - F.col("bwt")).alias("prior"),
+            "tot",
+        )
+    )
+    cum_in = (
         Window.partitionBy("l_returnflag")
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tot_w = Window.partitionBy("l_returnflag")
     return (
-        wp.withColumn("cum", F.sum("wt").over(cum_w))
-        .withColumn("tot", F.sum("wt").over(tot_w))
+        wp.join(F.broadcast(med_bkt), ["l_returnflag", "bkt"])
+        .withColumn("cum", F.col("prior") + F.sum("wt").over(cum_in))
         .where(2 * F.col("cum") >= F.col("tot"))
         .groupBy("l_returnflag")
         .agg(
             F.min("l_extendedprice").alias("weighted_median_price"),
-            F.first("tot").alias("total_quantity"),
+            F.min("tot").alias("total_quantity"),
         )
         .orderBy("l_returnflag")
     )

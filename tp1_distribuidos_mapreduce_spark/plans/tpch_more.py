@@ -47,14 +47,16 @@ def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     l_orderkey with the date inequality as a join-side filter; the year
     filter prunes orders before the shuffle and Catalyst pushes the
     lineitem column prune to the scan (only l_orderkey + l_shipdate are
-    read).
+    read). The 60-day cutoff is full-TIMESTAMP interval arithmetic
+    (o_orderdate + INTERVAL 60 DAYS, no to_date truncation) so it stays
+    exact for fixtures whose order dates carry a time-of-day component.
     """
     o = orders.where(F.year("o_orderdate") == 1996)
     late = o.join(
         lineitem.select("l_orderkey", "l_shipdate"),
         on=[
             o["o_orderkey"] == F.col("l_orderkey"),
-            F.col("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60),
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
         ],
         how="left_semi",
     )

@@ -94,62 +94,32 @@ def write_stream_ivm(
     streaming twin of plans/ivm.py's batch combine, and the shape of
     every 'keep a running aggregate fresh off the firehose' pipeline.
 
-    Per batch (foreachBatch runs serially, exactly once per epoch under
-    the checkpoint): aggregate ONLY the batch delta (n_events, value
-    cents — both algebraic), full-outer-combine it with the current
-    state parquet, and atomically replace the state (write new, swap).
-    Only the delta is ever scanned per epoch; the combine join is
+    Per batch: aggregate ONLY the batch delta (n_events, value cents —
+    both algebraic), full-outer-combine it with the current state
+    parquet, and commit via versioned-dir + atomic pointer swap. Only
+    the delta is ever scanned per epoch; the combine join is
     state-cardinality. Integer cents keep the fold exact, so the final
     state equals the one-shot batch aggregate bit-for-bit regardless of
     micro-batch boundaries (pinned in tests/test_streaming.py across a
     multi-batch replay).
 
-    Restart contract: the checkpoint's offset log makes each source file
-    contribute exactly one delta even across crash/restart — rerunning a
-    completed drain is a no-op.
-    """
-    import shutil
+    Restart contract — foreachBatch is AT-LEAST-ONCE, so exactly-once
+    is built here, not assumed from the checkpoint:
 
-    from pyspark.sql import functions as F
+    * **Replay fence**: the committed batch_id travels inside the
+      pointer file. A replayed epoch (crash after state commit, before
+      the checkpoint's epoch commit) sees ``batch_id <= committed`` and
+      returns without folding — no double count.
+    * **Atomic commit**: each fold writes a fresh versioned state dir
+      ``v{batch_id}`` and then atomically replaces the single pointer
+      file ``CURRENT`` (write temp + os.replace). There is no window
+      with no valid state: readers follow the pointer, which always
+      names a fully-written version; the previous version is deleted
+      only after the pointer swap.
+    """
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        delta = batch_df.groupBy("user_id").agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
-        )
-        import os
-
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
-            cur = spark.read.parquet(state_path)
-            b = cur.select(
-                "user_id",
-                F.col("n_events").alias("b_n"),
-                F.col("cents").alias("b_c"),
-            )
-            d = delta.select(
-                "user_id",
-                F.col("n_events").alias("d_n"),
-                F.col("cents").alias("d_c"),
-            )
-            merged = b.join(d, "user_id", "full_outer").select(
-                "user_id",
-                (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
-                .cast("long")
-                .alias("n_events"),
-                (F.coalesce("b_c", F.lit(0)) + F.coalesce("d_c", F.lit(0)))
-                .cast("long")
-                .alias("cents"),
-            )
-        else:
-            merged = delta
-        tmp = state_path + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = state_path + ".old"
-        if os.path.exists(state_path):
-            os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _ivm_fold(batch_df, batch_id, state_path)
 
     (
         stream_df.writeStream.foreachBatch(fold)
@@ -161,13 +131,95 @@ def write_stream_ivm(
     )
 
 
-def read_ivm_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """Final IVM state as (user_id, n_events, total_value) with cents
-    divided once at the edge."""
+def _ivm_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One idempotent IVM fold: fence on the committed batch_id, merge the
+    delta into the current version, commit a new version atomically.
+    Module-level (not a closure) so tests can drive an injected replay
+    through the exact production path."""
+    import os
+
     from pyspark.sql import functions as F
 
+    spark = batch_df.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    committed = _read_ivm_pointer(state_path)
+    if committed is not None and batch_id <= committed["batch_id"]:
+        return  # replayed epoch — already folded into the state
+    delta = batch_df.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    if committed is not None:
+        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        b = cur.select(
+            "user_id",
+            F.col("n_events").alias("b_n"),
+            F.col("cents").alias("b_c"),
+        )
+        d = delta.select(
+            "user_id",
+            F.col("n_events").alias("d_n"),
+            F.col("cents").alias("d_c"),
+        )
+        merged = b.join(d, "user_id", "full_outer").select(
+            "user_id",
+            (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            (F.coalesce("b_c", F.lit(0)) + F.coalesce("d_c", F.lit(0)))
+            .cast("long")
+            .alias("cents"),
+        )
+    else:
+        merged = delta
+    new_dir = f"v{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _commit_ivm_pointer(state_path, new_dir, batch_id)
+    if committed is not None and committed["dir"] != new_dir:
+        import shutil
+
+        shutil.rmtree(os.path.join(state_path, committed["dir"]), ignore_errors=True)
+
+
+def _read_ivm_pointer(state_path: str) -> dict | None:
+    """Read the CURRENT pointer: {"dir": "v3", "batch_id": 3} or None."""
+    import json
+    import os
+
+    ptr = os.path.join(state_path, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return json.load(f)
+
+
+def _commit_ivm_pointer(state_path: str, version_dir: str, batch_id: int) -> None:
+    """Atomically replace CURRENT (temp file + os.replace — POSIX-atomic,
+    so readers always see either the old or the new complete pointer)."""
+    import json
+    import os
+
+    tmp = os.path.join(state_path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"dir": version_dir, "batch_id": batch_id}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(state_path, "CURRENT"))
+
+
+def read_ivm_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Final IVM state as (user_id, n_events, total_value) with cents
+    divided once at the edge. Follows the CURRENT pointer, so a reader
+    concurrent with a fold always sees a complete committed version."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    committed = _read_ivm_pointer(state_path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed IVM state under {state_path}")
     return (
-        spark.read.parquet(state_path)
+        spark.read.parquet(os.path.join(state_path, committed["dir"]))
         .select(
             "user_id",
             "n_events",
