@@ -31,6 +31,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated query-name filter for quick
+    # iteration and for the contract test (which needs the JSON shape, not
+    # a 160-query timing sweep).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",")}
+        unknown = keep - set(qs)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
+        qs = {n: fn for n, fn in qs.items() if n in keep}
     # Warmup: pay every one-time cost BEFORE the clock starts, so per-query
     # numbers (and round-over-round deltas) measure plans, not startup.
     # Round 2 showed a registry reorder alone moved ~10s between queries:
@@ -41,7 +51,10 @@ def main() -> None:
     from tp1_distribuidos_mapreduce_spark.sources.tables import TABLE_NAMES, load_table
 
     t_warm0 = time.perf_counter()
-    for t in TABLE_NAMES:
+    # SPARK_GRAFT_BENCH_WARMUP=0 skips warmup (contract test / smoke runs
+    # where per-query numbers are not being compared round-over-round).
+    do_warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    for t in TABLE_NAMES if do_warmup else []:
         materialize(load_table(spark, sf_dir, t))
     # bucketed_colocated_join, wc_textfiles, and knn_ivf_persisted also
     # warm here so their one-time /tmp materializations (bucketed layout,
@@ -51,17 +64,22 @@ def main() -> None:
     # auditable: warmup_sec on a cold /tmp includes the real first-run
     # build costs that total_query_wall_clock deliberately excludes.
     for warm in (
-        "dedup_exact",
-        "mr_wc",
-        "tumbling_event_counts",
-        "bucketed_colocated_join",
-        "wc_textfiles",
-        "knn_ivf_persisted",
-        "knn_ivf_pq_persisted",
-        "zorder_pruned_scan",
-        "partitioned_pruned_daily",
+        (
+            "dedup_exact",
+            "mr_wc",
+            "tumbling_event_counts",
+            "bucketed_colocated_join",
+            "wc_textfiles",
+            "knn_ivf_persisted",
+            "knn_ivf_pq_persisted",
+            "zorder_pruned_scan",
+            "partitioned_pruned_daily",
+        )
+        if do_warmup
+        else ()
     ):
-        materialize(qs[warm](spark, sf_dir))
+        if warm in qs:
+            materialize(qs[warm](spark, sf_dir))
     warmup_sec = round(time.perf_counter() - t_warm0, 3)
 
     timings: dict[str, float] = {}
@@ -89,7 +107,19 @@ def main() -> None:
             "warmup_sec": warmup_sec,
         }
     )
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # SPARK_GRAFT_BENCH_SIDECAR redirects the sidecar (tests / ad-hoc runs).
+    # The committed BENCH_FULL.json is only ever written by a full-registry
+    # run at the canonical sf0.1 — any other configuration lands in /tmp, so
+    # a smoke run can never clobber the graded record (the exact accident
+    # r8 had to catch by hand).
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR")
+    if sidecar is None:
+        if sf == 0.1 and not only and do_warmup:
+            sidecar = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            )
+        else:
+            sidecar = f"/tmp/BENCH_FULL_sf{sf}.json"
     with open(sidecar, "w") as f:
         f.write(full_line + "\n")
     # Stdout line is kept PARSEABLE inside the driver's tail cap (VERDICT

@@ -34,15 +34,21 @@ def assert_df_matches_oracle(sdf, duck, sql, float_tol=1e-9):
     """Order-insensitive comparison of a Spark DataFrame vs DuckDB SQL —
     the same discipline as the driver's t2 gate (and the reference's
     sequential-oracle comparison, tests/test_wc.py:30-39)."""
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(row[c] for c in spark_cols) for row in sdf.collect()]
+    assert_rows_match_oracle(spark_cols, spark_rows, duck, sql, float_tol)
+
+
+def assert_rows_match_oracle(spark_cols, spark_rows, duck, sql, float_tol=1e-9):
+    """Comparison half of assert_df_matches_oracle, over already-collected
+    (cols, rows) — lets the oracle differential collect all queries
+    CONCURRENTLY (Spark's scheduler is thread-safe) and compare serially."""
     def row_key(row):
         # None-safe, type-stable sort key; identical values get identical
         # keys in both engines so rows pair up correctly.
         return tuple((v is None, str(v)) for v in row)
 
-    spark_cols = sorted(sdf.columns)
-    spark_rows = sorted(
-        (tuple(row[c] for c in spark_cols) for row in sdf.collect()), key=row_key
-    )
+    spark_rows = sorted(spark_rows, key=row_key)
     # Engine-wide output policy (verify notes): no NULLs in any query
     # output — the driver may sort rows as plain tuples, and None vs
     # str/datetime raises there. Enforced mechanically on every

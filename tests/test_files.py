@@ -170,3 +170,30 @@ def test_csv_typed_schema_drops_headers_per_file(spark, tmp_path):
     back = FS.valid_records(FS.read_csv(spark, p, "id long, s string"))
     assert back.count() == 50  # 8 per-file headers all dropped, no data lost
     assert FS.corrupt_records(FS.read_csv(spark, p, "id long, s string")).count() == 0
+
+
+def test_type_widening_fixture_really_heterogeneous(spark):
+    """The widened-orders corpus must genuinely carry DIFFERENT physical
+    types across batches (v1 INT32, v2 INT64) — otherwise the
+    type_widening_census query proves nothing. Pin the per-footer types,
+    pin that Spark's parquet footer merge REFUSES the cross-type merge
+    (so mergeSchema alone is not the evolution answer), and pin that the
+    schema-directed read widens the INT32 batch to BIGINT at scan."""
+    import os
+
+    import pytest
+    from pyspark.sql.types import IntegerType, LongType
+
+    from tp1_distribuidos_mapreduce_spark.sources import formats as FM
+
+    root = FM.orders_widened_batches(spark, SF_SMOKE)
+    t_v1 = spark.read.parquet(os.path.join(root, "batch=v1")).schema["o_custkey"].dataType
+    t_v2 = spark.read.parquet(os.path.join(root, "batch=v2")).schema["o_custkey"].dataType
+    assert isinstance(t_v1, IntegerType) and isinstance(t_v2, LongType)
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+        spark.read.option("mergeSchema", "true").parquet(root).schema
+    directed = spark.read.schema(FM.WIDENED_ORDERS_SCHEMA).parquet(root)
+    assert isinstance(directed.schema["o_custkey"].dataType, LongType)
+    # and the up-cast really reads the INT32 rows (not nulls/zeros)
+    v1_rows = directed.where("batch = 'v1'").where("o_custkey > 0").count()
+    assert v1_rows > 0

@@ -126,6 +126,33 @@ def test_triangle_orientation_bounds_hub_adjacency(spark):
     assert (out2["n_edges"], out2["n_triangles"]) == (41, 1)
 
 
+def test_graph_broadcast_guard_fallback_identical(spark, monkeypatch):
+    """The >1M-node degradation path (shuffled joins instead of broadcast)
+    has no natural coverage at test scale — force it by dropping the
+    limit to 0 and pin that PageRank and BFS produce IDENTICAL output to
+    the broadcast path on the same graph. Protects the 100 TB fallback
+    from silent rot (VERDICT r8 #4)."""
+    rows = (
+        [(100, p) for p in (1, 2, 3)]
+        + [(200, p) for p in (3, 4)]
+        + [(300, p) for p in (4, 5, 6)]
+    )
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    pr_bcast = [tuple(r) for r in GR.pagerank_copurchase(li).collect()]
+    bfs_bcast = [tuple(r) for r in GR.bfs_distances(li).collect()]
+    assert GR.PAGERANK_BROADCAST_NODE_LIMIT > 0  # broadcast path really ran
+
+    monkeypatch.setattr(GR, "PAGERANK_BROADCAST_NODE_LIMIT", 0)
+    pr_shuf = [tuple(r) for r in GR.pagerank_copurchase(li).collect()]
+    bfs_shuf = [tuple(r) for r in GR.bfs_distances(li).collect()]
+
+    # ranks are rounded at 6dp in the operator output; partial-sum order
+    # differences live below that, so equality here is exact
+    assert pr_shuf == pr_bcast
+    assert bfs_shuf == bfs_bcast
+
+
 def test_degree_distribution_hand_graph(spark):
     """Same two-basket graph: nodes 1 and 4 have degree 2, nodes 2 and 3
     have degree 3."""

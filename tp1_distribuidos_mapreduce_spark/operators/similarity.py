@@ -343,10 +343,26 @@ def ensure_ivf_index(
     tag = fixture_cache_tag(
         sf_dir, "embeddings", "ivf", IVF_INDEX_VERSION, n_lists, sample_size, num_buckets
     )
+    from ..sources.artifacts import pathlock
+
     table = f"ivf_inverted_{tag}"
     base = f"/tmp/tp1_spark_ivf_{tag}"
     cpath = f"{base}/centroids"
     ipath = f"{base}/inverted"
+    with pathlock(base):
+        return _ensure_ivf_index_locked(
+            spark, sf_dir, table, cpath, ipath, n_lists, sample_size, num_buckets
+        )
+
+
+def _ensure_ivf_index_locked(
+    spark, sf_dir, table, cpath, ipath, n_lists, sample_size, num_buckets
+):
+    import os
+
+    from ..sinks.bucketed import register_existing_bucketed, write_bucketed
+    from ..sources.tables import load_table
+
     if spark.catalog.tableExists(table):
         return table, cpath
     e = _as_double(load_table(spark, sf_dir, "embeddings"))
@@ -603,9 +619,27 @@ def ensure_ivf_pq_index(
         sf_dir, "embeddings", "ivfpq", IVF_PQ_INDEX_VERSION,
         n_lists, m_subq, n_codes, sample_size, num_buckets,
     )
+    from ..sources.artifacts import pathlock
+
     table = f"ivfpq_inverted_{tag}"
     base = f"/tmp/tp1_spark_ivfpq_{tag}"
     cpath, bpath, ipath = f"{base}/centroids", f"{base}/codebooks", f"{base}/inverted"
+    with pathlock(base):
+        return _ensure_ivf_pq_index_locked(
+            spark, sf_dir, table, base, cpath, bpath, ipath,
+            n_lists, m_subq, n_codes, sample_size, num_buckets,
+        )
+
+
+def _ensure_ivf_pq_index_locked(
+    spark, sf_dir, table, base, cpath, bpath, ipath,
+    n_lists, m_subq, n_codes, sample_size, num_buckets,
+):
+    import os
+
+    from ..sinks.bucketed import register_existing_bucketed, write_bucketed
+    from ..sources.tables import load_table
+
     if spark.catalog.tableExists(table):
         return table, base
     if os.path.exists(os.path.join(ipath, "_SUCCESS")):

@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.artifacts import build_once
 from ..sources.tables import fixture_cache_tag, load_table
 
 # Deterministic cutoff: orders strictly before it are the "already
@@ -29,7 +30,8 @@ def _base_state_path(spark: SparkSession, sf_dir: str) -> str:
     never recomputes history."""
     tag = fixture_cache_tag(sf_dir, "orders", "ivm-base-v1", IVM_CUTOFF)
     out = f"/tmp/tp1_spark_ivm_base_{tag}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+
+    def _build() -> None:
         orders = load_table(spark, sf_dir, "orders")
         (
             orders.where(F.col("o_orderdate") < F.lit(IVM_CUTOFF).cast("timestamp"))
@@ -43,6 +45,8 @@ def _base_state_path(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(out)
         )
+
+    build_once(out, _build)
     return out
 
 

@@ -404,3 +404,339 @@ FROM (SELECT day,
 GROUP BY day
 ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# Q6: forecast revenue change — pure scan-filter-aggregate
+# --------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """Revenue increase from hypothetically eliminating small discounts —
+    TPC-H Q6 (year/discount-band/quantity filters adapted to the
+    fixture's 1995–2001 dates and 0–0.10 discount range).
+
+    The plan-quality benchmark query: every predicate must reach the
+    parquet scan (shipdate min/max row-group pruning + discount/quantity
+    PushedFilters) and the aggregate is a single partial+final sum with
+    no shuffle of data rows — only the one-row partials. Any Exchange of
+    lineitem rows here is a planner bug.
+    """
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+        .select(F.coalesce("revenue", F.lit(0.0)).alias("revenue"))
+    )
+
+
+Q6_ORACLE = """
+SELECT coalesce(round(sum(l_extendedprice * l_discount), 2), 0.0) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7: volume shipping between two nations (supplier nation ≠ customer nation)
+# --------------------------------------------------------------------------
+
+
+def q7_volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Bilateral trade volume between NATION_1 and NATION_2 by ship year
+    — TPC-H Q7 (nation pair and 1996–1997 window adapted to the
+    fixture).
+
+    Plan shape: both nation-filtered dimension sides (supplier⨝nation,
+    customer⨝nation) are broadcast into the lineitem⨝orders fact join;
+    the cross-pair predicate (supp_nation ≠ cust_nation within the
+    chosen pair) is applied post-join where both keys are in hand. The
+    only fact-sized shuffle is lineitem⨝orders on the order key.
+    """
+    n1, n2 = "NATION_1", "NATION_2"
+    nat = nation.where(F.col("n_name").isin(n1, n2)).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation,
+         cn.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+    AND cn.n_name IN ('NATION_1', 'NATION_2')
+    AND sn.n_name <> cn.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14: promotion effect — conditional aggregate share
+# --------------------------------------------------------------------------
+
+
+def q14_promo_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Percentage of one month's revenue from PROMO-type parts — TPC-H
+    Q14 (the fixture's categorical p_type 'PROMO' stands in for the
+    'PROMO%' prefix family).
+
+    Plan: part is a broadcast dimension carrying only (p_partkey,
+    is_promo); the month filter prunes lineitem at the scan; the
+    conditional share is two partial-aggregated sums in ONE pass —
+    never two scans. The ratio is computed once on the two scalars.
+    """
+    promo = part.select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    month = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        month.join(F.broadcast(promo), month["l_partkey"] == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("is_promo"), vol).otherwise(0.0)).alias("pv"),
+            F.sum(vol).alias("tv"),
+        )
+        .select(F.round(100.0 * F.col("pv") / F.col("tv"), 4).alias("promo_revenue_pct"))
+    )
+
+
+Q14_ORACLE = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier by quarterly revenue (aggregate + max equi-select)
+# --------------------------------------------------------------------------
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The supplier(s) whose 1997-Q1 shipment revenue equals the maximum
+    over all suppliers — TPC-H Q15 with the revenue view inlined.
+
+    Plan: one supplier-keyed aggregate over the quarter-pruned lineitem
+    scan builds the revenue table; the scalar max is computed over that
+    (supplier-cardinality) table and broadcast back as a 1-row frame
+    — the view is NOT recomputed (TPC-H's stated trap), and no window
+    over all suppliers is needed. Revenue compares exactly because both
+    sides round the same double to cents once.
+    """
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == F.col("mx"))
+        .join(supplier, rev["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18: large-volume customers (HAVING over a fact aggregate, then enrich)
+# --------------------------------------------------------------------------
+
+
+def q18_large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Customers whose single orders total more than 300 units — TPC-H
+    Q18 (top-100 by order value).
+
+    Plan: the qualifying ORDER KEYS are found first with one
+    lineitem-keyed aggregate + HAVING — order-cardinality output, never
+    a fact-fact join — then only those keys' orders/customers are
+    enriched via joins (the qualifying set is small, so Spark's runtime
+    stats broadcast it under AQE). Quantity sums are integral doubles,
+    so the >300 cut and the BIGINT cast are exact in both engines.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name,
+       CAST(c_custkey AS BIGINT)  AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19: discounted revenue under an OR-of-ANDs predicate family
+# --------------------------------------------------------------------------
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Revenue from three disjoint (brand, size-range, quantity-band)
+    channels — TPC-H Q19's OR-of-ANDs join predicate (container/shipmode
+    legs adapted to the fixture's columns: p_size bands replace
+    containers).
+
+    The classic planner test: the OR must NOT degrade the join to a
+    nested loop. The equi-join key (l_partkey = p_partkey) is factored
+    OUT of the disjunction, so Spark plans a hash join on the key with
+    the OR as a post-join filter; part-side prune (the union of the
+    three brands) is pushed to the dimension scan and broadcast.
+    """
+    p = part.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#4")
+    ).select("p_partkey", "p_brand", "p_size")
+    j = lineitem.join(F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey"))
+    leg = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(leg).agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("revenue")
+    )
+
+
+Q19_ORACLE = """
+SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""

@@ -105,13 +105,19 @@ _WINDOW: list[str] = [
     "purchase_asof_last_click",
     "hourly_event_gapfill",
     "customer_order_gaps",
-    "events_json_stats",
-    "language_rebalance",
-    "cube_order_status_priority",
-    "rollup_lineitem_flags",
-    "sql_grouping_sets",
-    "q1_pricing_summary",
-    "order_value_deciles",
+    # added in round 9 (new-query-gets-a-row; displaced the 7 lowest-risk
+    # rotation-tier members — order_value_deciles, q1_pricing_summary,
+    # sql_grouping_sets, rollup_lineitem_flags, cube_order_status_priority,
+    # language_rebalance, events_json_stats — all r6-green, code-unchanged,
+    # plain aggregate/passthrough shapes, still covered by the sf0.001
+    # differential every round and this session's sf0.01 driver-sim replay)
+    "type_widening_census",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
 ]
 
 _WINDOW_R8: list[str] = [
@@ -1643,6 +1649,16 @@ def q_schema_evolution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FM.schema_evolution_census(spark, sf_dir)
 
 
+@register("type_widening_census", oracle=FM.TYPE_WIDENING_ORACLE)
+def q_type_widening_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema read over parquet batches whose o_custkey physical
+    type differs (INT32 batch vs INT64 batch, sources/formats.py): the
+    type-WIDENING half of table evolution — merged field asserted
+    BIGINT engine-side, values proven exact against the all-BIGINT
+    oracle."""
+    return FM.type_widening_census(spark, sf_dir)
+
+
 @register("association_rules", oracle=RT.ASSOCIATION_RULES_ORACLE)
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed confidence/lift rules over basket pairs (plans/
@@ -1751,12 +1767,17 @@ def q_stream_ivm_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The streaming file source requires a DIRECTORY; the fixture ships a
     # single parquet file. Materialize a multi-file landing dir once
     # (content-addressed) so the drain also exercises >1 source file.
+    from .sources.artifacts import build_once
+
     tag = fixture_cache_tag(sf_dir, "events", "stream-src-v1")
     src = f"/tmp/tp1_spark_stream_events_{tag}"
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(src)
+    build_once(
+        src,
+        lambda: load_table(spark, sf_dir, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src),
+    )
 
     work = tempfile.mkdtemp(prefix="tp1_spark_ivm_q_")
     SK.write_stream_ivm(
@@ -1765,3 +1786,75 @@ def q_stream_ivm_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/ckpt",
     )
     return SK.read_ivm_state(spark, f"{work}/state")
+
+
+# --------------------------------------------------------------------------
+# Round-9: completing the partsupp-free TPC-H set (Q6, Q7, Q14, Q15, Q18,
+# Q19 — Q2/Q9/Q11/Q16/Q20 need the partsupp table the fixture lacks;
+# Q12/Q21 need l_shipmode/l_commitdate/l_receiptdate; Q10→
+# returned_item_revenue and Q22→idle_customers_opportunity already exist)
+# --------------------------------------------------------------------------
+
+
+@register("q6_forecast_revenue", oracle=TM.Q6_ORACLE)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 scan-filter-aggregate (plans/tpch_more.py): every
+    predicate pushed to the parquet scan, one partial+final sum, zero
+    row shuffles — the plan-quality canary."""
+    return TM.q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("q7_volume_shipping", oracle=TM.Q7_ORACLE)
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 bilateral trade volume (plans/tpch_more.py): both
+    nation-filtered dimension sides broadcast; the only fact shuffle is
+    lineitem⨝orders on the order key."""
+    return TM.q7_volume_shipping(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("q14_promo_effect", oracle=TM.Q14_ORACLE)
+def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion share (plans/tpch_more.py): broadcast part
+    dimension, conditional + total sums in ONE pass, ratio on the two
+    scalars."""
+    return TM.q14_promo_effect(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("q15_top_supplier", oracle=TM.Q15_ORACLE)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier (plans/tpch_more.py): the revenue view is
+    computed ONCE; the scalar max joins back as a broadcast 1-row frame
+    — never a recompute, never an all-supplier window."""
+    return TM.q15_top_supplier(
+        load_table(spark, sf_dir, "supplier"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register("q18_large_volume_customers", oracle=TM.Q18_ORACLE)
+def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers (plans/tpch_more.py): HAVING on
+    the fact aggregate FIRST (order-cardinality), then enrich only the
+    qualifying keys."""
+    return TM.q18_large_volume_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("q19_discounted_revenue", oracle=TM.Q19_ORACLE)
+def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 OR-of-ANDs predicate (plans/tpch_more.py): the equi-key
+    factored out of the disjunction so the join stays a broadcast hash
+    join with the OR as a post-join filter — never a nested loop."""
+    return TM.q19_discounted_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )

@@ -75,28 +75,34 @@ def ensure_bucketed_fixture(
     # new tag → new path + table, so the metadata-only re-register below
     # can never declare a bucket layout the on-disk files don't have
     # (Spark would trust it, elide the Exchange, and silently drop rows).
+    from ..sources.artifacts import pathlock
+
     tag = fixture_cache_tag(
         sf_dir, source, list(bucket_cols), num_buckets, list(sort_cols or [])
     )
     table = f"{source}_bucketed_{tag}"
-    if spark.catalog.tableExists(table):
-        return table
     path = f"/tmp/tp1_spark_bucketed_{tag}/{source}"
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        register_existing_bucketed(
-            spark,
-            table,
-            path,
-            load_table(spark, sf_dir, source).schema,
-            bucket_cols,
-            num_buckets,
-            sort_cols,
+    # The whole check-register-or-write sequence is a critical section:
+    # concurrent queries sharing the layout must not double-register the
+    # catalog table or double-write the bucket files.
+    with pathlock(path):
+        if spark.catalog.tableExists(table):
+            return table
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            register_existing_bucketed(
+                spark,
+                table,
+                path,
+                load_table(spark, sf_dir, source).schema,
+                bucket_cols,
+                num_buckets,
+                sort_cols,
+            )
+            return table
+        write_bucketed(
+            load_table(spark, sf_dir, source), table, path, bucket_cols, num_buckets, sort_cols
         )
         return table
-    write_bucketed(
-        load_table(spark, sf_dir, source), table, path, bucket_cols, num_buckets, sort_cols
-    )
-    return table
 
 
 def register_existing_bucketed(

@@ -43,16 +43,19 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent /tmp copy of `events` partitioned by event_date
     (content-addressed on the fixture bytes, sinks/bucketed.py
     discipline)."""
+    from ..sources.artifacts import build_once
     from ..sources.tables import fixture_cache_tag, load_table
 
     tag = fixture_cache_tag(sf_dir, "events", ["event_date"], 0, 0)
     path = f"/tmp/tp1_spark_partitioned_{tag}/events"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _build() -> None:
         ev = load_table(spark, sf_dir, "events").withColumn(
             "event_date", F.to_date("ts")
         )
         write_partitioned(ev, path, ["event_date"])
-    return path
+
+    return build_once(path, _build)
 
 
 PRUNE_DATE = "2024-01-15"  # mid-range; present at every fixture SF

@@ -111,13 +111,17 @@ def ensure_zordered_fixture(
     _SUCCESS-marker reuse."""
     import os
 
+    from ..sources.artifacts import build_once
     from ..sources.tables import fixture_cache_tag, load_table
 
     tag = fixture_cache_tag(sf_dir, source, list(zcols), num_files, bits)
     path = f"/tmp/tp1_spark_zorder_{tag}/{source}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_zordered(load_table(spark, sf_dir, source), path, zcols, num_files, bits)
-    return path
+    return build_once(
+        path,
+        lambda: write_zordered(
+            load_table(spark, sf_dir, source), path, zcols, num_files, bits
+        ),
+    )
 
 
 def rowgroups_overlapping(

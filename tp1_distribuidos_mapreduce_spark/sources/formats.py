@@ -17,6 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .artifacts import build_once
 from .tables import fixture_cache_tag, load_table
 
 
@@ -28,9 +29,12 @@ def lineitem_as_orc(spark: SparkSession, sf_dir: str) -> str:
     drift between the two format paths fails the differential."""
     tag = fixture_cache_tag(sf_dir, "lineitem", "orc-v1")
     out = f"/tmp/tp1_spark_orc_lineitem_{tag}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(out)
-    return out
+    return build_once(
+        out,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .orc(out),
+    )
 
 
 def read_lineitem_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,13 +58,15 @@ def orders_evolved_batches(spark: SparkSession, sf_dir: str) -> str:
     """
     tag = fixture_cache_tag(sf_dir, "orders", "evolved-v1")
     out = f"/tmp/tp1_spark_evolved_orders_{tag}"
-    if not os.path.exists(os.path.join(out, "batch=v2", "_SUCCESS")):
+
+    def _build() -> None:
         orders = load_table(spark, sf_dir, "orders")
         v1 = orders.where(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
         v2 = orders.where(F.col("o_orderkey") % 2 == 1)
         v1.write.mode("overwrite").parquet(os.path.join(out, "batch=v1"))
         v2.write.mode("overwrite").parquet(os.path.join(out, "batch=v2"))
-    return out
+
+    return build_once(out, _build, marker=os.path.join("batch=v2", "_SUCCESS"))
 
 
 def schema_evolution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,6 +105,86 @@ ORDER BY batch
 """
 
 
+def orders_widened_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders as TWO parquet batches whose o_custkey PHYSICAL
+    TYPE differs — batch v1 (even orderkeys) wrote it as INT32, batch v2
+    (odd orderkeys) as INT64 — and return the directory.
+
+    This is the other half of real table evolution (the first being the
+    added-column corpus above): a column's type was WIDENED mid-history,
+    so the footers disagree on the physical type. Spark's parquet footer
+    merge REFUSES a cross-type merge ([CANNOT_MERGE_SCHEMAS] — pinned in
+    tests/test_files.py), so the widening read is SCHEMA-DIRECTED: the
+    reader is handed the evolved table schema (what a lakehouse catalog
+    supplies) and the Spark 4 vectorized reader up-casts INT32 row
+    groups to BIGINT at scan time (SPARK-40876). The census query proves
+    values survive the widening bit-exactly against the all-BIGINT
+    oracle.
+    """
+    tag = fixture_cache_tag(sf_dir, "orders", "widened-v1")
+    out = f"/tmp/tp1_spark_widened_orders_{tag}"
+
+    def _build() -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        v1 = orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_custkey", F.col("o_custkey").cast("int")
+        )
+        v2 = orders.where(F.col("o_orderkey") % 2 == 1)
+        v1.write.mode("overwrite").parquet(os.path.join(out, "batch=v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(out, "batch=v2"))
+
+    return build_once(out, _build, marker=os.path.join("batch=v2", "_SUCCESS"))
+
+
+WIDENED_ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_totalprice double, batch string"
+)
+
+
+def type_widening_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch census over the type-widened orders directory: row count
+    and the exact BIGINT sum of the widened o_custkey column.
+
+    The read is schema-directed (see orders_widened_batches): the
+    catalog-supplied evolved schema declares o_custkey BIGINT and the
+    vectorized reader up-casts the INT32 batch's row groups at scan time
+    — asserted here engine-side (a silent narrow would corrupt every
+    downstream aggregate), then proven value-exact against the
+    all-BIGINT parquet oracle with the same orderkey-parity split rule.
+    """
+    from pyspark.sql.types import LongType
+
+    df = spark.read.schema(WIDENED_ORDERS_SCHEMA).parquet(
+        orders_widened_batches(spark, sf_dir)
+    )
+    merged_type = df.schema["o_custkey"].dataType
+    if not isinstance(merged_type, LongType):
+        raise TypeError(
+            f"widened read resolved o_custkey to {merged_type}, expected BIGINT"
+        )
+    return (
+        df.groupBy(F.col("batch").cast("string").alias("batch"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("custkey_sum"),
+        )
+        .orderBy("batch")
+    )
+
+
+TYPE_WIDENING_ORACLE = """
+SELECT 'v1' AS batch, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(o_custkey) AS BIGINT)
+FROM orders WHERE o_orderkey % 2 = 1
+ORDER BY batch
+"""
+
+
 ORDERS_CSV_SCHEMA = (
     "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
     "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
@@ -120,9 +206,7 @@ def orders_as_csv(spark: SparkSession, sf_dir: str) -> str:
 
     tag = fixture_cache_tag(sf_dir, "orders", "csv-v3")
     out = f"/tmp/tp1_spark_csv_orders_{tag}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        write_csv(load_table(spark, sf_dir, "orders"), out)
-    return out
+    return build_once(out, lambda: write_csv(load_table(spark, sf_dir, "orders"), out))
 
 
 def read_orders_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,9 +225,7 @@ def events_as_jsonl(spark: SparkSession, sf_dir: str) -> str:
 
     tag = fixture_cache_tag(sf_dir, "events", "jsonl-v3")
     out = f"/tmp/tp1_spark_jsonl_events_{tag}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        write_jsonl(load_table(spark, sf_dir, "events"), out)
-    return out
+    return build_once(out, lambda: write_jsonl(load_table(spark, sf_dir, "events"), out))
 
 
 def read_events_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:

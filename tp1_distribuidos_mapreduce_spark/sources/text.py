@@ -52,20 +52,23 @@ def documents_as_text_files(spark: SparkSession, sf_dir: str) -> str:
     """
     import os
 
+    from .artifacts import build_once
     from .tables import fixture_cache_tag
 
     # Content-addressed: a regenerated documents.parquet gets a new tag, so
     # the cache can never serve text from a previous fixture generation.
     tag = fixture_cache_tag(sf_dir, "documents")
     out = f"/tmp/tp1_spark_text_corpus_{tag}"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        (
+    build_once(
+        out,
+        lambda: (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .select("text")
             .coalesce(8)
             .write.mode("overwrite")
             .text(out)
-        )
+        ),
+    )
     return os.path.join(out, "*.txt")
 
 
