@@ -1012,3 +1012,77 @@ SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_spans
 FROM pair_src GROUP BY source_a, source_b
 ORDER BY source_a, source_b
 """
+
+
+def dedup_survivors(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Quality-aware survivor selection: the curation step AFTER cluster
+    detection — which copy do we keep, and which rows go on the delete
+    list? Companion to prefix_duplicates, which only censuses the
+    groups: this emits the actionable (dropped → canonical) mapping a
+    real pipeline materializes and applies.
+
+    Clusters on the same first-``k``-token prefix fingerprint (the
+    boilerplate-header dedup key), then picks the canonical member per
+    cluster by (max n_chars, min doc_id) — keep the richest copy,
+    deterministic tie-break — and emits one row per DROPPED document
+    with its canonical replacement.
+
+    Scale shape: fixed-width hash keys through one groupBy shuffle; the
+    argmax is a max_by aggregate (no window, no second pass over raw
+    text), then one hash-keyed join of the (hash → canonical) frame
+    back to the member list. (n_chars, doc_id) packs into max_by's
+    ordering key as n_chars·2³² − doc_id — exact in BIGINT for every
+    fixture id, and strictly monotone in the (n_chars asc, doc_id desc)
+    order, so argmax = the intended survivor.
+    """
+    t = F.filter(tokenize("text"), lambda x: x != "")
+    d = documents.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), t.alias("t")
+    ).where(F.size("t") >= k)
+    h = F.md5(F.concat_ws(" ", F.slice("t", 1, k)).cast("binary"))
+    members = d.select(h.alias("prefix_hash"), "doc_id", "n_chars")
+    canon = (
+        members.groupBy("prefix_hash")
+        .agg(
+            F.expr("max_by(doc_id, n_chars * 4294967296 - doc_id)").alias(
+                "canonical_doc_id"
+            ),
+            F.count("*").alias("n_members"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+    return (
+        members.join(canon, "prefix_hash")
+        .where(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select(
+            "doc_id",
+            "canonical_doc_id",
+            "prefix_hash",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SURVIVORS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), members AS (
+  SELECT md5(array_to_string(t[1:8], ' ')) AS prefix_hash, doc_id, n_chars
+  FROM toks WHERE len(t) >= 8
+), canon AS (
+  SELECT prefix_hash,
+         max_by(doc_id, n_chars * 4294967296 - doc_id) AS canonical_doc_id,
+         count(*) AS n_members
+  FROM members GROUP BY prefix_hash
+  HAVING count(*) > 1
+)
+SELECT doc_id, canonical_doc_id, prefix_hash,
+       CAST(n_members AS BIGINT) AS n_members
+FROM members JOIN canon USING (prefix_hash)
+WHERE doc_id <> canonical_doc_id
+ORDER BY doc_id
+"""

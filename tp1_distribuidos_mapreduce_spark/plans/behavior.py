@@ -21,6 +21,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -495,4 +496,157 @@ LEFT JOIN events v
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id
 ORDER BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution
+# --------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_HOURS = 24
+
+
+def linear_attribution(events: DataFrame) -> DataFrame:
+    """Linear multi-touch revenue attribution: each purchase's value is
+    split EQUALLY across the same user's click/view touches in the
+    preceding 24 hours, reported per touch type — the marketing-science
+    counterpart of purchase_asof_last_click's last-touch rule.
+
+    Exactness contract: the split is integer arithmetic end-to-end —
+    purchase cents × 1000 div n_touches (floor, all operands positive)
+    gives each touch an identical millicent share in Spark and DuckDB;
+    the sub-millicent residue per purchase is deliberately unattributed
+    (documented, deterministic) rather than float-divided, which would
+    expose partial-sum rounding to engine order.
+
+    Scale shape: touches ⨝ purchases is an equi-join on user_id with the
+    time-range predicate as a join filter — per-user fan-out is bounded
+    by a user's 24 h activity, and the join key distributes; no window
+    over the full event stream exists. The per-purchase touch count is
+    a purchase-keyed window over the pair table (purchase-cardinality
+    partitions — NEVER broadcast: it scales with the data)."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = events.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_HOURS} HOURS")
+        ),
+    )
+    wp = Window.partitionBy("p_id")
+    return (
+        pairs.withColumn("n_touches", F.count("*").over(wp))
+        .withColumn("share_mc", F.expr("cents * 1000 div n_touches"))
+        .groupBy("touch_type")
+        .agg(
+            (F.sum("share_mc") / 100000.0).alias("attributed_revenue"),
+            F.count("*").cast("long").alias("n_touches"),
+            F.countDistinct("p_id").cast("long").alias("n_purchases"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+LINEAR_ATTRIBUTION_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id AS t_user, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT p_id, cents, touch_type
+  FROM purchases JOIN touches
+    ON p_user = t_user
+   AND t_ts < p_ts
+   AND t_ts >= p_ts - INTERVAL 24 HOURS
+), counted AS (
+  SELECT p_id, count(*) AS n_touches FROM pairs GROUP BY p_id
+)
+SELECT touch_type,
+       sum(cents * 1000 // n_touches) / 100000.0 AS attributed_revenue,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases
+FROM pairs JOIN counted USING (p_id)
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Repeat-purchase cadence per market segment
+# --------------------------------------------------------------------------
+
+
+def repeat_purchase_intervals(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Days between a customer's consecutive orders, summarized per
+    market segment (p25/median/p75 + repeat-customer count) — the
+    purchase-cadence report behind replenishment and churn models.
+
+    The lag window partitions by customer (high-cardinality key — the
+    sort is per-customer, never global); gaps are integral day counts,
+    so the exact percentile interpolation lands on .0/.5 values that
+    Spark's percentile() and DuckDB's quantile_cont compute bit-
+    identically. At 100 TB the exact percentile would become
+    approx_percentile with a pinned error budget; the aggregate's input
+    here is one row per repeat order, already far smaller than orders.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate")
+        .withColumn("prev_ts", F.lag("o_orderdate").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.to_date("prev_ts")).alias(
+                "gap_days"
+            ),
+        )
+    )
+    return (
+        gaps.join(customer.select("c_custkey", "c_mktsegment"),
+                  gaps["o_custkey"] == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("percentile(gap_days, 0.25)").alias("p25_days"),
+            F.expr("percentile(gap_days, 0.50)").alias("median_days"),
+            F.expr("percentile(gap_days, 0.75)").alias("p75_days"),
+            F.countDistinct("o_custkey").cast("long").alias("n_repeat_customers"),
+            F.count("*").cast("long").alias("n_gaps"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+REPEAT_PURCHASE_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                  CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+)
+SELECT c_mktsegment,
+       quantile_cont(gap_days, 0.25) AS p25_days,
+       quantile_cont(gap_days, 0.50) AS median_days,
+       quantile_cont(gap_days, 0.75) AS p75_days,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps JOIN customer ON c_custkey = o_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """

@@ -93,7 +93,6 @@ _WINDOW: list[str] = [
     "weighted_token_sample",
     # freshness rotation: green only in r6, highest-risk shapes first
     "bucketed_colocated_join",
-    "bloom_pruned_join",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -103,8 +102,6 @@ _WINDOW: list[str] = [
     "skewed_distinct_users",
     "sessionize_events",
     "purchase_asof_last_click",
-    "hourly_event_gapfill",
-    "customer_order_gaps",
     # added in round 9 (new-query-gets-a-row; displaced the 7 lowest-risk
     # rotation-tier members — order_value_deciles, q1_pricing_summary,
     # sql_grouping_sets, rollup_lineitem_flags, cube_order_status_priority,
@@ -118,6 +115,12 @@ _WINDOW: list[str] = [
     "q15_top_supplier",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
+    # round-9 batch 2 (new-query-gets-a-row; displaced bloom_pruned_join,
+    # hourly_event_gapfill, customer_order_gaps from the rotation tier —
+    # r6-green, code-unchanged, differential-covered)
+    "linear_attribution",
+    "repeat_purchase_intervals",
+    "dedup_survivors",
 ]
 
 _WINDOW_R8: list[str] = [
@@ -1858,3 +1861,32 @@ def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TM.q19_discounted_revenue(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+@register("linear_attribution", oracle=BH.LINEAR_ATTRIBUTION_ORACLE)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch revenue attribution (plans/behavior.py):
+    purchases ⨝ prior-24h touches on user_id, integer-millicent equal
+    split (floor div — identical in both engines), per-touch-type
+    rollup. The multi-touch counterpart of purchase_asof_last_click."""
+    return BH.linear_attribution(load_table(spark, sf_dir, "events"))
+
+
+@register("repeat_purchase_intervals", oracle=BH.REPEAT_PURCHASE_ORACLE)
+def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per segment (plans/behavior.py):
+    per-customer lag window (high-cardinality partitions), integral
+    day gaps, exact quartiles that interpolate identically
+    cross-engine."""
+    return BH.repeat_purchase_intervals(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("dedup_survivors", oracle=D.DEDUP_SURVIVORS_ORACLE)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over normalized exact-dup
+    clusters (operators/dedup.py): fixed-width hash groupBy, max_by
+    struct argmax (no window), delete-list output — the curation step
+    after cluster detection."""
+    return D.dedup_survivors(load_table(spark, sf_dir, "documents"))
