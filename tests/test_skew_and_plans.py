@@ -147,6 +147,50 @@ def test_new_relational_queries_broadcast_and_push(spark, name):
         assert marker not in plan, f"{name} fell off the JVM fast path"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q7_volume_shipping",
+        "q14_promo_effect",
+        "q15_top_supplier",
+        "q18_large_volume_customers",
+        "q19_discounted_revenue",
+    ],
+)
+def test_round9_tpch_broadcast_and_push(spark, name):
+    """The round-9 TPC-H classics must keep their stated plan shape:
+    broadcast dimension joins (q19's OR-of-ANDs must NOT degrade to a
+    nested loop — the planner trap the query exists to pin), pushed
+    scan filters, JVM-only expressions."""
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_q6_predicates_reach_scan_and_no_row_exchange(spark):
+    """Q6 is the plan-quality canary: every predicate must land in the
+    parquet scan's PushedFilters, the scan must read only the four
+    referenced columns, and the only Exchange is the one-row partial
+    aggregate hand-off — an Exchange of lineitem rows is a planner
+    bug."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    scan = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scan, "no pushed filters on the q6 scan"
+    pushed = scan[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to the scan"
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "l_extendedprice" in rs[0]
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in rs[0], f"q6 scan reads unreferenced column {col}"
+    # exactly the partial→final aggregate exchange, nothing fact-sized
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
 def test_disjunctive_predicate_reaches_both_scans(spark):
     """Q19 shape: Catalyst must derive per-table residuals of the
     OR-of-conjunctions (quantity bounds -> lineitem scan, brand/size ->
@@ -234,6 +278,9 @@ NESTED_LOOP_ALLOWED = {
                                    # the single output row
     "bigram_perplexity",           # single-row broadcast vocab-size scalar
     "association_rules",           # single-row broadcast basket-count scalar
+    "hard_negative_mining",        # knn_bruteforce template: broadcast of the
+                                   # bounded n_queries frame over one corpus
+                                   # scan (label != filter has no equi-key)
 }
 
 

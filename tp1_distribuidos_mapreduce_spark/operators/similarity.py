@@ -750,3 +750,73 @@ def knn_ivf_pq_persisted(
         cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
     )
     return _rank_topk(exact, k)
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector
+    (vec_id < n_queries), the k most-similar vectors carrying a
+    DIFFERENT label — the mining step that turns an embedding corpus
+    into contrastive pairs (the near-misses the loss learns most from).
+
+    Same exact-cosine template as knn_bruteforce (broadcast the bounded
+    query set over one corpus scan, per-query top-k via row_number with
+    an id tie-break) plus the cross-label predicate as a join filter —
+    the label inequality prunes BEFORE scoring, so no same-label cosine
+    is ever computed. Output is (query_id, rank, negative_id,
+    query_label, negative_label) — identity and ranks only, no float
+    column, so the oracle compare is insensitive to last-ulp cosine
+    differences between engines (ranks themselves are stable: the
+    synthetic vectors carry no exact cosine ties).
+
+    100 TB path: swap the scan for the IVF/IVF-PQ shortlist (probe
+    lists, label-filter the candidates, exact rerank) — identical
+    semantics, bucket-pruned I/O.
+    """
+    e = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("int").alias("label"),
+    )
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("query_label"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "negative_id", "query_label", "negative_label")
+        .orderBy("query_id", "rank")
+    )
+
+
+HARD_NEGATIVE_ORACLE = """
+SELECT query_id, rank, negative_id, query_label, negative_label
+FROM (
+  SELECT q.vec_id AS query_id,
+         q.label  AS query_label,
+         c.vec_id AS negative_id,
+         c.label  AS negative_label,
+         CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.vec_id ASC) AS INTEGER) AS rank
+  FROM embeddings q
+  JOIN embeddings c ON c.label <> q.label
+  WHERE q.vec_id < 10
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""

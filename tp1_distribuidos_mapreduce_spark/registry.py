@@ -97,7 +97,6 @@ _WINDOW: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "knn_bruteforce",
-    "cms_heavy_hitters",
     "corpus_curation",
     "skewed_distinct_users",
     "sessionize_events",
@@ -121,6 +120,10 @@ _WINDOW: list[str] = [
     "linear_attribution",
     "repeat_purchase_intervals",
     "dedup_survivors",
+    # round-9 batch 3 (new-query-gets-a-row; displaced cms_heavy_hitters —
+    # r6-green, code-unchanged, and its exactness is independently pinned
+    # by the sketch property tests)
+    "hard_negative_mining",
 ]
 
 _WINDOW_R8: list[str] = [
@@ -1890,3 +1893,12 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct argmax (no window), delete-list output — the curation step
     after cluster detection."""
     return D.dedup_survivors(load_table(spark, sf_dir, "documents"))
+
+
+@register("hard_negative_mining", oracle=S.HARD_NEGATIVE_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py): the
+    knn_bruteforce template with a cross-label join filter — per query,
+    top-k most-similar DIFFERENT-label vectors, identity/rank output
+    (no float column in the compare)."""
+    return S.hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
