@@ -650,3 +650,103 @@ WHERE gap_days IS NOT NULL
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# --------------------------------------------------------------------------
+# Purchases attributed to the browsing-state interval they occur in
+# --------------------------------------------------------------------------
+
+
+def purchases_by_browsing_state(events: DataFrame) -> DataFrame:
+    """Which browsing state do purchases happen in? Builds SCD2-style
+    state intervals from each user's NON-purchase events (the
+    gaps-and-islands run collapse of user_state_islands) and interval-
+    joins every purchase into the island containing its timestamp —
+    the event⨝dimension-history enrichment every warehouse runs, here
+    with the history derived in the same job.
+
+    Purchases strictly inside an island ([valid_from, valid_to]) are
+    attributed; purchases landing in a gap between islands are counted
+    in the 'none' bucket so the output partitions ALL purchases (and
+    stays NULL-free). Revenue folds as integral cents.
+
+    Scale shape: both windows partition by user_id; the interval join is
+    a user-keyed equi-join with the range predicate as a join filter —
+    per-user fan-out is (user's purchases × user's islands), bounded per
+    user, never a global range join. At 100 TB the islands side would be
+    bucketed by user_id to co-locate with the event stream.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.where(F.col("event_type") != "purchase")
+    runs = base.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            (F.lag("event_type").over(w) != F.col("event_type")).cast("int"),
+            F.lit(1),
+        ).alias("is_boundary"),
+    ).withColumn(
+        "island",
+        F.sum("is_boundary").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = runs.groupBy("user_id", "island").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    attributed = purchases.join(
+        islands,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("p_ts") <= F.col("valid_to")),
+        "left",
+    )
+    return (
+        attributed.groupBy(F.coalesce("state", F.lit("none")).alias("state"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            (F.sum("cents") / 100.0).alias("purchase_value"),
+        )
+        .orderBy("state")
+    )
+
+
+PURCHASES_BY_STATE_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_type, ts,
+         sum(is_boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+  FROM base
+), islands AS (
+  SELECT user_id, island, min(ts) AS valid_from, max(ts) AS valid_to,
+         min(event_type) AS state
+  FROM runs GROUP BY user_id, island
+), purchases AS (
+  SELECT user_id AS p_user, ts AS p_ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT coalesce(i.state, 'none') AS state,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       sum(cents) / 100.0 AS purchase_value
+FROM purchases p
+LEFT JOIN islands i
+  ON p.p_user = i.user_id AND p.p_ts >= i.valid_from AND p.p_ts <= i.valid_to
+GROUP BY coalesce(i.state, 'none')
+ORDER BY state
+"""

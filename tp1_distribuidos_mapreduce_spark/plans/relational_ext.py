@@ -1227,3 +1227,86 @@ SELECT day, cents / 100.0 AS day_revenue, CAST(n_days AS BIGINT) AS n_days,
        ((sum_c + n_days // 2) // n_days) / 100.0 AS trailing_30d_avg
 FROM win ORDER BY day
 """
+
+
+def star_revenue_rollup(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Star-schema revenue ROLLUP over (year → customer nation → market
+    segment): the OLAP-cube materialization a BI layer schedules nightly,
+    with every subtotal level in one pass.
+
+    Plan shape: the dimension chain customer⨝nation is broadcast into
+    the lineitem⨝orders fact join (the only fact-sized shuffle), then
+    ONE Expand-based rollup aggregate produces all four grouping levels
+    — never one scan per level. Revenue is made tie-proof by scaling to
+    integral cents PER ROW (round(vol·100) — the same double rounds the
+    same way in both engines) so every subtotal is an exact BIGINT sum
+    regardless of aggregation order; subtotal NULL keys are rewritten to
+    'ALL' per the engine's no-NULL output policy.
+    """
+    dim = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name", "c_mktsegment")
+    facts = (
+        lineitem.select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("vol_cents"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        facts.rollup("year", "n_name", "c_mktsegment")
+        .agg(
+            F.when(F.grouping("year") == 1, F.lit("ALL"))
+            .otherwise(F.col("year").cast("string"))
+            .alias("year_label"),
+            F.when(F.grouping("n_name") == 1, F.lit("ALL"))
+            .otherwise(F.col("n_name"))
+            .alias("nation"),
+            F.when(F.grouping("c_mktsegment") == 1, F.lit("ALL"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            (F.sum("vol_cents") / 100.0).alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+        .select(
+            F.col("year_label").alias("year"),
+            "nation",
+            "segment",
+            "revenue",
+            "n_lineitems",
+        )
+        .orderBy("year", "nation", "segment")
+    )
+
+
+STAR_REVENUE_ROLLUP_ORACLE = """
+SELECT CASE WHEN GROUPING(year) = 1 THEN 'ALL' ELSE CAST(year AS VARCHAR) END AS year,
+       CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+       CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS segment,
+       sum(vol_cents) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM (
+  SELECT year(o_orderdate) AS year, n_name, c_mktsegment,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+GROUP BY ROLLUP (year, n_name, c_mktsegment)
+ORDER BY year, nation, segment
+"""

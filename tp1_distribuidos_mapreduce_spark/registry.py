@@ -96,10 +96,8 @@ _WINDOW: list[str] = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "knn_bruteforce",
     "corpus_curation",
     "skewed_distinct_users",
-    "sessionize_events",
     "purchase_asof_last_click",
     # added in round 9 (new-query-gets-a-row; displaced the 7 lowest-risk
     # rotation-tier members — order_value_deciles, q1_pricing_summary,
@@ -124,6 +122,13 @@ _WINDOW: list[str] = [
     # r6-green, code-unchanged, and its exactness is independently pinned
     # by the sketch property tests)
     "hard_negative_mining",
+    # round-9 batch 4 (new-query-gets-a-row; displaced sessionize_events —
+    # its islands sibling user_state_islands is r8-green and the new
+    # interval-attribution query exercises the same window shape — and
+    # knn_bruteforce, whose exact-cosine template hard_negative_mining
+    # re-proves this round)
+    "star_revenue_rollup",
+    "purchases_by_browsing_state",
 ]
 
 _WINDOW_R8: list[str] = [
@@ -1902,3 +1907,27 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k most-similar DIFFERENT-label vectors, identity/rank output
     (no float column in the compare)."""
     return S.hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("star_revenue_rollup", oracle=RX.STAR_REVENUE_ROLLUP_ORACLE)
+def q_star_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema ROLLUP cube (plans/relational_ext.py): broadcast
+    dimension chain into the single fact shuffle, one Expand-based
+    aggregate for all four subtotal levels, per-row integral cents so
+    every subtotal is an exact BIGINT sum."""
+    return RX.star_revenue_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("purchases_by_browsing_state", oracle=BH.PURCHASES_BY_STATE_ORACLE)
+def q_purchases_by_browsing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-interval purchase attribution (plans/behavior.py): derive
+    browsing-state islands from non-purchase events (two user-keyed
+    windows), interval-join purchases into their containing island
+    (user-keyed equi-join + range filter), 'none' bucket for gap
+    purchases — NULL-free, cents-exact."""
+    return BH.purchases_by_browsing_state(load_table(spark, sf_dir, "events"))
