@@ -479,3 +479,55 @@ def test_stream_ivm_fold_via_public_drain_uses_fence(spark, tmp_path):
         ev.select("user_id").distinct().count()
     )
     assert os.path.exists(os.path.join(state, ptr["dir"], "_SUCCESS"))
+
+
+def test_stream_ivm_crash_between_state_write_and_pointer_commit(spark, tmp_path):
+    """Crash-window drill: a fold that dies AFTER writing its versioned
+    state dir but BEFORE the pointer commit must leave the previous
+    committed state fully readable, and re-delivering the same batch
+    must complete the fold exactly once (the pointer still names the old
+    version, so the fence does NOT skip the redelivery)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    state = str(tmp_path / "state")
+    ev = batch_events(spark).limit(30)
+    first = ev.limit(15)
+    second = ev.subtract(first)
+
+    SK._ivm_fold(first, 0, state)
+    before = {tuple(r) for r in SK.read_ivm_state(spark, state).collect()}
+
+    # simulate the dying fold: write v1's parquet WITHOUT committing CURRENT
+    delta = second.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    delta.write.mode("overwrite").parquet(os.path.join(state, "v1"))
+    # reader still sees the committed v0 state, untouched
+    assert {tuple(r) for r in SK.read_ivm_state(spark, state).collect()} == before
+    assert SK._read_ivm_pointer(state)["batch_id"] == 0
+
+    # restart re-delivers batch 1; the fence allows it (0 < 1) and the
+    # fold overwrites the orphan dir and commits
+    SK._ivm_fold(second, 1, state)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in SK.read_ivm_state(spark, state).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .collect()
+    }
+    assert got == expect
+    assert SK._read_ivm_pointer(state)["batch_id"] == 1
