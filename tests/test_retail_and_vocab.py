@@ -110,3 +110,49 @@ def test_rfm_covers_all_customers_once(spark):
     for r in grid:
         assert 1 <= r.r_quintile <= RT.RFM_QUANTILES
         assert 1 <= r.f_quintile <= RT.RFM_QUANTILES
+
+
+def test_linear_attribution_conserves_purchase_value(spark):
+    """Attribution invariants the oracle's value-hash can't state
+    directly: (a) total attributed revenue never exceeds the touched
+    purchases' total value, (b) the unattributed residue is strictly
+    sub-millicent per (purchase, touch) — i.e. the floor split loses
+    less than n_touches millicents per purchase, (c) per-type touch
+    counts partition the pair table."""
+    from pyspark.sql import functions as F
+
+    from tp1_distribuidos_mapreduce_spark.plans import behavior as BH
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    out = BH.linear_attribution(events).collect()
+    attributed = sum(r["attributed_revenue"] for r in out)
+
+    # independent recompute of the touched purchases' exact value
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = events.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts")
+    )
+    touched = (
+        purchases.join(
+            touches,
+            (F.col("p_user") == F.col("t_user"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+            "left_semi",
+        )
+        .agg(F.sum("cents").alias("c"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    total_value = touched["c"] / 100.0
+    n_touched = touched["n"]
+    assert attributed <= total_value + 1e-9
+    # floor split loses < 1 millicent per pair row → bounded residue
+    n_pairs = sum(r["n_touches"] for r in out)
+    assert total_value - attributed < n_pairs / 100000.0 + 1e-9
+    assert sum(r["n_purchases"] for r in out) >= n_touched

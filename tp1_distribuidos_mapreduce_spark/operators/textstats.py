@@ -331,3 +331,66 @@ SELECT true_lang, pred_lang, n,
 FROM m
 ORDER BY true_lang, pred_lang
 """
+
+
+def lang_fertility_stats(documents: DataFrame) -> DataFrame:
+    """Tokenization-fertility budget per language: how many UTF-8 BYTES
+    does one word-token cost in each language? The multilingual
+    data-budgeting number (languages whose scripts encode at 2-3
+    bytes/char consume proportionally more storage and context per
+    token) — computed as per-lang totals plus an exact half-up
+    bytes-per-token ratio.
+
+    Exactness: byte counts are octet_length (UTF-8 octets in both
+    engines), token counts the engine-wide letter-run tokenizer, and
+    the ratio is integer half-up division at 2dp — (200·bytes +
+    tokens) div (2·tokens) over positive BIGINTs, identical in Spark
+    and DuckDB with zero float surface (the corpus_curation lesson:
+    round(avg(..)) over exact decimals is an intermittent cross-engine
+    flake). One map-only projection + one lang-keyed aggregate.
+    """
+    per_doc = documents.select(
+        "lang",
+        F.octet_length("text").cast("long").alias("bytes"),
+        n_tokens_expr().cast("long").alias("toks"),
+    ).where(F.col("toks") > 0)
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("toks").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_bytes",
+            "total_tokens",
+            (
+                F.expr("(200 * total_bytes + total_tokens) div (2 * total_tokens)")
+                / 100.0
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+LANG_FERTILITY_ORACLE = r"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                              x -> x <> '')) AS BIGINT) AS toks
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       ((200 * sum(bytes) + sum(toks)) // (2 * sum(toks))) / 100.0
+         AS bytes_per_token
+FROM per_doc
+WHERE toks > 0
+GROUP BY lang
+ORDER BY lang
+"""

@@ -750,3 +750,72 @@ LEFT JOIN islands i
 GROUP BY coalesce(i.state, 'none')
 ORDER BY state
 """
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert percentiles (first view → first purchase)
+# --------------------------------------------------------------------------
+
+
+def time_to_convert_stats(events: DataFrame) -> DataFrame:
+    """How long does conversion take? Per converting user, minutes from
+    FIRST view to the first purchase at-or-after it; reported as
+    quartiles plus the converter count — the product-analytics latency
+    twin of funnel_conversion's reach counts.
+
+    Shape: two user-keyed conditional aggregates (first view, then first
+    qualifying purchase via a user-cardinality join) — never an
+    event-sized window; the percentile input is one row per converter.
+    Minutes are floor(epoch-second delta / 60) — integer arithmetic in
+    both engines, so quartile interpolation lands on .0/.25/.5/.75
+    values computed bit-identically.
+    """
+    ev = events.select("user_id", "event_type", "ts")
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.min("t_view").alias("t_view"))
+        .select(
+            F.floor(
+                (
+                    F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+                )
+                / 60
+            )
+            .cast("long")
+            .alias("minutes")
+        )
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converters"),
+        F.expr("percentile(minutes, 0.25)").alias("p25_min"),
+        F.expr("percentile(minutes, 0.50)").alias("median_min"),
+        F.expr("percentile(minutes, 0.75)").alias("p75_min"),
+    )
+
+
+TIME_TO_CONVERT_ORACLE = """
+WITH first_view AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id,
+         CAST(floor(date_diff('second', min(v.t_view), min(e.ts)) / 60.0)
+              AS BIGINT) AS minutes
+  FROM events e JOIN first_view v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       quantile_cont(minutes, 0.25) AS p25_min,
+       quantile_cont(minutes, 0.50) AS median_min,
+       quantile_cont(minutes, 0.75) AS p75_min
+FROM conv
+"""

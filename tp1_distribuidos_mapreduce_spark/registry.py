@@ -93,9 +93,7 @@ _WINDOW: list[str] = [
     "weighted_token_sample",
     # freshness rotation: green only in r6, highest-risk shapes first
     "bucketed_colocated_join",
-    "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "corpus_curation",
     "skewed_distinct_users",
     "purchase_asof_last_click",
@@ -129,6 +127,13 @@ _WINDOW: list[str] = [
     # re-proves this round)
     "star_revenue_rollup",
     "purchases_by_browsing_state",
+    # round-9 batch 5 (new-query-gets-a-row; displaced dedup_exact — its
+    # normalized sibling dedup_survivors holds a slot — and
+    # dedup_embedding_cosine — the embedding family is represented by
+    # hard_negative_mining this round and label_centroid_cosine in r8;
+    # both r6-green, code-unchanged, differential-covered)
+    "time_to_convert_stats",
+    "lang_fertility_stats",
 ]
 
 _WINDOW_R8: list[str] = [
@@ -1931,3 +1936,19 @@ def q_purchases_by_browsing_state(spark: SparkSession, sf_dir: str) -> DataFrame
     (user-keyed equi-join + range filter), 'none' bucket for gap
     purchases — NULL-free, cents-exact."""
     return BH.purchases_by_browsing_state(load_table(spark, sf_dir, "events"))
+
+
+@register("time_to_convert_stats", oracle=BH.TIME_TO_CONVERT_ORACLE)
+def q_time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency quartiles (plans/behavior.py): first view →
+    first qualifying purchase per user, integral minutes, percentile
+    input one row per converter — never an event-sized window."""
+    return BH.time_to_convert_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("lang_fertility_stats", oracle=T.LANG_FERTILITY_ORACLE)
+def q_lang_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bytes-per-token budget (operators/textstats.py):
+    octet_length vs letter-run tokens, integer half-up ratio at 2dp —
+    zero float surface (the multilingual data-budgeting number)."""
+    return T.lang_fertility_stats(load_table(spark, sf_dir, "documents"))
