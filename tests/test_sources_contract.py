@@ -122,3 +122,27 @@ def test_stream_events_ts_is_watermarkable(spark, tmp_path):
     assert dict(rt.dtypes)["ts"] == "timestamp"
     rt.withWatermark("ts", "10 minutes")
     shutil.rmtree(replay, ignore_errors=True)
+
+
+def test_detgen_datasource_partition_planning(spark):
+    """The custom Python DataSource must honor its partition plan: the
+    scan parallelism equals the partitions option (one task per
+    InputPartition), rows partition exactly across ranges, and the
+    formula matches an independent Python replay."""
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_detgen(spark)
+    df = (
+        spark.read.format("detgen")
+        .option("rows", 1000)
+        .option("partitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    rows = df.collect()
+    assert len(rows) == 1000
+    ids = sorted(r["id"] for r in rows)
+    assert ids == list(range(1000))  # ranges tile the keyspace, no overlap
+    for r in rows[:50]:
+        mixed = (r["id"] * PDS._MIX) % PDS._MOD
+        assert (r["bucket"], r["value"]) == (mixed % 97, (mixed * 31) % PDS._MOD)

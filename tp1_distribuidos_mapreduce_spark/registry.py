@@ -96,7 +96,6 @@ _WINDOW: list[str] = [
     "dedup_ngram_jaccard",
     "corpus_curation",
     "skewed_distinct_users",
-    "purchase_asof_last_click",
     # added in round 9 (new-query-gets-a-row; displaced the 7 lowest-risk
     # rotation-tier members — order_value_deciles, q1_pricing_summary,
     # sql_grouping_sets, rollup_lineitem_flags, cube_order_status_priority,
@@ -134,6 +133,10 @@ _WINDOW: list[str] = [
     # both r6-green, code-unchanged, differential-covered)
     "time_to_convert_stats",
     "lang_fertility_stats",
+    # round-9 batch 6 (new-query-gets-a-row; displaced
+    # purchase_asof_last_click — r6-green, and its multi-touch sibling
+    # linear_attribution holds a fresh slot this round)
+    "detgen_bucket_stats",
 ]
 
 _WINDOW_R8: list[str] = [
@@ -835,6 +838,7 @@ def q_skewed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators import dedup as D  # noqa: E402
 from .operators import similarity as S  # noqa: E402
+from .sources import pydatasource as PDS  # noqa: E402
 from .operators import ranking as RK  # noqa: E402
 from .operators import textclean as TC  # noqa: E402
 from .operators import textstats as T  # noqa: E402
@@ -1952,3 +1956,13 @@ def q_lang_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     octet_length vs letter-run tokens, integer half-up ratio at 2dp —
     zero float surface (the multilingual data-budgeting number)."""
     return T.lang_fertility_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("detgen_bucket_stats", oracle=PDS.DETGEN_BUCKET_STATS_ORACLE)
+def q_detgen_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource end-to-end (sources/pydatasource.py):
+    Spark 4 connector surface — declared schema, partition planning,
+    lazy per-partition generators — feeding a Catalyst aggregate, with
+    the deterministic integer generation formula replayed by the DuckDB
+    oracle via generate_series."""
+    return PDS.detgen_bucket_stats(spark)
