@@ -203,3 +203,51 @@ def test_bfs_distances_hand_graph(spark):
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
     got = {r["part_id"]: r["dist"] for r in GR.bfs_distances(li).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: -1, 6: -1}
+
+
+def test_kcore_matches_python_peeling(spark):
+    """k-core exactness: independent Python peeling of the same edge
+    list (derived via DuckDB from the fixture) must produce the same
+    member set and in-core degrees."""
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = {(r["part_id"], r["core_degree"]) for r in GR.kcore_members(li, k=3).collect()}
+
+    con = duckdb.connect()
+    und = con.execute(
+        f"""
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM '{SF_SMOKE}/lineitem.parquet') a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM '{SF_SMOKE}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, ns in adj.items() if len(ns) < 3]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    want = {(n, len(ns)) for n, ns in adj.items()}
+    assert got == want
+    assert got  # the fixture graph really has a 3-core
+
+
+def test_kcore_hand_graph_peels_tail(spark):
+    """Hand graph: K4 on {1,2,3,4} plus a pendant path 4-5-6. The 3-core
+    is exactly the K4 (degrees 3); the path peels away over two rounds
+    (6 first, then 5)."""
+    rows = (
+        [(100, p) for p in (1, 2, 3, 4)]  # one basket → K4
+        + [(200, 4), (200, 5)]
+        + [(300, 5), (300, 6)]
+    )
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {(r["part_id"], r["core_degree"]) for r in GR.kcore_members(li, k=3).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}

@@ -433,3 +433,70 @@ SELECT n.part_id, CAST(coalesce(b.dist, -1) AS BIGINT) AS dist
 FROM nodes n LEFT JOIN best b USING (part_id)
 ORDER BY n.part_id
 """
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# --------------------------------------------------------------------------
+
+KCORE_MAX_ROUNDS = 64
+
+
+def kcore_members(lineitem: DataFrame, k: int = 3) -> DataFrame:
+    """The k-core of the co-purchase graph: the maximal subgraph where
+    every node keeps degree ≥ k — the classic dense-community filter
+    (spam/botnet rings, trending clusters) and the third iterative
+    shape in the graph family after PageRank's fixed-round power
+    iteration and BFS's frontier relaxation.
+
+    Peeling loop: compute degrees over the surviving edge set, drop
+    nodes under k, restrict edges to surviving endpoints (two semi-
+    joins on the node frame), repeat until the node count is stable.
+    Convergence actions are SCALAR counts only; localCheckpoint per
+    round keeps lineage flat; rounds are capped loudly (peeling
+    terminates in ≤ |V| rounds, in practice a handful). The surviving
+    node frame is node-cardinality — broadcast into the edge
+    restriction under the same 1M-node guard as PageRank/BFS, shuffled
+    equi-join past it.
+
+    Output: (part_id, core_degree) for k-core members — degree within
+    the core, the number a community-detection consumer ranks by.
+    Rows-only by design (iterative peeling has no ANSI-SQL oracle —
+    recursive CTEs cannot re-aggregate per round); exactness is pinned
+    in tests/test_graph.py against an independent Python peeling of the
+    same edge list.
+    """
+    edges = copurchase_edges(lineitem).localCheckpoint()
+    n_prev = -1
+    for _ in range(KCORE_MAX_ROUNDS):
+        degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = degrees.where(F.col("deg") >= k).select("src").localCheckpoint()
+        n_now = keep.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+        if n_now == 0:
+            break
+        bcast = (
+            (lambda df: F.broadcast(df))
+            if n_now <= PAGERANK_BROADCAST_NODE_LIMIT
+            else (lambda df: df)
+        )
+        edges = (
+            edges.join(bcast(keep), "src", "left_semi")
+            .join(
+                bcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not stabilize within {KCORE_MAX_ROUNDS} rounds"
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+        .select(F.col("src").alias("part_id"), "core_degree")
+        .orderBy("part_id")
+    )

@@ -1966,3 +1966,13 @@ def q_detgen_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic integer generation formula replayed by the DuckDB
     oracle via generate_series."""
     return PDS.detgen_bucket_stats(spark)
+
+
+@register("kcore_members")
+def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/graph.py): iterative degree-filtered
+    edge restriction with broadcast-guarded semi-joins, scalar-only
+    convergence checks. Rows-only by design (recursive CTEs cannot
+    re-aggregate per round); exact Python-peeling pin in
+    tests/test_graph.py."""
+    return GR.kcore_members(load_table(spark, sf_dir, "lineitem"))
