@@ -93,7 +93,6 @@ _WINDOW: list[str] = [
     "weighted_token_sample",
     # freshness rotation: green only in r6, highest-risk shapes first
     "bucketed_colocated_join",
-    "dedup_ngram_jaccard",
     "corpus_curation",
     "skewed_distinct_users",
     # added in round 9 (new-query-gets-a-row; displaced the 7 lowest-risk
@@ -137,6 +136,10 @@ _WINDOW: list[str] = [
     # purchase_asof_last_click — r6-green, and its multi-touch sibling
     # linear_attribution holds a fresh slot this round)
     "detgen_bucket_stats",
+    # round-9 batch 7 (new-query-gets-a-row; displaced dedup_ngram_jaccard
+    # — green r7 per VERDICT r8, code-unchanged, and the dedup family holds
+    # fresh slots via dedup_survivors and dedup_clusters)
+    "props_variant_census",
 ]
 
 _WINDOW_R8: list[str] = [
@@ -1976,3 +1979,12 @@ def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate per round); exact Python-peeling pin in
     tests/test_graph.py."""
     return GR.kcore_members(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("props_variant_census", oracle=RX.PROPS_VARIANT_ORACLE)
+def q_props_variant_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured analytics (plans/relational_ext.py):
+    parse_json once → typed variant_get path access → exact integer
+    aggregates — the Spark 4 modernization of get_json_object string
+    re-parsing."""
+    return RX.props_variant_census(load_table(spark, sf_dir, "events"))
