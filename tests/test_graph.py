@@ -251,3 +251,33 @@ def test_kcore_hand_graph_peels_tail(spark):
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
     got = {(r["part_id"], r["core_degree"]) for r in GR.kcore_members(li, k=3).collect()}
     assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_pagerank_warm_start_resumes_run(spark, tmp_path):
+    """Restartability: 1 round + persist + 9 warm-started rounds must
+    match the single 10-round run within the persisted checkpoint's 6dp
+    rounding (every rank within ~1e-6) — the preemption/resume contract
+    of a long iterative job. Also pins that a warm start really is used
+    (4-round ranks differ from 10-round ranks by much more than 1e-6)."""
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    full = {r["part_id"]: r["rank"] for r in GR.pagerank_copurchase(li, n_iter=10).collect()}
+
+    part1 = GR.pagerank_copurchase(li, n_iter=1)
+    p = str(tmp_path / "ranks_ckpt")
+    part1.write.mode("overwrite").parquet(p)
+    persisted = spark.read.parquet(p)
+    interim = {r["part_id"]: r["rank"] for r in persisted.collect()}
+    # after 1 round the ranks are still far from the 10-round fixpoint,
+    # so the resume below demonstrably does real work
+    assert max(abs(full[k] - interim[k]) for k in full) > 1e-5
+
+    resumed = {
+        r["part_id"]: r["rank"]
+        for r in GR.pagerank_copurchase(
+            li, n_iter=9, initial_ranks=persisted.select("part_id", "rank")
+        ).collect()
+    }
+    assert resumed.keys() == full.keys()
+    assert max(abs(full[k] - resumed[k]) for k in full) <= 2e-6

@@ -68,12 +68,24 @@ def pagerank_copurchase(
     lineitem: DataFrame,
     damping: float = PAGERANK_DAMPING,
     n_iter: int = PAGERANK_ITERS,
+    initial_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the co-purchase graph: (part_id, out_degree, rank).
 
     Deterministic contract: fixed ``n_iter`` rounds from the uniform
     start, rank rounded at 6dp in the output (partial-sum order wobbles
     the last ulp only). Returns every node, ordered by part_id.
+
+    ``initial_ranks`` (a (part_id, rank) frame, e.g. a persisted prior
+    output) WARM-STARTS the iteration instead of the uniform vector —
+    the restart/resume contract a long iterative job needs at 100 TB:
+    k rounds, persist, then m warm-started rounds equals k+m rounds in
+    one job up to the persisted checkpoint's rounding (resuming from
+    the 6dp public output keeps every rank within ~1e-6 of the
+    single-job run — pinned in tests/test_graph.py; persist unrounded
+    doubles for bit-exact resume). A preempted cluster job loses only
+    the rounds since its last persisted ranks table, never the whole
+    run.
     """
     edges = copurchase_edges(lineitem).localCheckpoint()
     # degrees is re-read every round by the rank-update join: checkpoint
@@ -84,9 +96,14 @@ def pagerank_copurchase(
     n_nodes = degrees.count()
     base = (1.0 - damping) / n_nodes
 
-    ranks = degrees.select(
-        "src", F.lit(1.0 / n_nodes).alias("rank"), "out_deg"
-    ).localCheckpoint()
+    if initial_ranks is not None:
+        ranks = degrees.join(
+            initial_ranks.select(F.col("part_id").alias("src"), "rank"), "src"
+        ).select("src", "rank", "out_deg").localCheckpoint()
+    else:
+        ranks = degrees.select(
+            "src", F.lit(1.0 / n_nodes).alias("rank"), "out_deg"
+        ).localCheckpoint()
     bcast = n_nodes <= PAGERANK_BROADCAST_NODE_LIMIT
     for _ in range(n_iter):
         contribs = (
