@@ -246,6 +246,30 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
     below tot/2. The result is an ACTUAL data value, bit-exact against
     the single-phase oracle with no rounding discipline needed.
     """
+    return _weighted_percentile_price(
+        lineitem, p_num=1, p_den=2, value_alias="weighted_median_price"
+    )
+
+
+def weighted_p90_price(lineitem: DataFrame) -> DataFrame:
+    """Exact quantity-weighted 90th-percentile extended price per return
+    flag — the tail-price statistic (what do the heaviest-shipped 10%
+    of units cost?), via the same two-phase bucketed machinery as the
+    weighted median (see weighted_median_price's plan notes)."""
+    return _weighted_percentile_price(
+        lineitem, p_num=9, p_den=10, value_alias="weighted_p90_price"
+    )
+
+
+def _weighted_percentile_price(
+    lineitem: DataFrame, p_num: int, p_den: int, value_alias: str
+) -> DataFrame:
+    """Shared two-phase exact weighted percentile: smallest price whose
+    cumulative weight reaches p = p_num/p_den of the flag's total —
+    `p_den·cum >= p_num·tot`, pure BIGINT arithmetic (p_num=1, p_den=2
+    is the median). The located bucket provably contains the percentile
+    price: every earlier bucket's inclusive cumulative is below p·tot.
+    """
     bucket_width = 1024  # fixed price-range width; ~100 buckets on TPC-H
     wp = (
         lineitem.select(
@@ -270,7 +294,7 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
         "tot", F.sum("bwt").over(tot_w)
     )
     med_bkt = (
-        bkts.where(2 * F.col("cumb") >= F.col("tot"))
+        bkts.where(p_den * F.col("cumb") >= p_num * F.col("tot"))
         .groupBy("l_returnflag")
         .agg(F.min("bkt").alias("bkt"))
         .join(bkts, ["l_returnflag", "bkt"])
@@ -289,10 +313,10 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
     return (
         wp.join(F.broadcast(med_bkt), ["l_returnflag", "bkt"])
         .withColumn("cum", F.col("prior") + F.sum("wt").over(cum_in))
-        .where(2 * F.col("cum") >= F.col("tot"))
+        .where(p_den * F.col("cum") >= p_num * F.col("tot"))
         .groupBy("l_returnflag")
         .agg(
-            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min("l_extendedprice").alias(value_alias),
             F.min("tot").alias("total_quantity"),
         )
         .orderBy("l_returnflag")
@@ -556,4 +580,27 @@ JOIN item_counts x ON d.a = x.part
 JOIN item_counts y ON d.b = y.part
 CROSS JOIN n_total
 ORDER BY d.n_ab DESC, antecedent, consequent
+"""
+
+
+WEIGHTED_P90_ORACLE = """
+WITH wp AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS wt
+  FROM lineitem
+  GROUP BY l_returnflag, l_extendedprice
+), cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+  FROM wp
+)
+SELECT l_returnflag,
+       min(l_extendedprice) AS weighted_p90_price,
+       CAST(min(tot) AS BIGINT) AS total_quantity
+FROM cum
+WHERE 10 * cum >= 9 * tot
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """

@@ -94,7 +94,6 @@ _WINDOW: list[str] = [
     # freshness rotation: green only in r6, highest-risk shapes first
     "bucketed_colocated_join",
     "corpus_curation",
-    "skewed_distinct_users",
     # added in round 9 (new-query-gets-a-row; displaced the 7 lowest-risk
     # rotation-tier members — order_value_deciles, q1_pricing_summary,
     # sql_grouping_sets, rollup_lineitem_flags, cube_order_status_priority,
@@ -140,6 +139,10 @@ _WINDOW: list[str] = [
     # — green r7 per VERDICT r8, code-unchanged, and the dedup family holds
     # fresh slots via dedup_survivors and dedup_clusters)
     "props_variant_census",
+    # round-9 batch 8 (new-query-gets-a-row; displaced skewed_distinct_users
+    # — r6-green, code-unchanged, and the salted-skew machinery is
+    # independently property-pinned in tests/test_skew_and_plans.py)
+    "weighted_p90_price",
 ]
 
 _WINDOW_R8: list[str] = [
@@ -1988,3 +1991,11 @@ def q_props_variant_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates — the Spark 4 modernization of get_json_object string
     re-parsing."""
     return RX.props_variant_census(load_table(spark, sf_dir, "events"))
+
+
+@register("weighted_p90_price", oracle=RT.WEIGHTED_P90_ORACLE)
+def q_weighted_p90_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted 90th-percentile price per flag (plans/retail.py):
+    the two-phase bucketed percentile generalized from the median —
+    no window partition ever sorts a full flag's distinct prices."""
+    return RT.weighted_p90_price(load_table(spark, sf_dir, "lineitem"))
