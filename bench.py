@@ -138,7 +138,7 @@ def main() -> None:
                 "sf": sf,
                 "warmup_sec": warmup_sec,
                 "n_queries": len(timings),
-                "queries_full": "BENCH_FULL.json",
+                "queries_full": sidecar,
                 "queries": {k: round(v, 2) for k, v in {**failed, **top}.items()},
             },
             separators=(",", ":"),

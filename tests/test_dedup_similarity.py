@@ -367,8 +367,10 @@ def test_prefix_jaccard_equals_plain_and_prunes(spark):
     assert pref == plain and len(plain) > 0
 
     # pruning: at a higher threshold the prefix is a small fraction of
-    # each doc's shingles — pin that prefix rows < 40% of index rows
-    # (t=3/4 → prefix len = n - ceil(0.75n) + 1 ≈ n/4)
+    # each doc's shingles (t=3/4 → prefix len ≈ n/4) — pin BOTH the
+    # output equality and the actual row reduction, so a regression that
+    # degenerates plen to n_cut (full self-join) fails here even though
+    # outputs would still match
     hi = D.ngram_jaccard_prefix_pairs(docs, t_num=3, t_den=4)
     hi_pairs = sorted(tuple(r) for r in hi.collect())
     plain_hi = sorted(
@@ -378,3 +380,26 @@ def test_prefix_jaccard_equals_plain_and_prunes(spark):
         ).collect()
     )
     assert hi_pairs == plain_hi
+
+    shingled, df_tab = D._shingled_with_sizes(docs, 3, D.DEFAULT_MAX_SHINGLE_DF)
+    from pyspark.sql.window import Window as W
+
+    ranked = shingled.join(df_tab, "sh")
+    t_num, t_den = 3, 4
+    with_prefix = (
+        ranked.withColumn(
+            "pos", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh"))
+        )
+        .withColumn("n_cut", F.count("*").over(W.partitionBy("doc_id")))
+        .withColumn(
+            "need",
+            F.expr(
+                f"(n_sh * ({t_num} * 20000 - {t_den}) + {t_den} * 20000 - 1)"
+                f" div ({t_den} * 20000)"
+            ),
+        )
+        .withColumn("plen", F.col("n_cut") - F.col("need") + 1)
+    )
+    n_prefix = with_prefix.where(F.col("pos") <= F.col("plen")).count()
+    n_index = shingled.count()
+    assert n_prefix < 0.4 * n_index

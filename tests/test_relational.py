@@ -13,19 +13,30 @@ ORACLE_NAMES = sorted(registry.oracle_sql().keys())
 
 
 @pytest.fixture(scope="session")
-def oracle_results(spark):
-    """Collect every oracle-backed query's result ONCE, concurrently.
+def oracle_results(spark, request):
+    """Collect the SELECTED oracle-backed queries' results ONCE,
+    concurrently.
 
     The per-query differential below then only compares precomputed rows
-    — per-query failure granularity is unchanged, but the 140 Spark
+    — per-query failure granularity is unchanged, but the ~150 Spark
     executions overlap instead of running serially (Spark's scheduler is
     thread-safe; shared /tmp artifacts are race-free via
     sources/artifacts.build_once). Measured: the serial parameterized
-    version was the suite's dominant cost.
+    version was the suite's dominant cost. Only names actually selected
+    for this session are computed, so `-k one_query` stays a one-query
+    dev loop instead of a full sweep.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     qs = registry.queries()
+    selected = {
+        item.callspec.params["name"]
+        for item in request.session.items
+        if getattr(item, "callspec", None) is not None
+        and item.callspec.params.get("name") in qs
+        and item.function.__name__ == "test_query_matches_oracle"
+    }
+    names = [n for n in ORACLE_NAMES if n in selected] or ORACLE_NAMES
 
     def run(name):
         try:
@@ -37,7 +48,7 @@ def oracle_results(spark):
             return (None, None, ex)
 
     with ThreadPoolExecutor(max_workers=8) as pool:
-        return dict(zip(ORACLE_NAMES, pool.map(run, ORACLE_NAMES)))
+        return dict(zip(names, pool.map(run, names)))
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

@@ -418,20 +418,20 @@ def test_stream_ivm_replayed_batch_is_not_double_counted(spark, tmp_path):
     from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
 
     state = str(tmp_path / "ivm_state")
-    ev = batch_events(spark).limit(40)
+    ev = batch_events(spark).where(F.col("event_id") < 40)
 
     # drive the production fold directly with an injected replay — the
     # delivery sequence an at-least-once foreachBatch produces after a
-    # crash between state commit and epoch commit
-    first = ev.limit(20)
-    second = ev.subtract(first)
+    # crash between state commit and epoch commit. Split by event_id
+    # parity: limit() without an ordering re-evaluates nondeterministically
+    # across jobs, so a limit/subtract split can overlap or leave gaps.
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
 
     SK._ivm_fold(first, 0, state)
     SK._ivm_fold(first, 0, state)  # REPLAY of epoch 0 — must be a no-op
     SK._ivm_fold(second, 1, state)
     SK._ivm_fold(second, 1, state)  # REPLAY of epoch 1 — must be a no-op
-
-    from pyspark.sql import functions as F
 
     got = {
         r["user_id"]: (r["n_events"], r["total_value"])
@@ -454,9 +454,10 @@ def test_stream_ivm_replayed_batch_is_not_double_counted(spark, tmp_path):
     # version dir — CURRENT exists and its target has a _SUCCESS marker
     ptr = json.load(open(os.path.join(state, "CURRENT")))
     assert os.path.exists(os.path.join(state, ptr["dir"], "_SUCCESS"))
-    # and exactly one committed version is retained (older GC'd)
-    vdirs = [d for d in os.listdir(state) if d.startswith("v")]
-    assert vdirs == [ptr["dir"]]
+    # retention: the current AND previous versions survive (a lazy
+    # reader resolved before the last fold stays readable); nothing older
+    vdirs = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert ptr["dir"] in vdirs and len(vdirs) <= 2
 
 
 def test_stream_ivm_fold_via_public_drain_uses_fence(spark, tmp_path):
@@ -494,9 +495,9 @@ def test_stream_ivm_crash_between_state_write_and_pointer_commit(spark, tmp_path
     from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
 
     state = str(tmp_path / "state")
-    ev = batch_events(spark).limit(30)
-    first = ev.limit(15)
-    second = ev.subtract(first)
+    ev = batch_events(spark).where(F.col("event_id") < 30)
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
 
     SK._ivm_fold(first, 0, state)
     before = {tuple(r) for r in SK.read_ivm_state(spark, state).collect()}

@@ -125,6 +125,50 @@ ORDER BY text_hash
 """
 
 
+def _shingled_with_sizes(
+    documents: DataFrame, n: int, max_shingle_df: int | None
+):
+    """Shared shingle pipeline for the exact-Jaccard joins: checkpointed
+    (doc_id, sh, n_sh) rows with PRE-cut sizes, plus the df table, with
+    the hot-shingle cut applied POST-size — the exact semantics both
+    ngram_jaccard_pairs and ngram_jaccard_prefix_pairs (and the shared
+    oracle) rely on. Extracted so the two operators cannot drift: the
+    cut discipline lives in ONE place. Returns (shingled, df_tab) —
+    df_tab is computed lazily only when a cut is requested or the
+    caller needs the canonical order.
+
+    The packed struct, the repartition widen, and the eager
+    localCheckpoint all carry the per-operator rationale documented on
+    ngram_jaccard_pairs (CSE containment, narrow-stage parallelism,
+    single materialization of the regex pipeline).
+    """
+    packed = F.get(
+        F.transform(
+            F.array(F.array_distinct(ngram_shingles(_tokens(), n))),
+            lambda shs: F.transform(
+                shs, lambda s: F.struct(s.alias("sh"), F.size(shs).alias("n_sh"))
+            ),
+        ),
+        0,
+    )
+    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
+    shingled = (
+        documents.select("doc_id", F.explode(packed).alias("p"))
+        .select("doc_id", F.col("p.sh").alias("sh"), F.col("p.n_sh").alias("n_sh"))
+        .localCheckpoint(eager=True)
+    )
+    df_tab = shingled.groupBy("sh").agg(F.count("*").alias("df"))
+    if max_shingle_df is not None:
+        shingled = shingled.join(
+            F.broadcast(df_tab.where(F.col("df") > max_shingle_df).select("sh")),
+            "sh",
+            "left_anti",
+        )
+    return shingled, df_tab
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -144,56 +188,11 @@ def ngram_jaccard_pairs(
     stay exact *given the cut*: per-doc set sizes are computed before the
     cut, intersections only over surviving shingles, on both engines.
     """
-    # Each doc's distinct shingle set is computed once, and its SIZE rides
-    # along with every exploded (shingle, doc) row — so the pair aggregate
-    # below needs no separate per-doc size joins (the classic three-way
-    # formulation evaluates the shingle pipeline three times). The
-    # intersection count itself stays a shingle-keyed hash self-join:
-    # exact Jaccard buckets are mostly singletons, where the hash join's
-    # streamed expansion beats a collect_list gather (measured 3×).
-    # The shingle set is bound as a lambda variable and exploded as
-    # (sh, n_sh) structs in one evaluation — naming it as an intermediate
-    # column would let CollapseProject re-inline the whole tokenize+shingle
-    # pipeline into each of its consumers (size filter, size, explode).
-    packed = F.get(
-        F.transform(
-            F.array(F.array_distinct(ngram_shingles(_tokens(), n))),
-            lambda shs: F.transform(
-                shs, lambda s: F.struct(s.alias("sh"), F.size(shs).alias("n_sh"))
-            ),
-        ),
-        0,
-    )
-    # The tokenize+shingle regex pipeline is CPU-bound and narrow: its
-    # parallelism is whatever the scan gave us. A small parquet input (one
-    # 128 MB split — exactly the sf0.1 fixture) pins the whole evaluation
-    # to ONE core; widen to the session's shuffle parallelism first. At
-    # cluster scale inputs already have thousands of splits and this is a
-    # no-op (the getNumPartitions probe is driver-side planning only).
-    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if documents.rdd.getNumPartitions() < target:
-        documents = documents.repartition(target)
-    shingled = documents.select(
-        "doc_id", F.explode(packed).alias("p")
-    ).select("doc_id", F.col("p.sh").alias("sh"), F.col("p.n_sh").alias("n_sh"))
-    # Materialize the exploded shingle table ONCE (localCheckpoint, same
-    # policy as connected_components below). Its consumers — the df-cut's
-    # hot aggregate, the anti-join, and both self-join sides — would
-    # otherwise each re-inline the tokenize+shingle regex pipeline
-    # (Catalyst never CSEs across operators): measured 4 document scans and
-    # 12 regex evaluations with the cut on, 2/6 with it off. After the
-    # checkpoint every consumer reads the fixed-width (doc_id, sh, n_sh)
-    # rows; at cluster scale the same role is played by a persisted
-    # StorageLevel.DISK_ONLY frame or a reliable checkpoint.
-    shingled = shingled.localCheckpoint(eager=True)
-    if max_shingle_df is not None:
-        hot = (
-            shingled.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("sh")
-        )
-        shingled = shingled.join(F.broadcast(hot), "sh", "left_anti")
+    # Shared shingle pipeline (see _shingled_with_sizes: single packed
+    # struct evaluation to contain CollapseProject re-inlining, narrow-
+    # stage widen, ONE eager localCheckpoint for all consumers, sizes
+    # pre-cut / survivors post-cut).
+    shingled, _ = _shingled_with_sizes(documents, n, max_shingle_df)
 
     # SHUFFLE_HASH hint: both sides are the same exploded shingle table —
     # broadcasting one (as the size estimate otherwise allows) would funnel
@@ -1114,9 +1113,14 @@ def ngram_jaccard_prefix_pairs(
     inverted-index pass).
 
     Threshold is a FRACTION (t_num/t_den) so the required-intersection
-    ceiling ⌈t·sz⌉ = (sz·t_num + t_den − 1) div t_den is pure integer
-    arithmetic. Sizes (szA) are pre-cut, intersections post-cut —
-    mirroring ngram_jaccard_pairs' documented cut semantics exactly.
+    ceiling stays pure integer arithmetic — computed against the
+    BOUNDARY-RELAXED threshold t − 5·10⁻⁵ because the final filter
+    (like the plain join and the shared oracle) accepts round(J,4) ≥ t,
+    which admits pairs with J slightly below t; sizing the prefix for
+    the relaxed threshold keeps the candidate set complete for every
+    pair the filter can accept. Sizes (szA) are pre-cut, intersections
+    post-cut — enforced structurally by sharing _shingled_with_sizes
+    with ngram_jaccard_pairs.
 
     Scale shape vs the plain self-join: the join fans out only on
     PREFIX rows (at t=0.8 a doc indexes ~20% of its shingles; at the
@@ -1125,38 +1129,24 @@ def ngram_jaccard_prefix_pairs(
     as the canonical order, so the cut's aggregate is reused, not
     recomputed.
     """
-    packed = F.get(
-        F.transform(
-            F.array(F.array_distinct(ngram_shingles(_tokens(), n))),
-            lambda shs: F.transform(
-                shs, lambda s: F.struct(s.alias("sh"), F.size(shs).alias("n_sh"))
-            ),
-        ),
-        0,
-    )
-    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if documents.rdd.getNumPartitions() < target:
-        documents = documents.repartition(target)
-    shingled = (
-        documents.select("doc_id", F.explode(packed).alias("p"))
-        .select("doc_id", F.col("p.sh").alias("sh"), F.col("p.n_sh").alias("n_sh"))
-        .localCheckpoint(eager=True)
-    )
-    df_tab = shingled.groupBy("sh").agg(F.count("*").alias("df"))
-    if max_shingle_df is not None:
-        shingled = shingled.join(
-            F.broadcast(df_tab.where(F.col("df") > max_shingle_df).select("sh")),
-            "sh",
-            "left_anti",
-        )
+    shingled, df_tab = _shingled_with_sizes(documents, n, max_shingle_df)
     ranked = shingled.join(df_tab, "sh")
     w_doc = Window.partitionBy("doc_id").orderBy("df", "sh")
     cut_sz = Window.partitionBy("doc_id")
     with_prefix = (
         ranked.withColumn("pos", F.row_number().over(w_doc))
         .withColumn("n_cut", F.count("*").over(cut_sz))
+        # Boundary-relaxed required intersection: the FINAL filter (like
+        # the plain join and the shared oracle) accepts round(J,4) >= t,
+        # i.e. any pair with J >= t - 5e-5. Completeness therefore needs
+        # the prefix sized for t' = t - 5e-5, not t: need = ceil(sz*t')
+        # with t' = (t_num*20000 - t_den) / (t_den*20000), pure BIGINT.
         .withColumn(
-            "need", F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
+            "need",
+            F.expr(
+                f"(n_sh * ({t_num} * 20000 - {t_den}) + {t_den} * 20000 - 1)"
+                f" div ({t_den} * 20000)"
+            ),
         )
         .withColumn("plen", F.col("n_cut") - F.col("need") + 1)
     )

@@ -97,9 +97,23 @@ def pagerank_copurchase(
     base = (1.0 - damping) / n_nodes
 
     if initial_ranks is not None:
-        ranks = degrees.join(
-            initial_ranks.select(F.col("part_id").alias("src"), "rank"), "src"
-        ).select("src", "rank", "out_deg").localCheckpoint()
+        # LEFT join + uniform default: a node absent from the supplied
+        # ranks (stale/filtered checkpoint) must re-enter at the uniform
+        # prior, never silently vanish from the rank vector (an inner
+        # join here would drop its mass without any error).
+        ranks = (
+            degrees.join(
+                initial_ranks.select(F.col("part_id").alias("src"), "rank"),
+                "src",
+                "left",
+            )
+            .select(
+                "src",
+                F.coalesce("rank", F.lit(1.0 / n_nodes)).alias("rank"),
+                "out_deg",
+            )
+            .localCheckpoint()
+        )
     else:
         ranks = degrees.select(
             "src", F.lit(1.0 / n_nodes).alias("rank"), "out_deg"

@@ -665,16 +665,22 @@ def purchases_by_browsing_state(events: DataFrame) -> DataFrame:
     the event⨝dimension-history enrichment every warehouse runs, here
     with the history derived in the same job.
 
-    Purchases strictly inside an island ([valid_from, valid_to]) are
-    attributed; purchases landing in a gap between islands are counted
-    in the 'none' bucket so the output partitions ALL purchases (and
-    stays NULL-free). Revenue folds as integral cents.
+    Purchases inside an island ([valid_from, valid_to]) are attributed;
+    purchases landing in a gap between islands are counted in the
+    'none' bucket. A purchase whose timestamp ties the boundary of two
+    adjacent islands (possible when different-type events share a
+    timestamp) matches both range predicates, so the join is followed
+    by a deterministic per-purchase tie-break — keep the island with
+    the LATEST valid_from (the state just entered), mirrored in the
+    oracle — making the output genuinely PARTITION all purchases (each
+    counted exactly once, NULL-free). Revenue folds as integral cents.
 
     Scale shape: both windows partition by user_id; the interval join is
     a user-keyed equi-join with the range predicate as a join filter —
     per-user fan-out is (user's purchases × user's islands), bounded per
-    user, never a global range join. At 100 TB the islands side would be
-    bucketed by user_id to co-locate with the event stream.
+    user, never a global range join; the tie-break window partitions by
+    purchase id. At 100 TB the islands side would be bucketed by
+    user_id to co-locate with the event stream.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     base = events.where(F.col("event_type") != "purchase")
@@ -699,16 +705,24 @@ def purchases_by_browsing_state(events: DataFrame) -> DataFrame:
         F.max("ts").alias("valid_to"),
     )
     purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    attributed = purchases.join(
+    joined = purchases.join(
         islands,
         (F.col("p_user") == F.col("user_id"))
         & (F.col("p_ts") >= F.col("valid_from"))
         & (F.col("p_ts") <= F.col("valid_to")),
         "left",
+    )
+    # boundary-tie break: one island per purchase (latest valid_from)
+    pick = Window.partitionBy("p_id").orderBy(
+        F.desc_nulls_last("valid_from"), F.desc_nulls_last("island")
+    )
+    attributed = joined.withColumn("rn", F.row_number().over(pick)).where(
+        F.col("rn") == 1
     )
     return (
         attributed.groupBy(F.coalesce("state", F.lit("none")).alias("state"))
@@ -737,17 +751,24 @@ WITH base AS (
          min(event_type) AS state
   FROM runs GROUP BY user_id, island
 ), purchases AS (
-  SELECT user_id AS p_user, ts AS p_ts,
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
+), attributed AS (
+  SELECT p.p_id, p.cents, i.state,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY i.valid_from DESC NULLS LAST,
+                                     i.island DESC NULLS LAST) AS rn
+  FROM purchases p
+  LEFT JOIN islands i
+    ON p.p_user = i.user_id AND p.p_ts >= i.valid_from AND p.p_ts <= i.valid_to
 )
-SELECT coalesce(i.state, 'none') AS state,
+SELECT coalesce(state, 'none') AS state,
        CAST(count(*) AS BIGINT) AS n_purchases,
        sum(cents) / 100.0 AS purchase_value
-FROM purchases p
-LEFT JOIN islands i
-  ON p.p_user = i.user_id AND p.p_ts >= i.valid_from AND p.p_ts <= i.valid_to
-GROUP BY coalesce(i.state, 'none')
+FROM attributed
+WHERE rn = 1
+GROUP BY coalesce(state, 'none')
 ORDER BY state
 """
 

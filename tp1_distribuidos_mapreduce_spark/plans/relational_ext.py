@@ -1333,8 +1333,15 @@ def props_variant_census(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.count("k").cast("long").alias("n_with_k"),
-            F.sum("k").cast("long").alias("sum_k"),
-            F.sum((F.col("k") % 2 == 0).cast("long")).cast("long").alias("n_even_k"),
+            # coalesce at the SUM: an all-NULL group (no row carries $.k)
+            # must yield 0, matching the oracle's CASE/coalesce — and the
+            # engine-wide no-NULL output policy
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+            F.coalesce(
+                F.sum((F.col("k") % 2 == 0).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_even_k"),
         )
         .orderBy("event_type")
     )
@@ -1344,7 +1351,7 @@ PROPS_VARIANT_ORACLE = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(k) AS BIGINT) AS n_with_k,
-       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
        CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
 FROM (
   SELECT event_type,

@@ -175,10 +175,18 @@ def _ivm_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
     new_dir = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
     _commit_ivm_pointer(state_path, new_dir, batch_id)
-    if committed is not None and committed["dir"] != new_dir:
-        import shutil
+    # Retention: keep the CURRENT and the PREVIOUS committed version. A
+    # reader that resolved the pointer before this commit holds a lazy
+    # plan over the previous dir — deleting it immediately would fail
+    # that reader's later action (read_ivm_state's contract). Versions
+    # older than the previous one are unreachable by any pointer a live
+    # reader could have seen across one fold, and are GC'd here.
+    import shutil
 
-        shutil.rmtree(os.path.join(state_path, committed["dir"]), ignore_errors=True)
+    keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
+    for d in os.listdir(state_path):
+        if d.startswith("v") and d not in keep:
+            shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
 
 
 def _read_ivm_pointer(state_path: str) -> dict | None:
@@ -210,7 +218,10 @@ def _commit_ivm_pointer(state_path: str, version_dir: str, batch_id: int) -> Non
 def read_ivm_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Final IVM state as (user_id, n_events, total_value) with cents
     divided once at the edge. Follows the CURRENT pointer, so a reader
-    concurrent with a fold always sees a complete committed version."""
+    concurrent with a fold always sees a complete committed version;
+    the returned frame stays readable across ONE subsequent fold (the
+    sink retains the previous version) — collect before a second fold
+    lands, or re-resolve via a fresh read_ivm_state call."""
     import os
 
     from pyspark.sql import functions as F
