@@ -266,7 +266,9 @@ inter AS (
     )
 
 
-def ngram_jaccard_oracle(max_df: int | None = DEFAULT_MAX_SHINGLE_DF) -> str:
+def ngram_jaccard_oracle(
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF, threshold: float = 0.2
+) -> str:
     return f"""
 WITH {_jaccard_ctes(max_df)}
 SELECT doc_a, doc_b,
@@ -274,7 +276,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= 0.2
+WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= {threshold}
 ORDER BY doc_a, doc_b
 """
 

@@ -2005,11 +2005,16 @@ def q_weighted_p90_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.weighted_p90_price(load_table(spark, sf_dir, "lineitem"))
 
 
-@register("dedup_jaccard_prefix", oracle=D.NGRAM_JACCARD_ORACLE)
+@register("dedup_jaccard_prefix", oracle=D.ngram_jaccard_oracle(threshold=0.5))
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered exact Jaccard (operators/dedup.py):
     rarest-first canonical order, per-doc integer prefix lengths, prefix-
-    only candidate join, in-row array_intersect verify — identical
-    output to dedup_ngram_jaccard under the same oracle, with join
-    fan-out bounded by prefixes instead of full shingle sets."""
-    return D.ngram_jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
+    only candidate join, in-row array_intersect verify. Registered at
+    t=0.5 — the regime the technique exists for (each doc indexes ~half
+    its shingles; at dedup_ngram_jaccard's t=0.2 the prefix is ~80% of
+    the set and the plain inverted-index join is the right plan, which
+    is why both stay registered). Equality with the plain join is pinned
+    at two thresholds in tests/test_dedup_similarity.py."""
+    return D.ngram_jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), t_num=1, t_den=2
+    )
