@@ -74,6 +74,10 @@ def main() -> None:
             "knn_ivf_pq_persisted",
             "zorder_pruned_scan",
             "partitioned_pruned_daily",
+            # python-datasource worker spawn is a one-time session cost
+            # of the same class as mr_wc's pandas workers — amortized
+            # out of the timed number like every other one-time cost
+            "detgen_bucket_stats",
         )
         if do_warmup
         else ()

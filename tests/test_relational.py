@@ -110,3 +110,33 @@ def test_rows_only_queries_emit_no_nulls(spark, name):
     rows = registry.queries()[name](spark, SF_SMOKE).collect()
     nulls = [(i, v) for r in rows for i, v in enumerate(r) if v is None]
     assert not nulls, f"{name} emitted NULLs: {nulls[:3]}"
+
+
+def test_rows_only_queries_are_deterministic(spark):
+    """The rows-only queries — the set with NO oracle differential —
+    must return identical rows when run twice in the same session.
+    Catches the nondeterminism classes a single-run gate passes:
+    rand()/uuid in a plan, unordered limit()/first() whose selection
+    varies across evaluations, iterative operators sensitive to
+    partitioning, Python kernels with per-run state. (Oracle-backed
+    queries get repeated independent executions across the
+    differential, the driver gate, and bench every round — their
+    nondeterminism would surface as a hash mismatch there.) Both
+    evaluations run concurrently per query (same thread-pool discipline
+    as the oracle differential; /tmp artifacts are build_once-locked)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = registry.queries()
+
+    def run_twice(name):
+        try:
+            fn = qs[name]
+            a = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+            b = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
+            return None if a == b else f"{name}: two runs differ"
+        except Exception as ex:
+            return f"{name}: {type(ex).__name__}: {str(ex)[:120]}"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        problems = [p for p in pool.map(run_twice, ROWS_ONLY_NAMES) if p]
+    assert not problems, problems
