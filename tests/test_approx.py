@@ -79,3 +79,41 @@ def test_cms_heavy_hitters_exact_even_under_collisions(spark, duck):
     documents = load_table(spark, SF_SMOKE, "documents")
     tiny = cms_heavy_hitters(documents, threshold=100, depth=1, width=8)
     assert_df_matches_oracle(tiny, duck, CMS_HEAVY_HITTERS_ORACLE)
+
+
+def test_rolling_hll_within_error_envelope(spark, duck):
+    """The merged-sketch rolling 28d distinct must track the EXACT
+    rolling distinct within HLL's error envelope for m=256 (rsd 6.5%):
+    every window within 4σ (26%), mean absolute relative error under
+    1.5σ (10%) — loose enough to be stable, tight enough that a merge
+    bug (e.g. summing registers instead of max) fails immediately."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    got = {
+        str(r["window_end"]): r["approx_users"]
+        for r in AX.rolling_hll_active_users(
+            load_table(spark, SF_SMOKE, "events")
+        ).collect()
+    }
+    exact = {
+        str(d): n
+        for d, n in duck.sql(
+            f"""
+            WITH du AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+              FROM '{SF_SMOKE}/events.parquet'
+            ), days AS (SELECT DISTINCT day FROM du)
+            SELECT w.day AS window_end, count(DISTINCT d.user_id) AS n
+            FROM days w JOIN du d
+              ON d.day <= w.day AND d.day > w.day - INTERVAL 28 DAY
+            GROUP BY w.day
+            """
+        ).fetchall()
+    }
+    assert got.keys() == exact.keys()
+    rels = [abs(got[k] - exact[k]) / exact[k] for k in exact]
+    assert max(rels) <= 0.26, sorted(
+        ((abs(got[k] - exact[k]) / exact[k]), k) for k in exact
+    )[-3:]
+    assert sum(rels) / len(rels) <= 0.10

@@ -260,6 +260,8 @@ PYTHON_ALLOWED = {
     "embedding_pca",                       # bounded mapInPandas Gram partials
     "image_phash_dupes",                   # Arrow-batched decode+ahash kernel
     "kmeans_clusters",                     # Arrow+BLAS assignment partials
+    "rolling_28d_users_hll",               # Arrow-batched per-day HLL sketch
+                                           # build; merge/estimate are Catalyst
 }
 
 # Non-equi / cross joins allowed ONLY where the semantics are all-pairs by

@@ -2018,3 +2018,13 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_prefix_pairs(
         load_table(spark, sf_dir, "documents"), t_num=1, t_den=2
     )
+
+
+@register("rolling_28d_users_hll")
+def q_rolling_28d_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL rolling 28-day distinct users (plans/approx.py):
+    one fixed-size sketch per day built in a single Arrow-batched pass,
+    register-wise max-merge per window in pure Catalyst — the
+    sketch-at-ingest/merge-at-query pattern. Rows-only; error envelope
+    vs the exact rolling distinct pinned in tests/test_approx.py."""
+    return AX.rolling_hll_active_users(load_table(spark, sf_dir, "events"))
