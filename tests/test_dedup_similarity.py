@@ -403,3 +403,24 @@ def test_prefix_jaccard_equals_plain_and_prunes(spark):
     n_prefix = with_prefix.where(F.col("pos") <= F.col("plen")).count()
     n_index = shingled.count()
     assert n_prefix < 0.4 * n_index
+
+
+def test_dedup_survivors_exact_beyond_2_32_ids(spark):
+    """Survivor argmax is a STRUCT ordering key, not packed integer
+    arithmetic: selection stays exact when the doc_id gap exceeds
+    Δn_chars·2³² — the regime where the old n_chars·2³²−doc_id key
+    mis-ordered (ADVICE r9: dedup.py packed-key ceiling)."""
+    txt = "alpha beta gamma delta epsilon zeta eta theta shared prefix"
+    rows = [
+        # small id, SMALLER n_chars — the old packed key wrongly
+        # preferred this one (60·2³²−5 > 61·2³²−2³³ = 59·2³²).
+        (5, 60, txt),
+        # huge id, LARGEST n_chars — the correct canonical survivor.
+        (1 << 33, 61, txt + " longer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, text string")
+    out = D.dedup_survivors(df, k=8).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 5
+    assert out[0].canonical_doc_id == 1 << 33
+    assert out[0].n_members == 2

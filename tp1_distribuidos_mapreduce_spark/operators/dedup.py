@@ -1032,10 +1032,12 @@ def dedup_survivors(documents: DataFrame, k: int = 8) -> DataFrame:
     Scale shape: fixed-width hash keys through one groupBy shuffle; the
     argmax is a max_by aggregate (no window, no second pass over raw
     text), then one hash-keyed join of the (hash → canonical) frame
-    back to the member list. (n_chars, doc_id) packs into max_by's
-    ordering key as n_chars·2³² − doc_id — exact in BIGINT for every
-    fixture id, and strictly monotone in the (n_chars asc, doc_id desc)
-    order, so argmax = the intended survivor.
+    back to the member list. The ordering key is the STRUCT
+    (n_chars, −doc_id) — lexicographic struct comparison gives exactly
+    (n_chars asc, doc_id desc) with no packed-integer arithmetic, so
+    the selection stays correct for any id space (no 2³² doc_id
+    ceiling, no BIGINT overflow; pinned at 2³³ ids in
+    test_dedup_similarity.py).
     """
     t = F.filter(tokenize("text"), lambda x: x != "")
     d = documents.select(
@@ -1046,7 +1048,7 @@ def dedup_survivors(documents: DataFrame, k: int = 8) -> DataFrame:
     canon = (
         members.groupBy("prefix_hash")
         .agg(
-            F.expr("max_by(doc_id, n_chars * 4294967296 - doc_id)").alias(
+            F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias(
                 "canonical_doc_id"
             ),
             F.count("*").alias("n_members"),
@@ -1066,21 +1068,31 @@ def dedup_survivors(documents: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-DEDUP_SURVIVORS_ORACLE = r"""
+def dedup_survivors_oracle(k: int = 8) -> str:
+    """DuckDB oracle for ``dedup_survivors`` at prefix length ``k`` —
+    generated from the same parameter as the query so a non-default
+    ``k`` can never silently pair with a stale fixed-k oracle string."""
+    return rf"""
 WITH toks AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
                      x -> x <> '') AS t
   FROM documents
 ), members AS (
-  SELECT md5(array_to_string(t[1:8], ' ')) AS prefix_hash, doc_id, n_chars
-  FROM toks WHERE len(t) >= 8
+  SELECT md5(array_to_string(t[1:{k}], ' ')) AS prefix_hash, doc_id, n_chars
+  FROM toks WHERE len(t) >= {k}
 ), canon AS (
-  SELECT prefix_hash,
-         max_by(doc_id, n_chars * 4294967296 - doc_id) AS canonical_doc_id,
-         count(*) AS n_members
-  FROM members GROUP BY prefix_hash
-  HAVING count(*) > 1
+  -- (max n_chars, min doc_id) argmax via an explicit window — DuckDB's
+  -- max_by lacks struct ordering keys, and a packed-integer key would
+  -- reintroduce the 2^32 doc_id ceiling the Spark side just dropped.
+  SELECT prefix_hash, doc_id AS canonical_doc_id, n_members
+  FROM (
+    SELECT prefix_hash, doc_id,
+           count(*) OVER (PARTITION BY prefix_hash) AS n_members,
+           row_number() OVER (PARTITION BY prefix_hash
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM members)
+  WHERE rn = 1 AND n_members > 1
 )
 SELECT doc_id, canonical_doc_id, prefix_hash,
        CAST(n_members AS BIGINT) AS n_members
@@ -1088,6 +1100,9 @@ FROM members JOIN canon USING (prefix_hash)
 WHERE doc_id <> canonical_doc_id
 ORDER BY doc_id
 """
+
+
+DEDUP_SURVIVORS_ORACLE = dedup_survivors_oracle()
 
 
 def ngram_jaccard_prefix_pairs(

@@ -802,7 +802,11 @@ def hard_negative_mining(
     )
 
 
-HARD_NEGATIVE_ORACLE = """
+def hard_negative_oracle(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB oracle for ``hard_negative_mining`` — generated from the
+    same (n_queries, k) as the query so non-default parameters can never
+    silently pair with a stale fixed-parameter oracle string."""
+    return f"""
 SELECT query_id, rank, negative_id, query_label, negative_label
 FROM (
   SELECT q.vec_id AS query_id,
@@ -815,8 +819,11 @@ FROM (
                      c.vec_id ASC) AS INTEGER) AS rank
   FROM embeddings q
   JOIN embeddings c ON c.label <> q.label
-  WHERE q.vec_id < 10
+  WHERE q.vec_id < {n_queries}
 )
-WHERE rank <= 5
+WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+HARD_NEGATIVE_ORACLE = hard_negative_oracle()

@@ -232,12 +232,18 @@ def _daily_hll_udf():
                 )
                 j = (hs & np.uint64(HLL_M - 1)).astype(np.int64)
                 w = hs >> np.uint64(8)
-                # rho = leading-zero count of the 56-bit suffix + 1
+                # rho = leading-zero count of the 56-bit suffix + 1.
+                # Exact integer bit length via binary-shift unrolling —
+                # never through float64, whose 53-bit mantissa could
+                # round log2(w) across a power-of-two boundary for
+                # w >= 2^53 and skew rho by one.
                 bitlen = np.zeros(len(w), dtype=np.int64)
-                nz = w > 0
-                bitlen[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(
-                    np.int64
-                ) + 1
+                v = w.copy()
+                for shift in (32, 16, 8, 4, 2, 1):
+                    big = v >= np.uint64(1) << np.uint64(shift)
+                    bitlen[big] += shift
+                    v[big] >>= np.uint64(shift)
+                bitlen[w > np.uint64(0)] += 1
                 rho = (56 - bitlen + 1).astype(np.int32)
                 np.maximum.at(regs, j, rho)
             out.append(regs.tolist())

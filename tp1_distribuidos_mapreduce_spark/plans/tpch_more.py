@@ -581,8 +581,11 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
     scan builds the revenue table; the scalar max is computed over that
     (supplier-cardinality) table and broadcast back as a 1-row frame
     — the view is NOT recomputed (TPC-H's stated trap), and no window
-    over all suppliers is needed. Revenue compares exactly because both
-    sides round the same double to cents once.
+    over all suppliers is needed. Revenue is integral cents PER ROW
+    (the star_revenue_rollup discipline): the max and the equality
+    compare exact BIGINTs, so no cross-engine partial-sum order can
+    flip a supplier sitting within an ulp of a half-cent boundary;
+    cents convert to a 2dp double exactly once at the output edge.
     """
     rev = (
         lineitem.where(
@@ -591,19 +594,21 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("rev_cents")
         )
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    mx = rev.agg(F.max("rev_cents").alias("mx"))
     return (
-        rev.join(F.broadcast(mx), rev["total_revenue"] == F.col("mx"))
+        rev.join(F.broadcast(mx), rev["rev_cents"] == F.col("mx"))
         .join(supplier, rev["l_suppkey"] == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",
-            "total_revenue",
+            (F.col("rev_cents") / 100.0).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -611,15 +616,18 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
 
 Q15_ORACLE = """
 WITH revenue AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS rev_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate <  TIMESTAMP '1997-04-01'
   GROUP BY l_suppkey
 )
-SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       rev_cents / 100.0 AS total_revenue
 FROM revenue JOIN supplier ON s_suppkey = l_suppkey
-WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
 ORDER BY s_suppkey
 """
 

@@ -119,12 +119,17 @@ def detgen_bucket_stats(spark, n_rows: int = 100_000, n_parts: int = 8):
     )
 
 
-DETGEN_BUCKET_STATS_ORACLE = f"""
+def detgen_bucket_stats_oracle(n_rows: int = 100_000) -> str:
+    """DuckDB oracle for ``detgen_bucket_stats`` — generated from the
+    same ``n_rows`` as the query (partition count is plan-only and does
+    not affect results), so a non-default row count can never silently
+    pair with a stale fixed-size oracle string."""
+    return f"""
 WITH rows_ AS (
   SELECT i AS id,
          ((i * {_MIX}) % {_MOD}) % 97 AS bucket,
          (((i * {_MIX}) % {_MOD}) * 31) % {_MOD} AS value
-  FROM generate_series(0, {100_000 - 1}) t(i)
+  FROM generate_series(0, {n_rows - 1}) t(i)
 )
 SELECT CAST(bucket AS INTEGER) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -134,3 +139,6 @@ FROM rows_
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+DETGEN_BUCKET_STATS_ORACLE = detgen_bucket_stats_oracle()
