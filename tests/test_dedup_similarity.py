@@ -381,6 +381,24 @@ def test_prefix_jaccard_equals_plain_and_prunes(spark):
     )
     assert hi_pairs == plain_hi
 
+    # VERDICT r9 #4 done-criteria: bitwise-identical at t=0.5 (the
+    # registered threshold) and t=0.8 with the PPJoin length +
+    # positional filters active in the candidate join
+    for t_num, t_den, thr in ((1, 2, 0.5), (4, 5, 0.8)):
+        got = sorted(
+            tuple(r)
+            for r in D.ngram_jaccard_prefix_pairs(
+                docs, t_num=t_num, t_den=t_den
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=thr, max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF
+            ).collect()
+        )
+        assert got == want, f"t={thr}"
+
     shingled, df_tab = D._shingled_with_sizes(docs, 3, D.DEFAULT_MAX_SHINGLE_DF)
     from pyspark.sql.window import Window as W
 

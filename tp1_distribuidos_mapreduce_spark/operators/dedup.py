@@ -1142,9 +1142,16 @@ def ngram_jaccard_prefix_pairs(
     Scale shape vs the plain self-join: the join fans out only on
     PREFIX rows (at t=0.8 a doc indexes ~20% of its shingles; at the
     registered t=0.2 ~80% — the knob pays off as the threshold rises),
-    and the verify step is candidate-cardinality. The df table doubles
-    as the canonical order, so the cut's aggregate is reused, not
-    recomputed.
+    and the verify step is candidate-cardinality. On top of prefix
+    overlap, candidates are pruned in the join condition by PPJoin's
+    LENGTH filter (t'·max(szA,szB) ≤ min(szA,szB) — a qualifying pair
+    can't be too size-mismatched) and POSITIONAL filter (the remaining-
+    suffix bound 1 + min(n_cut−pos) at the first common shingle must
+    still reach the pair's required intersection) — both derived
+    against the same boundary-relaxed t', so completeness is preserved
+    (A/B-pinned vs the plain join at t = 0.2, 0.5, 0.75 and 0.8 in
+    tests/test_dedup_similarity.py). The df table doubles as the
+    canonical order, so the cut's aggregate is reused, not recomputed.
     """
     shingled, df_tab = _shingled_with_sizes(documents, n, max_shingle_df)
     ranked = shingled.join(df_tab, "sh")
@@ -1167,13 +1174,45 @@ def ngram_jaccard_prefix_pairs(
         )
         .withColumn("plen", F.col("n_cut") - F.col("need") + 1)
     )
-    prefixes = with_prefix.where(F.col("pos") <= F.col("plen")).select("doc_id", "sh")
+    prefixes = with_prefix.where(F.col("pos") <= F.col("plen")).select(
+        "doc_id", "sh", "pos", "n_cut", F.col("n_sh").alias("sz")
+    )
+    # PPJoin candidate pruning (both filters are completeness-preserving;
+    # the exact verify below makes soundness free). Integer scale: with
+    # t' = t − 5·10⁻⁵ = TN/TD, accepted pairs satisfy J ≥ t', hence
+    #   LENGTH: J ≤ min(szA,szB)/max(szA,szB)  →  min·TD ≥ max·TN;
+    #   POSITIONAL: at the FIRST common shingle (minimal pos in BOTH
+    #   docs under the shared canonical order — the row the prefix lemma
+    #   guarantees lands in both prefixes) the post-cut intersection is
+    #   bounded by 1 + min(n_cutA−posA, n_cutB−posB), and J ≥ t' needs
+    #   I·(TD+TN) ≥ (szA+szB)·TN; OR-ing the check over all matching
+    #   rows equals checking the first match, since it maximizes both
+    #   n_cut−pos terms. At t=0.8 the two filters cut verify fan-out
+    #   that prefix overlap alone admits (size-mismatched and
+    #   late-overlap pairs).
+    _tn = t_num * 20000 - t_den
+    _td = t_den * 20000
     candidates = (
         prefixes.alias("a")
         .join(
             prefixes.hint("shuffle_hash").alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * _td
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * _tn
+            )
+            & (
+                (
+                    1
+                    + F.least(
+                        F.col("a.n_cut") - F.col("a.pos"),
+                        F.col("b.n_cut") - F.col("b.pos"),
+                    )
+                )
+                * (_td + _tn)
+                >= (F.col("a.sz") + F.col("b.sz")) * _tn
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

@@ -69,23 +69,24 @@ def pagerank_copurchase(
     damping: float = PAGERANK_DAMPING,
     n_iter: int = PAGERANK_ITERS,
     initial_ranks: DataFrame | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """PageRank over the co-purchase graph: (part_id, out_degree, rank).
 
     Deterministic contract: fixed ``n_iter`` rounds from the uniform
-    start, rank rounded at 6dp in the output (partial-sum order wobbles
-    the last ulp only). Returns every node, ordered by part_id.
+    start, rank rounded at 6dp in the public output (partial-sum order
+    wobbles the last ulp only). Returns every node, ordered by part_id.
 
     ``initial_ranks`` (a (part_id, rank) frame, e.g. a persisted prior
     output) WARM-STARTS the iteration instead of the uniform vector —
     the restart/resume contract a long iterative job needs at 100 TB:
     k rounds, persist, then m warm-started rounds equals k+m rounds in
-    one job up to the persisted checkpoint's rounding (resuming from
-    the 6dp public output keeps every rank within ~1e-6 of the
-    single-job run — pinned in tests/test_graph.py; persist unrounded
-    doubles for bit-exact resume). A preempted cluster job loses only
-    the rounds since its last persisted ranks table, never the whole
-    run.
+    one job. ``exact=True`` emits the UNROUNDED double ranks — the form
+    a checkpoint must persist for BIT-EXACT resume (k + persist + m ==
+    k+m with float equality, pinned in tests/test_graph.py); resuming
+    from the 6dp public output instead stays within ~1e-6 but compounds
+    per restart in a long chain. A preempted cluster job loses only the
+    rounds since its last persisted ranks table, never the whole run.
     """
     edges = copurchase_edges(lineitem).localCheckpoint()
     # degrees is re-read every round by the rank-update join: checkpoint
@@ -146,7 +147,7 @@ def pagerank_copurchase(
     return ranks.select(
         F.col("src").alias("part_id"),
         "out_deg",
-        F.round("rank", 6).alias("rank"),
+        F.col("rank").alias("rank") if exact else F.round("rank", 6).alias("rank"),
     ).orderBy("part_id")
 
 
