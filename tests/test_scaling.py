@@ -1,0 +1,140 @@
+"""10× scale drill for the heavy hitters (VERDICT r9 #7).
+
+No sf1 fixture exists, so the drill builds one IN SPARK: 10 disjoint,
+deterministically-keyed copies of the sf0.1 co-purchase input (graph
+queries) and 10 shingle-disjoint copies of the sf0.1 documents table
+(dedup queries), then times each query at 1× and 10× and pins the
+wall-clock slope at ≤ LINEAR_SLOPE_CAP × the size ratio. An accidental
+quadratic (all-pairs join, unbounded adjacency, per-round full-table
+rescan) shows up as a ~100× slope and fails loudly here before it
+matters at 100 TB.
+
+Marked `slow` (≈5 min) and deselected from the default run by
+pytest.ini; run with `pytest -m slow tests/test_scaling.py -s`.
+Measured numbers are recorded in SCALING.md per round.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tp1_distribuidos_mapreduce_spark.operators import dedup as D
+from tp1_distribuidos_mapreduce_spark.operators import graph as GR
+from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+pytestmark = pytest.mark.slow
+
+SF_BENCH = "/root/testdata/sf0.1"
+COPIES = 10
+# Generous so machine noise never flakes the drill: a truly linear query
+# lands ≈10, mild superlinearity (shuffle fan-in, codegen) ≈12-15, an
+# accidental quadratic ≈100.
+LINEAR_SLOPE_CAP = 2.5  # × the size ratio (i.e. slope ≤ 25 for 10 copies)
+
+
+def _scaled_lineitem(spark, copies: int = COPIES):
+    """10 disjoint graph copies: orderkey and partkey spaces are shifted
+    per copy, so |nodes| and |edges| both scale exactly ×copies while
+    per-copy structure (degrees, triangles, cores) is preserved."""
+    li = load_table(spark, SF_BENCH, "lineitem").select("l_orderkey", "l_partkey")
+    pmax = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    copies_df = spark.range(copies).select(F.col("id").alias("cp"))
+    return (
+        li.crossJoin(F.broadcast(copies_df))
+        .select(
+            (F.col("l_orderkey") * copies + F.col("cp")).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("cp") * pmax).alias("l_partkey"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+# Per-copy vowel rotations make the copies (near-)disjoint in shingle
+# space, so near-dup pair/cluster output grows ~linearly instead of each
+# document gaining 9 exact clones (which would make the OUTPUT itself
+# quadratic in copies and invalidate the slope).
+_ROTATIONS = [
+    "aeiou", "eioua", "iouae", "ouaei", "uaeio",
+    "aeiuo", "eiuoa", "iuoae", "uoaei", "oaeiu",
+]
+
+
+def _scaled_documents(spark, copies: int = COPIES):
+    d = load_table(spark, SF_BENCH, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    dmax = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [
+        d.select(
+            (F.col("doc_id") + i * dmax).alias("doc_id"),
+            F.translate(F.col("text"), "aeiou", _ROTATIONS[i]).alias("text"),
+            "n_chars",
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint(eager=True)
+
+
+def _time(fn, inp) -> tuple[float, int]:
+    """Time plan CONSTRUCTION + full materialization. Construction is
+    inside the clock because the iterative operators do their real work
+    in eager localCheckpoints at build time; materialization goes
+    through the noop sink because count() prunes every computed column
+    (the bench.py discipline — .count() lies)."""
+    t0 = time.perf_counter()
+    df = fn(inp)
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return dt, df.count()
+
+
+def _drill(name, fn, small, big, results):
+    t1, n1 = _time(fn, small)
+    t10, n10 = _time(fn, big)
+    slope = t10 / max(t1, 1e-9)
+    results.append((name, t1, t10, slope, n1, n10))
+    print(
+        f"\n[scale drill] {name}: 1x={t1:.1f}s ({n1} rows) "
+        f"10x={t10:.1f}s ({n10} rows) slope={slope:.1f}"
+    )
+    assert slope <= COPIES * LINEAR_SLOPE_CAP, (
+        f"{name}: 10x input cost {slope:.1f}x — superlinear beyond the "
+        f"{COPIES * LINEAR_SLOPE_CAP}x cap, likely an accidental quadratic"
+    )
+
+
+def test_graph_queries_scale_linearly(spark):
+    small = _scaled_lineitem(spark, 1)
+    big = _scaled_lineitem(spark, COPIES)
+    results: list = []
+    _drill("pagerank_copurchase", GR.pagerank_copurchase, small, big, results)
+    _drill("triangle_count", GR.triangle_count, small, big, results)
+    # disjoint copies: triangle tallies must scale EXACTLY ×copies —
+    # a correctness pin on the scaled fixture itself
+    tri1 = GR.triangle_count(small).collect()[0]
+    tri10 = GR.triangle_count(big).collect()[0]
+    assert tri10["n_nodes"] == COPIES * tri1["n_nodes"]
+    assert tri10["n_edges"] == COPIES * tri1["n_edges"]
+    assert tri10["n_triangles"] == COPIES * tri1["n_triangles"]
+
+
+def test_dedup_queries_scale_linearly(spark):
+    small = _scaled_documents(spark, 1)
+    big = _scaled_documents(spark, COPIES)
+    results: list = []
+    _drill(
+        "dedup_jaccard_prefix",
+        lambda d: D.ngram_jaccard_prefix_pairs(d),
+        small,
+        big,
+        results,
+    )
+    _drill(
+        "dedup_clusters", lambda d: D.near_dup_clusters(d), small, big, results
+    )

@@ -262,6 +262,8 @@ PYTHON_ALLOWED = {
     "kmeans_clusters",                     # Arrow+BLAS assignment partials
     "rolling_28d_users_hll",               # Arrow-batched per-day HLL sketch
                                            # build; merge/estimate are Catalyst
+    "bpe_encode_stats",                    # Arrow-batched merge-fold encoder
+                                           # over the distinct-word table
 }
 
 # Non-equi / cross joins allowed ONLY where the semantics are all-pairs by

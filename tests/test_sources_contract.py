@@ -146,3 +146,94 @@ def test_detgen_datasource_partition_planning(spark):
     for r in rows[:50]:
         mixed = (r["id"] * PDS._MIX) % PDS._MOD
         assert (r["bucket"], r["value"]) == (mixed % 97, (mixed * 31) % PDS._MOD)
+
+
+# --------------------------------------------------------------------------- #
+# rowdir: write-side DataSource commit protocol (sources/pydatasource.py)
+# --------------------------------------------------------------------------- #
+
+
+def test_rowdir_roundtrip_lossless(spark, tmp_path):
+    """Write → commit → manifest-scoped read returns exactly the input
+    rows (values and dtypes), across long/double/string/timestamp."""
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    src = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    out = str(tmp_path / "rowdir_orders")
+    src.write.format("rowdir").mode("overwrite").save(out)
+
+    back = spark.read.format("rowdir").load(out)
+    assert back.dtypes == src.dtypes
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    # the commit protocol left no temp residue, and the manifest row
+    # accounting matches
+    import json
+    import os
+
+    assert not os.path.exists(os.path.join(out, "_temp"))
+    with open(os.path.join(out, PDS.ROWDIR_MANIFEST)) as f:
+        manifest = json.load(f)
+    assert sum(e["n_rows"] for e in manifest["files"]) == src.count()
+
+
+def test_rowdir_abort_leaves_no_visible_output(spark, tmp_path):
+    """A failing write job must publish NOTHING: no manifest, no
+    readable rows, no temp residue — the abort half of the commit
+    protocol (VERDICT r9 #5 done-criteria)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_abort")
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("injected task failure")
+
+    bad = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(boom(F.col("o_orderkey")).alias("k"))
+    )
+    with pytest.raises(Exception, match="injected task failure"):
+        bad.write.format("rowdir").mode("overwrite").save(out)
+
+    assert not os.path.exists(os.path.join(out, PDS.ROWDIR_MANIFEST))
+    assert not os.path.exists(os.path.join(out, "_temp"))
+    with pytest.raises(Exception, match="no committed data"):
+        spark.read.format("rowdir").load(out).collect()
+
+
+def test_rowdir_append_merges_and_overwrite_replaces(spark, tmp_path):
+    """Append commits merge the manifest; a later overwrite replaces it
+    wholesale and removes the superseded committed files."""
+    import json
+    import os
+
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_append")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string")
+    b = spark.createDataFrame([(3, "c")], "id long, tag string")
+
+    a.write.format("rowdir").mode("overwrite").save(out)
+    b.write.format("rowdir").mode("append").save(out)
+    got = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    b.write.format("rowdir").mode("overwrite").save(out)
+    got2 = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
+    assert got2 == [(3, "c")]
+    with open(os.path.join(out, PDS.ROWDIR_MANIFEST)) as f:
+        manifest = json.load(f)
+    listed = {e["file"] for e in manifest["files"]}
+    on_disk = {f for f in os.listdir(out) if f.endswith(".arrow")}
+    assert on_disk == listed  # superseded files are gone

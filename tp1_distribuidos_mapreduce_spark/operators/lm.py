@@ -23,6 +23,7 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -251,3 +252,86 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> Data
 def _lit(s: str) -> str:
     """SQL string literal with quote escaping for embedding in F.expr."""
     return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def bpe_encode_stats(
+    documents: DataFrame, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """Apply the trained BPE merges to the corpus and report the
+    per-source TOKEN BUDGET — (source, n_words, n_tokens,
+    chars_per_token) — the number a pretraining run is actually sized
+    by. Completes the tokenizer story: ``bpe_train_merges`` learns the
+    rules, this encodes under them.
+
+    Scale shape: the corpus is encoded at VOCABULARY cardinality, never
+    word-occurrence cardinality — each distinct (source, word) is
+    encoded once and re-weighted by its frequency, the same
+    word-frequency trick the trainer uses. The learned rule list is a
+    bounded driver-side constant (n_merges rows) broadcast into an
+    Arrow-batched pandas UDF that folds the merges in rank order over
+    each word's symbol table (left-to-right non-overlapping, the
+    Sennrich semantics the trainer is pinned to); per-source totals are
+    then one hash aggregate over freq-weighted token counts.
+    chars_per_token is an integer half-up ratio at 2dp (no float
+    surface). Rows-only by nature (inherits the trainer's iterative
+    argmax); tests/test_lm.py pins the full output against an
+    independent sequential Python train+encode of the same corpus.
+    """
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(documents, n_merges).collect()
+    ]
+
+    def _make_encoder(rule_list):
+        # module-level pandas import (bottom of file) — the future-
+        # annotations string hints must resolve against module globals
+        @F.pandas_udf("int")
+        def n_bpe_tokens(words: pd.Series) -> pd.Series:
+            def encode(word: str) -> int:
+                syms = list(word)
+                if syms:
+                    syms[-1] = syms[-1] + "</w>"
+                for left, right in rule_list:
+                    out = []
+                    for s in syms:
+                        if out and out[-1] == left and s == right:
+                            out[-1] = left + right
+                        else:
+                            out.append(s)
+                    syms = out
+                return len(syms)
+
+            return words.map(encode)
+
+        return n_bpe_tokens
+
+    enc = _make_encoder(rules)
+    from ..functions.tokenize import words_from
+
+    word_freq = (
+        words_from(documents, "text", "source")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    encoded = word_freq.withColumn("n_tok", enc(F.col("word")))
+    return (
+        encoded.groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_tok")).cast("long").alias("n_tokens"),
+            F.sum(F.col("freq") * F.length("word")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            # integer half-up 2dp ratio: chars*100/tokens, +den/2 before div
+            # divide by a DOUBLE: a bare 100.0 literal is DecimalType in
+            # Spark SQL and would leak Decimal into the output schema
+            F.expr(
+                "(n_chars * 100 + n_tokens div 2) div n_tokens"
+                " / cast(100 as double)"
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

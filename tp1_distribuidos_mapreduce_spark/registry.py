@@ -40,6 +40,85 @@ _ORACLES: dict[str, str] = {}
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
+    # ---- round-10 window (exactly 50 names), rotated per VERDICT r9
+    # "Next round" #1: with every one of the 159 oracled queries green in
+    # union(r6..r9), the objective is FRESHNESS — no oracled query's
+    # newest driver row older than 3 rounds. Composition, in order:
+    # the 5 reference-parity pins (always); the 3 queries whose CODE or
+    # ORACLE changed this round (q15_top_supplier exact-cents rewrite,
+    # dedup_survivors struct-argmax + window-formulated oracle,
+    # dedup_jaccard_prefix PPJoin length+positional filters); the 1
+    # round-10 addition (rowdir_roundtrip, the write-side DataSource
+    # commit-protocol query); then ALL 39 queries whose newest green row
+    # is r6-era (4 rounds stale — the entire staleness backlog fits this
+    # round); the last 2 slots refresh the alphabetically-first r7-era
+    # rows (bitmap_distinct_users, bm25_top_terms). Queries whose oracle
+    # CONSTRUCTION was refactored into parameterized builders with
+    # byte-identical rendered SQL at the registered defaults
+    # (detgen_bucket_stats, hard_negative_mining) are NOT counted as
+    # changed — both are r9-green and re-proven by this session's
+    # driver-sim replay. Rows-only queries stay excluded (their pins are
+    # the exact numpy/Python references in tests/ plus the determinism
+    # audit). Displaced r7/r8/r9-green members remain covered by the
+    # sf0.001 full differential every pytest run and the sf0.01
+    # driver-sim replay each session.
+    "wc",
+    "wc_textfiles",
+    "ii",
+    "mr_wc",
+    "mr_ii",
+    # code/oracle changed in round 10 → driver re-confirmation
+    "q15_top_supplier",
+    "dedup_survivors",
+    "dedup_jaccard_prefix",
+    # added in round 10 (new-query-gets-a-row)
+    "rowdir_roundtrip",
+    # the full r6-era staleness backlog (newest green row = r6)
+    "bloom_pruned_join",
+    "brand_stats_having",
+    "brand_type_vocabulary",
+    "bucketed_colocated_join",
+    "cms_heavy_hitters",
+    "cube_order_status_priority",
+    "customer_order_gaps",
+    "customer_set_ops",
+    "daily_revenue_moving_avg",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "events_json_stats",
+    "hourly_event_gapfill",
+    "idle_customers_opportunity",
+    "knn_bruteforce",
+    "language_rebalance",
+    "monthly_order_stats",
+    "order_price_quantiles",
+    "order_priority_pivot",
+    "order_value_deciles",
+    "priorities_with_big_items",
+    "purchase_asof_last_click",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "returned_item_revenue",
+    "rollup_lineitem_flags",
+    "sessionize_events",
+    "skewed_distinct_users",
+    "sql_grouping_sets",
+    "sql_revenue_by_region",
+    "sql_top_balances_per_nation",
+    "supplier_activity",
+    "token_stats",
+    "top_customers_per_nation",
+    "top_parts_by_revenue",
+    "waiting_suppliers",
+    "weekday_order_stats",
+    # oldest r7-era rows, alphabetical
+    "bitmap_distinct_users",
+    "bm25_top_terms",
+]
+
+_WINDOW_R9: list[str] = [
     # ---- round-9 window (exactly 50 names), rotated per VERDICT r8
     # "Next round" #1. Priorities, in order: the 5 reference-parity pins
     # (always); the 20 oracled queries that had NEVER had a driver
@@ -1622,6 +1701,17 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.bpe_train_merges(load_table(spark, sf_dir, "documents"))
 
 
+@register("bpe_encode_stats")
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE under the trained merges (operators/lm.py): per-source
+    token budget (n_words, n_tokens, chars_per_token) — encoding at
+    vocabulary cardinality with the bounded rule list broadcast into an
+    Arrow-batched fold, then one freq-weighted aggregate. Rows-only
+    (inherits the trainer's iterative argmax); full train+encode pinned
+    against a sequential Python reference in tests/test_lm.py."""
+    return LM.bpe_encode_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("bfs_distances", oracle=GR.BFS_DISTANCES_ORACLE)
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier-relaxation BFS (operators/graph.py) from the minimum
@@ -1976,6 +2066,18 @@ def q_detgen_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic integer generation formula replayed by the DuckDB
     oracle via generate_series."""
     return PDS.detgen_bucket_stats(spark)
+
+
+@register("rowdir_roundtrip", oracle=PDS.ROWDIR_ROUNDTRIP_ORACLE)
+def q_rowdir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side custom DataSource (sources/pydatasource.py): orders
+    flow through the rowdir OUTPUT-COMMIT PROTOCOL (per-task Arrow IPC
+    temp files → driver commit → atomic manifest publish) and back
+    through its manifest-scoped reader into a Catalyst aggregate; the
+    oracle aggregates the orders table directly, so any lost, duplicate
+    or partial file breaks the hash. The Spark-4 analogue of the
+    reference's output-commit step (coordinator.go:241-273)."""
+    return PDS.rowdir_roundtrip_priority_revenue(spark, sf_dir)
 
 
 @register("kcore_members")

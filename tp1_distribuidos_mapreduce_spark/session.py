@@ -29,7 +29,14 @@ def get_spark(app_name: str = "tp1-mapreduce-spark") -> SparkSession:
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        # local[N, F]: F is the LOCAL task-retry count — the
+        # spark.task.maxFailures config below is ignored by local mode
+        # (TaskSchedulerImpl hardcodes 1 unless the master string carries
+        # it), so without this a single transient Python-worker hiccup
+        # (fork pressure under a 32-thread concurrent suite) fails the
+        # whole job. One retry absorbs the transient class; deterministic
+        # failures still fail, one attempt later.
+        .master(f"local[{cpus},2]")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

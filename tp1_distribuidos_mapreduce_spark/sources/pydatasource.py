@@ -24,9 +24,20 @@ the exact same shape.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import uuid
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 DETGEN_SCHEMA = "id BIGINT, bucket INT, value BIGINT"
 
@@ -142,3 +153,239 @@ ORDER BY bucket
 
 
 DETGEN_BUCKET_STATS_ORACLE = detgen_bucket_stats_oracle()
+
+
+# --------------------------------------------------------------------------
+# rowdir: a FULL connector (reader + writer) with an output-commit protocol
+# --------------------------------------------------------------------------
+#
+# The write side implements the Spark-4 DataSourceWriter contract — the
+# modern analogue of the reference's output-commit step (coordinator
+# collects per-task completion, then publishes results atomically;
+# reference coordinator.go:241-273, SURVEY §3.1 step 8):
+#
+# * each TASK streams its Arrow batches into a uniquely-named file under
+#   <path>/_temp/ and returns a WriterCommitMessage (file, n_rows) — a
+#   failed or speculative duplicate attempt leaves only orphan temp
+#   files, never a visible one;
+# * the DRIVER's commit() promotes exactly the acknowledged files out of
+#   _temp and publishes the manifest (_MANIFEST.json) via write-to-temp +
+#   atomic rename — readers resolve ONLY manifest-listed files, so no
+#   partial output is ever visible and the manifest swap is the single
+#   commit point (overwrite replaces the file list wholesale; append
+#   merges it);
+# * abort() removes the temp area — the job leaves the directory exactly
+#   as it found it.
+#
+# Payload is Arrow IPC (DataSourceArrowWriter / RecordBatch read) — the
+# same no-per-row-pickling discipline as the detgen reader, and lossless
+# for every Spark type Arrow covers. The path must be shared storage, the
+# same requirement any Spark file sink has.
+
+ROWDIR_MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    file: str
+    n_rows: int
+
+
+def _rowdir_path(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("rowdir requires a path (use .save(path)/.load(path))")
+    return path
+
+
+def _read_manifest(path: str) -> dict:
+    mpath = os.path.join(path, ROWDIR_MANIFEST)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"rowdir: no committed data at {path} (missing {ROWDIR_MANIFEST}) — "
+            "either nothing was written or the writing job aborted"
+        )
+    with open(mpath) as f:
+        return json.load(f)
+
+
+class RowDirArrowWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        self.path = _rowdir_path(options)
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+
+        tmp_dir = os.path.join(self.path, "_temp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        fname = f"task-{uuid.uuid4().hex}.arrow"
+        n = 0
+        writer = sink = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    sink = pa.OSFile(os.path.join(tmp_dir, fname), "wb")
+                    writer = pa.ipc.new_file(sink, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+                sink.close()
+        # empty partition → no file, and commit() skips the entry
+        return _FileCommit(fname if n else "", n)
+
+    def commit(self, messages) -> None:
+        # Serialize the manifest read-modify-write across concurrent
+        # committers on this host (two simultaneous appends would
+        # otherwise each merge against the same old manifest and the
+        # second swap would unlist the first's files). On real shared
+        # storage the equivalent is a conditional put / table-catalog
+        # commit.
+        import fcntl
+
+        os.makedirs(self.path, exist_ok=True)  # zero-task write commits too
+        with open(os.path.join(self.path, ".commit_lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                self._commit_locked(messages)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def _commit_locked(self, messages) -> None:
+        new_files = [
+            {"file": m.file, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None and m.file
+        ]
+        old_files: list[dict] = []
+        mpath = os.path.join(self.path, ROWDIR_MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                old = json.load(f)
+            if not self.overwrite and old["schema"] != self.schema_json:
+                raise ValueError(
+                    "rowdir append: schema differs from the committed manifest"
+                )
+            old_files = old["files"]
+        for e in new_files:
+            os.replace(
+                os.path.join(self.path, "_temp", e["file"]),
+                os.path.join(self.path, e["file"]),
+            )
+        manifest = {
+            "schema": self.schema_json,
+            "files": (new_files if self.overwrite else old_files + new_files),
+        }
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)  # the single atomic commit point
+        if self.overwrite:
+            keep = {e["file"] for e in new_files}
+            for e in old_files:
+                if e["file"] not in keep:
+                    try:
+                        os.remove(os.path.join(self.path, e["file"]))
+                    except FileNotFoundError:
+                        pass
+        shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+
+
+class _RowDirFilePartition(InputPartition):
+    def __init__(self, file: str) -> None:
+        self.file = file
+
+
+class RowDirReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = _rowdir_path(options)
+        self.files = [e["file"] for e in _read_manifest(self.path)["files"]]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_RowDirFilePartition(f) for f in self.files]
+
+    def read(self, partition: _RowDirFilePartition) -> Iterator:
+        import pyarrow as pa
+
+        with pa.ipc.open_file(os.path.join(self.path, partition.file)) as r:
+            for i in range(r.num_record_batches):
+                yield r.get_batch(i)
+
+
+class RowDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rowdir"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(
+            json.loads(_read_manifest(_rowdir_path(self.options))["schema"])
+        )
+
+    def reader(self, schema) -> RowDirReader:
+        return RowDirReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> RowDirArrowWriter:
+        return RowDirArrowWriter(self.options, schema, overwrite)
+
+
+def register_rowdir(spark) -> None:
+    """Idempotently register the rowdir source with the session."""
+    spark.dataSource.register(RowDirDataSource)
+
+
+def rowdir_roundtrip_priority_revenue(spark, sf_dir: str):
+    """Write orders through the rowdir COMMIT PROTOCOL, read them back
+    through its manifest-resolved reader, and aggregate — proves the
+    writer contract end-to-end (task files → commit messages → atomic
+    manifest publish → manifest-scoped scan) under the standard oracle
+    gate: the oracle computes the same aggregate from the orders table
+    directly, so any lost/duplicated/partial file breaks the hash.
+
+    Money is integral cents at write time (the engine's exact-sum
+    discipline), divided once at the output edge."""
+    from pyspark.sql import functions as F
+
+    from .artifacts import build_once
+    from .tables import fixture_cache_tag, load_table
+
+    register_rowdir(spark)
+    out = f"/tmp/tp1_spark_rowdir_orders_{fixture_cache_tag(sf_dir, 'orders', 'rowdir-v1')}"
+
+    def build() -> None:
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ).write.format("rowdir").mode("overwrite").save(out)
+
+    build_once(out, build, marker=ROWDIR_MANIFEST)
+    back = spark.read.format("rowdir").load(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+            F.min("o_orderkey").cast("long").alias("first_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ROWDIR_ROUNDTRIP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       CAST(min(o_orderkey) AS BIGINT) AS first_orderkey
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
