@@ -212,8 +212,9 @@ def test_rowdir_abort_leaves_no_visible_output(spark, tmp_path):
 
 
 def test_rowdir_append_merges_and_overwrite_replaces(spark, tmp_path):
-    """Append commits merge the manifest; a later overwrite replaces it
-    wholesale and removes the superseded committed files."""
+    """Append commits merge the manifest; a later overwrite replaces the
+    CURRENT view wholesale. Superseded files stay on disk (older
+    snapshots reference them) until vacuum_rowdir reclaims them."""
     import json
     import os
 
@@ -232,8 +233,54 @@ def test_rowdir_append_merges_and_overwrite_replaces(spark, tmp_path):
     b.write.format("rowdir").mode("overwrite").save(out)
     got2 = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
     assert got2 == [(3, "c")]
+
+    removed = PDS.vacuum_rowdir(out)
+    assert removed  # superseded data files + snapshot manifests reclaimed
     with open(os.path.join(out, PDS.ROWDIR_MANIFEST)) as f:
         manifest = json.load(f)
     listed = {e["file"] for e in manifest["files"]}
     on_disk = {f for f in os.listdir(out) if f.endswith(".arrow")}
-    assert on_disk == listed  # superseded files are gone
+    assert on_disk == listed  # only current-version files remain
+    # current view is untouched by vacuum
+    got3 = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
+    assert got3 == [(3, "c")]
+
+
+def test_rowdir_time_travel_and_vacuum(spark, tmp_path):
+    """Versioned manifests: every commit publishes an immutable
+    snapshot; `.option("version", N)` reads it byte-stably even after
+    later overwrites; vacuum makes historical reads fail LOUDLY, not
+    return partial data."""
+    import pytest
+
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_tt")
+    v1 = spark.createDataFrame([(1, "a")], "id long, tag string")
+    v2 = spark.createDataFrame([(2, "b")], "id long, tag string")
+    v3 = spark.createDataFrame([(9, "z")], "id long, tag string")
+
+    v1.write.format("rowdir").mode("overwrite").save(out)
+    v2.write.format("rowdir").mode("append").save(out)
+    v3.write.format("rowdir").mode("overwrite").save(out)
+
+    hist = PDS.rowdir_history(out)
+    assert [(h["version"], h["n_rows"]) for h in hist] == [(1, 1), (2, 2), (3, 1)]
+
+    read = lambda **kw: sorted(  # noqa: E731
+        map(
+            tuple,
+            spark.read.format("rowdir").options(**kw).load(out).collect(),
+        )
+    )
+    assert read(version=1) == [(1, "a")]
+    assert read(version=2) == [(1, "a"), (2, "b")]
+    assert read() == [(9, "z")]
+
+    PDS.vacuum_rowdir(out)
+    assert read() == [(9, "z")]  # current survives
+    with pytest.raises(Exception, match="vacuum|snapshot"):
+        read(version=1)
+    # history now shows only the current snapshot
+    assert [h["version"] for h in PDS.rowdir_history(out)] == [3]

@@ -71,8 +71,13 @@ _WINDOW: list[str] = [
     "q15_top_supplier",
     "dedup_survivors",
     "dedup_jaccard_prefix",
-    # added in round 10 (new-query-gets-a-row)
+    # added in round 10 (new-query-gets-a-row); the second addition
+    # (rowdir_time_travel) took the slot the r7-era bm25_top_terms would
+    # have gotten — bm25 is exactly 3 rounds fresh (r7), code-unchanged,
+    # and stays differential-covered, while the time-travel snapshot
+    # contract has never had a driver row
     "rowdir_roundtrip",
+    "rowdir_time_travel",
     # the full r6-era staleness backlog (newest green row = r6)
     "bloom_pruned_join",
     "brand_stats_having",
@@ -113,9 +118,8 @@ _WINDOW: list[str] = [
     "top_parts_by_revenue",
     "waiting_suppliers",
     "weekday_order_stats",
-    # oldest r7-era rows, alphabetical
+    # oldest r7-era row, alphabetical
     "bitmap_distinct_users",
-    "bm25_top_terms",
 ]
 
 _WINDOW_R9: list[str] = [
@@ -2078,6 +2082,17 @@ def q_rowdir_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     or partial file breaks the hash. The Spark-4 analogue of the
     reference's output-commit step (coordinator.go:241-273)."""
     return PDS.rowdir_roundtrip_priority_revenue(spark, sf_dir)
+
+
+@register("rowdir_time_travel", oracle=PDS.ROWDIR_TIME_TRAVEL_ORACLE)
+def q_rowdir_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL over the rowdir connector's versioned
+    manifests (sources/pydatasource.py): version 1 (pre-1997 overwrite
+    commit) and the current pointer (post-append) of the same table
+    path are read side-by-side and aggregated by year; the oracle
+    replays both snapshots as filtered aggregates — Iceberg/Delta
+    time-travel semantics carried natively by the commit protocol."""
+    return PDS.rowdir_time_travel_census(spark, sf_dir)
 
 
 @register("kcore_members")

@@ -175,7 +175,13 @@ DETGEN_BUCKET_STATS_ORACLE = detgen_bucket_stats_oracle()
 #   commit point (overwrite replaces the file list wholesale; append
 #   merges it);
 # * abort() removes the temp area — the job leaves the directory exactly
-#   as it found it.
+#   as it found it;
+# * every commit ALSO publishes an immutable per-version snapshot
+#   manifest (_MANIFEST.vNNNNN.json, versions 1-based) and never deletes
+#   superseded data files — `.option("version", N)` TIME-TRAVELS to any
+#   retained snapshot (Iceberg/Delta semantics, natively), history is
+#   enumerable (rowdir_history), and storage is reclaimed explicitly by
+#   vacuum_rowdir (after which historical reads fail loudly).
 #
 # Payload is Arrow IPC (DataSourceArrowWriter / RecordBatch read) — the
 # same no-per-row-pickling discipline as the detgen reader, and lossless
@@ -198,13 +204,28 @@ def _rowdir_path(options: dict) -> str:
     return path
 
 
-def _read_manifest(path: str) -> dict:
-    mpath = os.path.join(path, ROWDIR_MANIFEST)
-    if not os.path.exists(mpath):
-        raise FileNotFoundError(
-            f"rowdir: no committed data at {path} (missing {ROWDIR_MANIFEST}) — "
-            "either nothing was written or the writing job aborted"
-        )
+def _version_manifest_name(version: int) -> str:
+    return f"_MANIFEST.v{version:05d}.json"
+
+
+def _read_manifest(path: str, version: int | None = None) -> dict:
+    """Current manifest (the atomic pointer) or, for TIME TRAVEL, the
+    immutable per-version snapshot written at each commit."""
+    if version is None:
+        mpath = os.path.join(path, ROWDIR_MANIFEST)
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"rowdir: no committed data at {path} (missing "
+                f"{ROWDIR_MANIFEST}) — either nothing was written or the "
+                "writing job aborted"
+            )
+    else:
+        mpath = os.path.join(path, _version_manifest_name(version))
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"rowdir: no snapshot version {version} at {path} — never "
+                "committed, or removed by vacuum_rowdir"
+            )
     with open(mpath) as f:
         return json.load(f)
 
@@ -261,6 +282,7 @@ class RowDirArrowWriter(DataSourceArrowWriter):
             if m is not None and m.file
         ]
         old_files: list[dict] = []
+        old_version = 0  # versions are 1-based: first commit publishes v1
         mpath = os.path.join(self.path, ROWDIR_MANIFEST)
         if os.path.exists(mpath):
             with open(mpath) as f:
@@ -270,27 +292,32 @@ class RowDirArrowWriter(DataSourceArrowWriter):
                     "rowdir append: schema differs from the committed manifest"
                 )
             old_files = old["files"]
+            old_version = old.get("version", 0)
         for e in new_files:
             os.replace(
                 os.path.join(self.path, "_temp", e["file"]),
                 os.path.join(self.path, e["file"]),
             )
         manifest = {
+            "version": old_version + 1,
             "schema": self.schema_json,
             "files": (new_files if self.overwrite else old_files + new_files),
         }
-        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        # immutable per-version snapshot first (time travel reads it),
+        # then the atomic current-pointer swap — the single commit point.
+        # Superseded data files are NOT deleted (older snapshots still
+        # reference them); vacuum_rowdir reclaims them explicitly.
+        vpath = os.path.join(
+            self.path, _version_manifest_name(manifest["version"])
+        )
+        tmp = vpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)  # the single atomic commit point
-        if self.overwrite:
-            keep = {e["file"] for e in new_files}
-            for e in old_files:
-                if e["file"] not in keep:
-                    try:
-                        os.remove(os.path.join(self.path, e["file"]))
-                    except FileNotFoundError:
-                        pass
+        os.replace(tmp, vpath)
+        tmp2 = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp2, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp2, mpath)
         shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
 
     def abort(self, messages) -> None:
@@ -302,10 +329,20 @@ class _RowDirFilePartition(InputPartition):
         self.file = file
 
 
+def _rowdir_version_opt(options: dict) -> int | None:
+    v = options.get("version")
+    return None if v is None else int(v)
+
+
 class RowDirReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = _rowdir_path(options)
-        self.files = [e["file"] for e in _read_manifest(self.path)["files"]]
+        self.files = [
+            e["file"]
+            for e in _read_manifest(self.path, _rowdir_version_opt(options))[
+                "files"
+            ]
+        ]
 
     def partitions(self) -> Sequence[InputPartition]:
         return [_RowDirFilePartition(f) for f in self.files]
@@ -327,7 +364,12 @@ class RowDirDataSource(DataSource):
         from pyspark.sql.types import StructType
 
         return StructType.fromJson(
-            json.loads(_read_manifest(_rowdir_path(self.options))["schema"])
+            json.loads(
+                _read_manifest(
+                    _rowdir_path(self.options),
+                    _rowdir_version_opt(self.options),
+                )["schema"]
+            )
         )
 
     def reader(self, schema) -> RowDirReader:
@@ -388,4 +430,137 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+
+def rowdir_history(path: str) -> list[dict]:
+    """Snapshot history: one dict (version, n_files, n_rows) per
+    committed version still on disk, ascending."""
+    out = []
+    for f in sorted(os.listdir(path)):
+        if f.startswith("_MANIFEST.v") and f.endswith(".json"):
+            with open(os.path.join(path, f)) as fh:
+                m = json.load(fh)
+            out.append(
+                {
+                    "version": m["version"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(e["n_rows"] for e in m["files"]),
+                }
+            )
+    return out
+
+
+def vacuum_rowdir(path: str) -> list[str]:
+    """Reclaim storage: drop every data file and snapshot manifest not
+    referenced by the CURRENT version (after which time-travel reads of
+    older versions fail loudly with the vacuum-aware error). Returns the
+    removed names. Serialized against concurrent commits by the same
+    per-table lock the committer takes."""
+    import fcntl
+
+    removed: list[str] = []
+    with open(os.path.join(path, ".commit_lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            current = _read_manifest(path)
+            keep_files = {e["file"] for e in current["files"]}
+            keep_manifest = _version_manifest_name(current["version"])
+            for f in os.listdir(path):
+                dead_data = f.endswith(".arrow") and f not in keep_files
+                dead_manifest = (
+                    f.startswith("_MANIFEST.v")
+                    and f.endswith(".json")
+                    and f != keep_manifest
+                )
+                if dead_data or dead_manifest:
+                    os.remove(os.path.join(path, f))
+                    removed.append(f)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+    return sorted(removed)
+
+
+def rowdir_time_travel_census(spark, sf_dir: str):
+    """TIME TRAVEL through the versioned manifests: version 1 of the
+    artifact holds only pre-1997 orders (initial overwrite commit),
+    version 2 appends the rest; the query reads BOTH snapshots of the
+    same table path — `.option("version", 1)` against the immutable
+    snapshot manifest, the bare path against the current pointer — and
+    aggregates each by year. The oracle replays both snapshots as
+    filtered aggregates of the orders table, so a snapshot that leaked
+    post-cutoff rows (or a current read that lost the append) breaks
+    the hash. This is the table-format contract (Iceberg/Delta
+    time-travel semantics) carried natively by the rowdir connector's
+    manifest design."""
+    from pyspark.sql import functions as F
+
+    from .artifacts import build_once
+    from .tables import fixture_cache_tag, load_table
+
+    register_rowdir(spark)
+    out = (
+        "/tmp/tp1_spark_rowdir_tt_orders_"
+        f"{fixture_cache_tag(sf_dir, 'orders', 'rowdir-tt-v2')}"
+    )
+    cutoff = "1997-01-01"
+
+    def build() -> None:
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("year"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.col("o_orderdate").alias("odate"),
+        )
+        pre = base.where(F.col("odate") < F.lit(cutoff).cast("timestamp"))
+        post = base.where(F.col("odate") >= F.lit(cutoff).cast("timestamp"))
+        pre.drop("odate").write.format("rowdir").mode("overwrite").save(out)
+        post.drop("odate").write.format("rowdir").mode("append").save(out)
+        # two-commit build: the marker is written LAST, so a crash
+        # between commits can never cache a half-built artifact
+        with open(os.path.join(out, "_BUILD_DONE"), "w") as f:
+            f.write("ok")
+
+    build_once(out, build, marker="_BUILD_DONE")
+
+    def census(df, snapshot: str):
+        return df.groupBy("year").agg(
+            F.lit(snapshot).alias("snapshot"),
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+        )
+
+    v1 = spark.read.format("rowdir").option("version", 1).load(out)
+    cur = spark.read.format("rowdir").load(out)
+    return (
+        census(v1, "v1")
+        .unionByName(census(cur, "current"))
+        .select("snapshot", "year", "n_orders", "revenue")
+        .orderBy("snapshot", "year")
+    )
+
+
+ROWDIR_TIME_TRAVEL_ORACLE = """
+WITH base AS (
+  SELECT year(o_orderdate) AS year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate
+  FROM orders
+), v1 AS (
+  SELECT 'v1' AS snapshot, year,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(cents) / 100.0 AS revenue
+  FROM base WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY year
+), cur AS (
+  SELECT 'current' AS snapshot, year,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(cents) / 100.0 AS revenue
+  FROM base
+  GROUP BY year
+)
+SELECT snapshot, year, n_orders, revenue FROM v1
+UNION ALL
+SELECT snapshot, year, n_orders, revenue FROM cur
+ORDER BY snapshot, year
 """
