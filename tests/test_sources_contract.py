@@ -284,3 +284,47 @@ def test_rowdir_time_travel_and_vacuum(spark, tmp_path):
         read(version=1)
     # history now shows only the current snapshot
     assert [h["version"] for h in PDS.rowdir_history(out)] == [3]
+
+
+def test_rowdir_zone_map_prunes_files(spark, tmp_path):
+    """pushFilters + manifest stats skip whole files: a year-range-
+    partitioned write yields per-file year bands, and a year predicate
+    must cut partitions() below the full file count while the filtered
+    read stays row-identical to a full-scan-then-filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_zm")
+    src = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("year")
+    )
+    src.repartitionByRange(4, "year").write.format("rowdir").mode(
+        "overwrite"
+    ).save(out)
+
+    # mechanical pin on the reader contract itself
+    reader = PDS.RowDirReader({"path": out})
+    n_all = len(reader.partitions())
+    assert n_all >= 3  # the range write really produced multiple files
+    returned = list(reader.pushFilters([GreaterThanOrEqual(("year",), 1998)]))
+    assert len(returned) == 1  # all filters handed back for row-level re-eval
+    n_pruned = len(reader.partitions())
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+
+    # end-to-end: pruned read == full read filtered
+    got = sorted(
+        map(
+            tuple,
+            spark.read.format("rowdir")
+            .load(out)
+            .where(F.col("year") >= 1998)
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, (r for r in src.collect() if r["year"] >= 1998))
+    )
+    assert got == want and got

@@ -47,12 +47,14 @@ _WINDOW: list[str] = [
     # the 5 reference-parity pins (always); the 3 queries whose CODE or
     # ORACLE changed this round (q15_top_supplier exact-cents rewrite,
     # dedup_survivors struct-argmax + window-formulated oracle,
-    # dedup_jaccard_prefix PPJoin length+positional filters); the 1
-    # round-10 addition (rowdir_roundtrip, the write-side DataSource
-    # commit-protocol query); then ALL 39 queries whose newest green row
+    # dedup_jaccard_prefix PPJoin length+positional filters); the 3
+    # round-10 additions (rowdir_roundtrip / rowdir_time_travel /
+    # rowdir_pruned_scan — the write-side DataSource commit protocol,
+    # snapshot time travel, and zone-map file pruning, none of which
+    # ever had a driver row); then ALL 39 queries whose newest green row
     # is r6-era (4 rounds stale — the entire staleness backlog fits this
-    # round); the last 2 slots refresh the alphabetically-first r7-era
-    # rows (bitmap_distinct_users, bm25_top_terms). Queries whose oracle
+    # round). The r7-era rows (exactly 3 rounds fresh, the boundary the
+    # criterion allows) are the r11 backlog. Queries whose oracle
     # CONSTRUCTION was refactored into parameterized builders with
     # byte-identical rendered SQL at the registered defaults
     # (detgen_bucket_stats, hard_negative_mining) are NOT counted as
@@ -71,13 +73,14 @@ _WINDOW: list[str] = [
     "q15_top_supplier",
     "dedup_survivors",
     "dedup_jaccard_prefix",
-    # added in round 10 (new-query-gets-a-row); the second addition
-    # (rowdir_time_travel) took the slot the r7-era bm25_top_terms would
-    # have gotten — bm25 is exactly 3 rounds fresh (r7), code-unchanged,
-    # and stays differential-covered, while the time-travel snapshot
-    # contract has never had a driver row
+    # added in round 10 (new-query-gets-a-row); the second and third
+    # additions took the two slots the oldest r7-era rows
+    # (bitmap_distinct_users, bm25_top_terms) would have gotten — both
+    # exactly 3 rounds fresh, code-unchanged, differential-covered,
+    # while the snapshot/pruning contracts never had a driver row
     "rowdir_roundtrip",
     "rowdir_time_travel",
+    "rowdir_pruned_scan",
     # the full r6-era staleness backlog (newest green row = r6)
     "bloom_pruned_join",
     "brand_stats_having",
@@ -118,8 +121,6 @@ _WINDOW: list[str] = [
     "top_parts_by_revenue",
     "waiting_suppliers",
     "weekday_order_stats",
-    # oldest r7-era row, alphabetical
-    "bitmap_distinct_users",
 ]
 
 _WINDOW_R9: list[str] = [
@@ -2093,6 +2094,18 @@ def q_rowdir_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays both snapshots as filtered aggregates — Iceberg/Delta
     time-travel semantics carried natively by the commit protocol."""
     return PDS.rowdir_time_travel_census(spark, sf_dir)
+
+
+@register("rowdir_pruned_scan", oracle=PDS.ROWDIR_PRUNED_SCAN_ORACLE)
+def q_rowdir_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file pruning through the Spark-4 pushFilters contract
+    (sources/pydatasource.py): the rowdir artifact is range-partitioned
+    by year at write time, per-file min/max stats land in the manifest,
+    and the year predicate prunes whole files at planning time — the
+    Iceberg/Delta data-skipping shape. Mechanical skip count pinned in
+    tests/test_sources_contract.py; this row proves cross-engine
+    equality of the pruned read."""
+    return PDS.rowdir_pruned_scan_census(spark, sf_dir)
 
 
 @register("kcore_members")

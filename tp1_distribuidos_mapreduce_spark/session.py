@@ -50,6 +50,9 @@ def get_spark(app_name: str = "tp1-mapreduce-spark") -> SparkSession:
         # as a mismatch; flip to true when debugging suspected data bugs.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (rowdir zone-map file
+        # pruning, sources/pydatasource.py) is gated off by default
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -78,4 +81,8 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     # Oracle SQL relies on permissive casts (module docstring); Spark 4.x
     # builds may default ANSI on, which errors instead of returning NULL.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # The rowdir connector implements pushFilters(); planning REFUSES a
+    # pushdown-capable Python reader while this flag is false, so an
+    # externally-built session needs it too.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark

@@ -99,9 +99,45 @@ class DetGenDataSource(DataSource):
         return DetGenReader(self.options)
 
 
+# Register each Python DataSource ONCE per session, under one shared
+# lock, and pin the JVM ACTIVE SESSION on every calling thread. The
+# second half is the load-bearing part: Python-datasource name lookup
+# consults SparkSession.getActiveSession — a JVM THREAD-LOCAL — and
+# py4j pins a fresh JVM thread to every new Python thread, which never
+# had the active session set. Result: a save()/load() of a registered
+# Python source from any thread other than the session's creator failed
+# with DATA_SOURCE_NOT_FOUND even while dataSourceExists() returned
+# true (reproduced deterministically with an 8-thread stress — 16/16
+# failures without the pin, 0 with it). Every registered query that
+# touches a Python source calls register_*() first, so routing the pin
+# through here covers the concurrent oracle differential and any other
+# multithreaded caller.
+_DS_REGISTERED: set[tuple[str, int]] = set()
+_DS_REG_LOCK = __import__("threading").Lock()
+
+
+def _ensure_active_session(spark) -> None:
+    try:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except AttributeError:  # Spark Connect: no JVM handle, no thread-local
+        pass
+
+
+def _register_once(spark, ds_class) -> None:
+    _ensure_active_session(spark)
+    key = (ds_class.name(), id(spark))
+    with _DS_REG_LOCK:
+        if key in _DS_REGISTERED:
+            return
+        spark.dataSource.register(ds_class)
+        _DS_REGISTERED.add(key)
+
+
 def register_detgen(spark) -> None:
     """Idempotently register the source with the session."""
-    spark.dataSource.register(DetGenDataSource)
+    _register_once(spark, DetGenDataSource)
 
 
 def detgen_bucket_stats(spark, n_rows: int = 100_000, n_parts: int = 8):
@@ -195,6 +231,10 @@ ROWDIR_MANIFEST = "_MANIFEST.json"
 class _FileCommit(WriterCommitMessage):
     file: str
     n_rows: int
+    # per-column zone map {col: [min, max]} over the file's non-null
+    # values — integer and string columns only (JSON-stable, total
+    # order identical in Python and Spark)
+    stats: dict | None = None
 
 
 def _rowdir_path(options: dict) -> str:
@@ -238,12 +278,15 @@ class RowDirArrowWriter(DataSourceArrowWriter):
 
     def write(self, iterator) -> _FileCommit:
         import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.types as pt
 
         tmp_dir = os.path.join(self.path, "_temp")
         os.makedirs(tmp_dir, exist_ok=True)
         fname = f"task-{uuid.uuid4().hex}.arrow"
         n = 0
         writer = sink = None
+        stats: dict[str, list] = {}
         try:
             for batch in iterator:
                 if writer is None:
@@ -251,12 +294,28 @@ class RowDirArrowWriter(DataSourceArrowWriter):
                     writer = pa.ipc.new_file(sink, batch.schema)
                 writer.write_batch(batch)
                 n += batch.num_rows
+                # fold the batch into the file's zone map (integer and
+                # string columns only — JSON-stable with a total order
+                # Python and Spark agree on)
+                for field, col in zip(batch.schema, batch.columns):
+                    if not (pt.is_integer(field.type) or pt.is_string(field.type)):
+                        continue
+                    mm = pc.min_max(col)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is None:  # all-null batch column
+                        continue
+                    cur = stats.get(field.name)
+                    stats[field.name] = (
+                        [lo, hi]
+                        if cur is None
+                        else [min(cur[0], lo), max(cur[1], hi)]
+                    )
         finally:
             if writer is not None:
                 writer.close()
                 sink.close()
         # empty partition → no file, and commit() skips the entry
-        return _FileCommit(fname if n else "", n)
+        return _FileCommit(fname if n else "", n, stats if n else None)
 
     def commit(self, messages) -> None:
         # Serialize the manifest read-modify-write across concurrent
@@ -277,7 +336,7 @@ class RowDirArrowWriter(DataSourceArrowWriter):
 
     def _commit_locked(self, messages) -> None:
         new_files = [
-            {"file": m.file, "n_rows": m.n_rows}
+            {"file": m.file, "n_rows": m.n_rows, "stats": m.stats or {}}
             for m in messages
             if m is not None and m.file
         ]
@@ -334,18 +393,80 @@ def _rowdir_version_opt(options: dict) -> int | None:
     return None if v is None else int(v)
 
 
+def _zone_map_excludes(flt, stats: dict) -> bool:
+    """True iff the file's [lo, hi] zone map PROVES the pushed filter
+    matches nothing in the file. Conservative: unknown filter shapes,
+    missing stats, and cross-type comparisons never exclude — and Spark
+    re-applies every filter row-wise anyway (pushFilters returns them
+    all), so the only correctness obligation lives in this proof."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    if not isinstance(
+        flt,
+        (EqualTo, In, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+    ):
+        return False  # value-less shapes (IsNull/IsNotNull/...) never prune
+    attr = getattr(flt, "attribute", None)
+    if not attr or len(attr) != 1:
+        return False
+    bounds = stats.get(attr[0])
+    if not bounds:
+        return False
+    lo, hi = bounds
+    vals = flt.value if isinstance(flt, In) else [flt.value]
+    for v in vals:
+        same_type = (isinstance(v, int) and isinstance(lo, int)) or (
+            isinstance(v, str) and isinstance(lo, str)
+        )
+        if not same_type:
+            return False
+    if isinstance(flt, EqualTo):
+        return flt.value < lo or flt.value > hi
+    if isinstance(flt, In):
+        return all(v < lo or v > hi for v in flt.value)
+    if isinstance(flt, GreaterThan):
+        return hi <= flt.value
+    if isinstance(flt, GreaterThanOrEqual):
+        return hi < flt.value
+    if isinstance(flt, LessThan):
+        return lo >= flt.value
+    if isinstance(flt, LessThanOrEqual):
+        return lo > flt.value
+    return False
+
+
 class RowDirReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = _rowdir_path(options)
-        self.files = [
-            e["file"]
-            for e in _read_manifest(self.path, _rowdir_version_opt(options))[
-                "files"
-            ]
-        ]
+        self.file_entries = _read_manifest(
+            self.path, _rowdir_version_opt(options)
+        )["files"]
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter-pushdown contract: remember every pushed
+        conjunct for zone-map FILE PRUNING in partitions(), and return
+        them all — Spark re-evaluates row-wise, so pruning only ever
+        skips whole files the manifest stats prove empty for the
+        predicate (the Iceberg/Delta data-skipping shape)."""
+        self.pushed = list(filters)
+        return filters
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [_RowDirFilePartition(f) for f in self.files]
+        return [
+            _RowDirFilePartition(e["file"])
+            for e in self.file_entries
+            if not any(
+                _zone_map_excludes(f, e.get("stats") or {}) for f in self.pushed
+            )
+        ]
 
     def read(self, partition: _RowDirFilePartition) -> Iterator:
         import pyarrow as pa
@@ -380,8 +501,13 @@ class RowDirDataSource(DataSource):
 
 
 def register_rowdir(spark) -> None:
-    """Idempotently register the rowdir source with the session."""
-    spark.dataSource.register(RowDirDataSource)
+    """Idempotently register the rowdir source with the session, and
+    enable Python-DataSource filter pushdown — planning REFUSES a
+    pushdown-capable reader (pushFilters present) while the flag is
+    false, so any session running rowdir queries needs it (runtime-
+    settable; also set in session.py defaults and tune_for_oracle)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    _register_once(spark, RowDirDataSource)
 
 
 def rowdir_roundtrip_priority_revenue(spark, sf_dir: str):
@@ -563,4 +689,59 @@ SELECT snapshot, year, n_orders, revenue FROM v1
 UNION ALL
 SELECT snapshot, year, n_orders, revenue FROM cur
 ORDER BY snapshot, year
+"""
+
+
+def rowdir_pruned_scan_census(spark, sf_dir: str):
+    """Zone-map FILE PRUNING through the pushFilters contract: the
+    artifact is range-partitioned by year at write time (so each
+    committed file's manifest stats cover a narrow year band), and the
+    year predicate below prunes whole files at planning time before a
+    row is read — the Iceberg/Delta data-skipping shape carried by the
+    connector's own manifest stats. Correctness does not depend on the
+    pruning proof (Spark re-applies every filter row-wise; the oracle
+    gate would catch an over-prune as missing rows); the mechanical
+    file-skip count is pinned in tests/test_sources_contract.py."""
+    from pyspark.sql import functions as F
+
+    from .artifacts import build_once
+    from .tables import fixture_cache_tag, load_table
+
+    register_rowdir(spark)
+    out = (
+        "/tmp/tp1_spark_rowdir_zm_orders_"
+        f"{fixture_cache_tag(sf_dir, 'orders', 'rowdir-zonemap-v1')}"
+    )
+
+    def build() -> None:
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("year"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ).repartitionByRange(4, "year").write.format("rowdir").mode(
+            "overwrite"
+        ).save(out)
+
+    build_once(out, build, marker=ROWDIR_MANIFEST)
+    return (
+        spark.read.format("rowdir")
+        .load(out)
+        .where(F.col("year") >= 1997)
+        .groupBy("year")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+        )
+        .orderBy("year")
+    )
+
+
+ROWDIR_PRUNED_SCAN_ORACLE = """
+SELECT year(o_orderdate) AS year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders
+WHERE year(o_orderdate) >= 1997
+GROUP BY year(o_orderdate)
+ORDER BY year
 """
