@@ -78,6 +78,12 @@ def main() -> None:
             # of the same class as mr_wc's pandas workers — amortized
             # out of the timed number like every other one-time cost
             "detgen_bucket_stats",
+            # the rowdir artifacts (write-side commit protocol, versioned
+            # time-travel, zone-map layout) are one-time /tmp builds of
+            # the same class as the bucketed/IVF layouts above
+            "rowdir_roundtrip",
+            "rowdir_time_travel",
+            "rowdir_pruned_scan",
         )
         if do_warmup
         else ()

@@ -302,9 +302,20 @@ def test_registry_wide_plan_audit(spark):
         "tests/test_skew_and_plans.py) — with a justification comment. "
         "Anything else is a genuine plan regression: fix the query."
     )
+    from concurrent.futures import ThreadPoolExecutor
+
+    def plan_of(item):
+        name, fn = item
+        # iterative operators RUN (localCheckpoints) at plan-construction
+        # time, so building all 180+ plans serially dominated the suite
+        # (42s); Spark's scheduler is thread-safe and the Python-
+        # datasource thread-local pin lives in register_* (pydatasource)
+        return name, fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
     violations = []
-    for name, fn in registry.queries().items():
-        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        plans = list(pool.map(plan_of, registry.queries().items()))
+    for name, plan in plans:
         if any(m in plan for m in py_markers) and name not in PYTHON_ALLOWED:
             violations.append(f"{name}: unexpected Python eval node")
         if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_ALLOWED:

@@ -120,7 +120,7 @@ def pagerank_copurchase(
             "src", F.lit(1.0 / n_nodes).alias("rank"), "out_deg"
         ).localCheckpoint()
     bcast = n_nodes <= PAGERANK_BROADCAST_NODE_LIMIT
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
             edges.join(F.broadcast(ranks) if bcast else ranks, "src")
             .select(F.col("dst").alias("src"), (F.col("rank") / F.col("out_deg")).alias("c"))
@@ -130,20 +130,25 @@ def pagerank_copurchase(
         # Both sides of the rank update are node-cardinality; broadcasting
         # the aggregated contribs keeps the update join shuffle-free too
         # (adjacent A/B at sf0.1: 7.3-11.4s → 5.7s, identical 6dp ranks).
-        ranks = (
-            degrees.join(
-                F.broadcast(contribs) if bcast else contribs, "src", "left"
-            )
-            .select(
-                "src",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("rank"),
-                "out_deg",
-            )
-            .localCheckpoint()
+        ranks = degrees.join(
+            F.broadcast(contribs) if bcast else contribs, "src", "left"
+        ).select(
+            "src",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+            "out_deg",
         )
+        # Checkpoint every SECOND round (and always the last): lineage
+        # stays ≤ 2 rounds deep (planning cost bounded) while half the
+        # per-round checkpoint jobs disappear — adjacent warm A/B at
+        # sf0.1: 6.29s → 5.47s, identical output (the per-partition fold
+        # order feeding each aggregate is fixed by the checkpointed edge
+        # table, so even the bit-exact warm-start contract is unchanged;
+        # stride 5 measured no better than 2).
+        if i % 2 == 1 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         F.col("src").alias("part_id"),
         "out_deg",
