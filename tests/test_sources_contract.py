@@ -328,3 +328,27 @@ def test_rowdir_zone_map_prunes_files(spark, tmp_path):
         map(tuple, (r for r in src.collect() if r["year"] >= 1998))
     )
     assert got == want and got
+
+
+def test_rowdir_concurrent_threads_resolve_source(spark, tmp_path):
+    """Regression for the JVM active-session THREAD-LOCAL miss: py4j
+    pins a fresh JVM thread per Python thread, and Python-datasource
+    name lookup consults getActiveSession — without the pin in
+    register_rowdir, 16/16 concurrent saves failed DATA_SOURCE_NOT_FOUND
+    while dataSourceExists() was true. Eight threads write+read
+    distinct rowdir tables; all must succeed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    def work(i):
+        PDS.register_rowdir(spark)  # carries the per-thread session pin
+        out = str(tmp_path / f"t{i}")
+        spark.range(200).selectExpr("id", "id % 5 as k").write.format(
+            "rowdir"
+        ).mode("overwrite").save(out)
+        return spark.read.format("rowdir").load(out).count()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        counts = list(pool.map(work, range(8)))
+    assert counts == [200] * 8

@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -334,7 +335,7 @@ class RowDirArrowWriter(DataSourceArrowWriter):
             finally:
                 fcntl.flock(lf, fcntl.LOCK_UN)
 
-    def _commit_locked(self, messages) -> None:
+    def _commit_locked(self, messages, batch_id: int | None = None) -> None:
         new_files = [
             {"file": m.file, "n_rows": m.n_rows, "stats": m.stats or {}}
             for m in messages
@@ -342,6 +343,7 @@ class RowDirArrowWriter(DataSourceArrowWriter):
         ]
         old_files: list[dict] = []
         old_version = 0  # versions are 1-based: first commit publishes v1
+        last_batch_id = -1
         mpath = os.path.join(self.path, ROWDIR_MANIFEST)
         if os.path.exists(mpath):
             with open(mpath) as f:
@@ -352,6 +354,7 @@ class RowDirArrowWriter(DataSourceArrowWriter):
                 )
             old_files = old["files"]
             old_version = old.get("version", 0)
+            last_batch_id = old.get("last_batch_id", -1)
         for e in new_files:
             os.replace(
                 os.path.join(self.path, "_temp", e["file"]),
@@ -361,6 +364,9 @@ class RowDirArrowWriter(DataSourceArrowWriter):
             "version": old_version + 1,
             "schema": self.schema_json,
             "files": (new_files if self.overwrite else old_files + new_files),
+            # high-water mark for the STREAMING writer's exactly-once
+            # replay guard; batch commits carry the prior mark forward
+            "last_batch_id": batch_id if batch_id is not None else last_batch_id,
         }
         # immutable per-version snapshot first (time travel reads it),
         # then the atomic current-pointer swap — the single commit point.
@@ -381,6 +387,53 @@ class RowDirArrowWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+
+
+class RowDirStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Streaming half of the commit protocol: each microbatch appends
+    through the same task-file → manifest machinery, and commit() is
+    keyed by Spark's monotonically increasing batchId — a replayed
+    microbatch after a restart (batchId ≤ the manifest's high-water
+    mark) is dropped whole, never applied twice. Combined with the
+    atomic manifest swap this gives EXACTLY-ONCE table contents on top
+    of Structured Streaming's at-least-once redelivery — the same
+    versioned-state + replay-skip discipline as the IVM sink
+    (streaming/sinks.py), carried natively by the connector."""
+
+    def __init__(self, options: dict, schema) -> None:
+        self._inner = RowDirArrowWriter(options, schema, overwrite=False)
+
+    def write(self, iterator):
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import fcntl
+
+        path = self._inner.path
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, ".commit_lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                mpath = os.path.join(path, ROWDIR_MANIFEST)
+                if os.path.exists(mpath):
+                    with open(mpath) as f:
+                        if batchId <= json.load(f).get("last_batch_id", -1):
+                            # replayed batch: drop its temp files, change nothing
+                            for m in messages:
+                                if m is not None and m.file:
+                                    try:
+                                        os.remove(
+                                            os.path.join(path, "_temp", m.file)
+                                        )
+                                    except FileNotFoundError:
+                                        pass
+                            return
+                self._inner._commit_locked(messages, batch_id=batchId)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._inner.abort(messages)
 
 
 class _RowDirFilePartition(InputPartition):
@@ -498,6 +551,9 @@ class RowDirDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> RowDirArrowWriter:
         return RowDirArrowWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> RowDirStreamArrowWriter:
+        return RowDirStreamArrowWriter(self.options, schema)
 
 
 def register_rowdir(spark) -> None:
