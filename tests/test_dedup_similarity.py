@@ -442,3 +442,38 @@ def test_dedup_survivors_exact_beyond_2_32_ids(spark):
     assert out[0].doc_id == 5
     assert out[0].canonical_doc_id == 1 << 33
     assert out[0].n_members == 2
+
+
+def test_prefix_jaccard_randomized_boundary_stress(spark):
+    """Randomized completeness stress for the PPJoin filters: SHORT
+    random documents make tiny shingle sets, so exact-boundary Jaccards
+    (round(J,4) == t) occur constantly — the regime where the relaxed
+    ceiling, the length filter, and the positional filter could each
+    over-prune by one. Prefix variant must equal the plain inverted-
+    index join bitwise at every threshold, seed-deterministic."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for doc_id in range(60):
+        n_words = int(rng.randint(4, 14))
+        words = [vocab[rng.randint(len(vocab))] for _ in range(n_words)]
+        rows.append((doc_id, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t_num, t_den in ((1, 3), (1, 2), (2, 3), (4, 5)):
+        got = sorted(
+            tuple(r)
+            for r in D.ngram_jaccard_prefix_pairs(
+                docs, t_num=t_num, t_den=t_den, max_shingle_df=None
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=t_num / t_den, max_shingle_df=None
+            ).collect()
+        )
+        assert got == want, f"t={t_num}/{t_den}"
+        assert want, f"t={t_num}/{t_den}: stress corpus produced no pairs"

@@ -352,3 +352,33 @@ def test_rowdir_concurrent_threads_resolve_source(spark, tmp_path):
     with ThreadPoolExecutor(max_workers=8) as pool:
         counts = list(pool.map(work, range(8)))
     assert counts == [200] * 8
+
+
+def test_rowdir_concurrent_appends_lose_nothing(spark, tmp_path):
+    """Two simultaneous append jobs to the same table: the flock-
+    serialized manifest read-modify-write must merge both commits —
+    without it, the second swap would unlist the first append's files
+    (the exact interleave the committer's lock comment documents)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_concur_append")
+    spark.createDataFrame([(0, "seed")], "id long, tag string").write.format(
+        "rowdir"
+    ).mode("overwrite").save(out)
+
+    def append(i):
+        PDS.register_rowdir(spark)  # per-thread active-session pin
+        spark.createDataFrame(
+            [(100 + i, f"t{i}")], "id long, tag string"
+        ).write.format("rowdir").mode("append").save(out)
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(append, range(6)))
+
+    got = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
+    assert got == [(0, "seed")] + [(100 + i, f"t{i}") for i in range(6)]
+    # every commit bumped the version exactly once: 1 seed + 6 appends
+    assert PDS._read_manifest(out)["version"] == 7

@@ -311,6 +311,20 @@ class RowDirArrowWriter(DataSourceArrowWriter):
                         if cur is None
                         else [min(cur[0], lo), max(cur[1], hi)]
                     )
+        except BaseException:
+            # a failing task cleans its OWN partial file immediately —
+            # abort() only ever learns the names of files whose tasks
+            # returned a commit message, so this is the only place the
+            # partial can be reclaimed deterministically
+            if writer is not None:
+                writer.close()
+                sink.close()
+                writer = sink = None
+                try:
+                    os.remove(os.path.join(tmp_dir, fname))
+                except FileNotFoundError:
+                    pass
+            raise
         finally:
             if writer is not None:
                 writer.close()
@@ -383,10 +397,29 @@ class RowDirArrowWriter(DataSourceArrowWriter):
         with open(tmp2, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp2, mpath)
-        shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+        # Cleanup is OWNERSHIP-SCOPED: this job's files were promoted by
+        # the os.replace calls above; a blanket rmtree of _temp would
+        # destroy a CONCURRENT job's staged-but-uncommitted files (caught
+        # by test_rowdir_concurrent_appends_lose_nothing). The rmdir only
+        # succeeds when no other job is mid-stage.
+        self._try_rmdir_temp()
+
+    def _try_rmdir_temp(self) -> None:
+        try:
+            os.rmdir(os.path.join(self.path, "_temp"))
+        except OSError:
+            pass  # non-empty (another job staging) or already gone
 
     def abort(self, messages) -> None:
-        shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+        # failed tasks already removed their own partials in write();
+        # remove the files of tasks that SUCCEEDED before the job died
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self.path, "_temp", m.file))
+                except FileNotFoundError:
+                    pass
+        self._try_rmdir_temp()
 
 
 class RowDirStreamArrowWriter(DataSourceStreamArrowWriter):
@@ -658,6 +691,17 @@ def vacuum_rowdir(path: str) -> list[str]:
                 if dead_data or dead_manifest:
                     os.remove(os.path.join(path, f))
                     removed.append(f)
+            # staged-file orphans from crashed jobs (commit/abort only
+            # ever reclaim files they own) are vacuum's to sweep — but
+            # ONLY when no writer is mid-stage, which the exclusive
+            # commit lock we hold cannot itself guarantee, so this stays
+            # an explicit maintenance call, same as any table format
+            tmp = os.path.join(path, "_temp")
+            if os.path.isdir(tmp):
+                for f in os.listdir(tmp):
+                    os.remove(os.path.join(tmp, f))
+                    removed.append(os.path.join("_temp", f))
+                os.rmdir(tmp)
         finally:
             fcntl.flock(lf, fcntl.LOCK_UN)
     return sorted(removed)
