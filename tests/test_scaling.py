@@ -115,6 +115,13 @@ def test_graph_queries_scale_linearly(spark):
     results: list = []
     _drill("pagerank_copurchase", GR.pagerank_copurchase, small, big, results)
     _drill("triangle_count", GR.triangle_count, small, big, results)
+    # the other two iterative shapes: frontier relaxation and peeling.
+    # NOTE the disjoint-copy caveat for BFS: the root is the global min
+    # part id, so only ONE copy is reachable — the measured 10× cost is
+    # the frontier walk of one copy plus edge-table scans 10× wider,
+    # still a valid no-quadratic check on the join shapes.
+    _drill("bfs_distances", GR.bfs_distances, small, big, results)
+    _drill("kcore_members", lambda li: GR.kcore_members(li, k=3), small, big, results)
     # disjoint copies: triangle tallies must scale EXACTLY ×copies —
     # a correctness pin on the scaled fixture itself
     tri1 = GR.triangle_count(small).collect()[0]

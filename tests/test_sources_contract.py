@@ -382,3 +382,54 @@ def test_rowdir_concurrent_appends_lose_nothing(spark, tmp_path):
     assert got == [(0, "seed")] + [(100 + i, f"t{i}") for i in range(6)]
     # every commit bumped the version exactly once: 1 seed + 6 appends
     assert PDS._read_manifest(out)["version"] == 7
+
+
+def test_rowdir_compaction_and_change_feed(spark, tmp_path):
+    """OPTIMIZE + CDF on the table format: many small appends → one
+    compacted version with identical contents and fewer files; the
+    change feed between append versions returns exactly the appended
+    rows via a distributed scan of only the diffed files; and time
+    travel to the pre-compaction snapshot still works."""
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_opt")
+
+    spark.createDataFrame(
+        [(i, f"a{i}") for i in range(10)], "id long, tag string"
+    ).repartition(4).write.format("rowdir").mode("overwrite").save(out)  # v1
+    spark.createDataFrame(
+        [(100 + i, f"b{i}") for i in range(10)], "id long, tag string"
+    ).repartition(4).write.format("rowdir").mode("append").save(out)  # v2
+
+    # change feed v1→v2 = exactly the appended batch
+    feed = sorted(map(tuple, PDS.rowdir_changes(spark, out, 1, 2).collect()))
+    assert feed == [(100 + i, f"b{i}") for i in range(10)]
+    # feed to CURRENT (same version here)
+    feed2 = sorted(map(tuple, PDS.rowdir_changes(spark, out, 1).collect()))
+    assert feed2 == feed
+    # empty diff
+    assert PDS.rowdir_changes(spark, out, 2, 2).count() == 0
+
+    before = PDS._read_manifest(out)
+    res = PDS.compact_rowdir(spark, out)
+    assert res["files_before"] == len(before["files"]) >= 8
+    assert res["files_after"] == 1
+    assert res["version"] == 3
+
+    want = sorted(
+        [(i, f"a{i}") for i in range(10)] + [(100 + i, f"b{i}") for i in range(10)]
+    )
+    now = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
+    assert now == want
+    # pre-compaction snapshot is still readable (until vacuum)
+    v2 = sorted(
+        map(
+            tuple,
+            spark.read.format("rowdir").option("version", 2).load(out).collect(),
+        )
+    )
+    assert v2 == want
+    # zone maps survive compaction: the rewritten file carries id stats
+    stats = PDS._read_manifest(out)["files"][0]["stats"]
+    assert stats["id"] == [0, 109]

@@ -534,6 +534,20 @@ class RowDirReader(DataSourceReader):
         self.file_entries = _read_manifest(
             self.path, _rowdir_version_opt(options)
         )["files"]
+        # `files` option: restrict the scan to an explicit comma-joined
+        # subset of the snapshot's files (the change-feed path). Names
+        # must belong to the resolved manifest — an unknown name is a
+        # loud error, never a silent full scan.
+        subset = options.get("files")
+        if subset is not None:
+            want = [f for f in subset.split(",") if f]
+            known = {e["file"]: e for e in self.file_entries}
+            unknown = [f for f in want if f not in known]
+            if unknown:
+                raise ValueError(
+                    f"rowdir: files not in the resolved snapshot: {unknown}"
+                )
+            self.file_entries = [known[f] for f in want]
         self.pushed: list = []
 
     def pushFilters(self, filters):
@@ -845,3 +859,66 @@ WHERE year(o_orderdate) >= 1997
 GROUP BY year(o_orderdate)
 ORDER BY year
 """
+
+
+def compact_rowdir(spark, path: str, target_rows: int = 1_000_000) -> dict:
+    """OPTIMIZE for the rowdir table: rewrite the CURRENT snapshot's
+    many small files into few ~target_rows files as a NEW VERSION with
+    identical contents — the small-file compaction every append-heavy
+    table needs (streaming commits produce one file per task per
+    microbatch). Runs through the ordinary writer, so the rewrite gets
+    the same atomic manifest swap, zone-map stats, and time-travel
+    retention as any commit: readers mid-query keep their snapshot, and
+    the pre-compaction version stays readable until vacuum. Returns
+    {files_before, files_after, version}.
+
+    At 100 TB this is the background maintenance job: the rewrite is one
+    distributed read + one coalesced write, never a driver-side row."""
+    register_rowdir(spark)
+    before = _read_manifest(path)
+    n_rows = sum(e["n_rows"] for e in before["files"])
+    n_out = max(1, -(-n_rows // target_rows))
+    (
+        spark.read.format("rowdir")
+        .load(path)
+        .coalesce(n_out)
+        .write.format("rowdir")
+        .mode("overwrite")
+        .save(path)
+    )
+    after = _read_manifest(path)
+    return {
+        "files_before": len(before["files"]),
+        "files_after": len(after["files"]),
+        "version": after["version"],
+    }
+
+
+def rowdir_changes(spark, path: str, since_version: int, to_version: int | None = None):
+    """Append-only CHANGE FEED between two snapshots: the rows of every
+    file present in ``to_version`` (default: current) but not in
+    ``since_version`` — the Delta-CDF shape for append workloads
+    (streaming commits, batch appends). Whole files are the change unit,
+    so the feed is a manifest diff plus a scan of exactly the new files;
+    nothing is re-read from the old snapshot. An overwrite (including
+    compaction) rewrites the file set, so a feed that crosses one
+    reports the rewritten files — call sites that need strict row-level
+    deltas should consume the feed between append-only versions, which
+    is what a streaming producer emits."""
+    register_rowdir(spark)
+    old = {e["file"] for e in _read_manifest(path, since_version)["files"]}
+    new_manifest = _read_manifest(path, to_version)
+    new_files = [e["file"] for e in new_manifest["files"] if e["file"] not in old]
+    if not new_files:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(new_manifest["schema"]))
+        )
+    # a fully DISTRIBUTED scan of exactly the changed files — the
+    # reader's `files` option restricts its partition plan to the diff,
+    # one Arrow partition per changed file; no byte touches the driver
+    reader = spark.read.format("rowdir").option("files", ",".join(new_files))
+    if to_version is not None:
+        reader = reader.option("version", to_version)
+    return reader.load(path)
