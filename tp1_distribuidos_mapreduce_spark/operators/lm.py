@@ -313,7 +313,14 @@ def bpe_encode_stats(
         .groupBy("source", "word")
         .agg(F.count("*").alias("freq"))
     )
-    encoded = word_freq.withColumn("n_tok", enc(F.col("word")))
+    # encode each DISTINCT word exactly once, then join the token count
+    # back onto the (source, word) frequencies — a word shared by k
+    # sources would otherwise pay the merge fold k times (the same
+    # vocabulary-cardinality discipline as the trainer)
+    word_tokens = (
+        word_freq.select("word").distinct().withColumn("n_tok", enc(F.col("word")))
+    )
+    encoded = word_freq.join(word_tokens, "word")
     return (
         encoded.groupBy("source")
         .agg(
