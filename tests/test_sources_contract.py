@@ -433,3 +433,47 @@ def test_rowdir_compaction_and_change_feed(spark, tmp_path):
     # zone maps survive compaction: the rewritten file carries id stats
     stats = PDS._read_manifest(out)["files"][0]["stats"]
     assert stats["id"] == [0, 109]
+
+
+def test_rowdir_nulls_unicode_and_empty_table(spark, tmp_path):
+    """Storage-layer edge cases: NULLs in every column type, unicode,
+    empty strings, and 64-bit extremes round-trip exactly (the engine's
+    no-NULL policy is a QUERY-OUTPUT rule, not a storage rule); zone-map
+    stats skip nulls; and a ZERO-ROW write commits a readable empty
+    table (a reader partition plan of zero partitions)."""
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+
+    rows = [
+        (1, None, None),
+        (None, "héllo wörld — ürsprünglich", 1.5),
+        (-(2**63), "", None),
+        (2**63 - 1, "z" * 1000, float("inf")),
+    ]
+    src = spark.createDataFrame(rows, "id long, s string, x double")
+    out = str(tmp_path / "edge")
+    src.write.format("rowdir").mode("overwrite").save(out)
+    back = spark.read.format("rowdir").load(out)
+    assert back.dtypes == src.dtypes
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(
+        map(tuple, src.collect()), key=str
+    )
+    # zone maps ignore nulls and the per-file bounds fold to the exact
+    # non-null global range (64-bit extremes intact)
+    id_bounds = [
+        e["stats"]["id"]
+        for e in PDS._read_manifest(out)["files"]
+        if "id" in (e["stats"] or {})
+    ]
+    assert id_bounds
+    assert min(b[0] for b in id_bounds) == -(2**63)
+    assert max(b[1] for b in id_bounds) == 2**63 - 1
+
+    empty = spark.createDataFrame([], "id long, s string")
+    out2 = str(tmp_path / "empty")
+    empty.write.format("rowdir").mode("overwrite").save(out2)
+    got = spark.read.format("rowdir").load(out2)
+    assert got.count() == 0
+    assert got.dtypes == empty.dtypes
+    assert PDS._read_manifest(out2)["files"] == []

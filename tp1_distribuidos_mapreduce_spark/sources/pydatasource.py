@@ -568,9 +568,13 @@ class RowDirReader(DataSourceReader):
             )
         ]
 
-    def read(self, partition: _RowDirFilePartition) -> Iterator:
+    def read(self, partition: _RowDirFilePartition | None) -> Iterator:
         import pyarrow as pa
 
+        if partition is None:
+            # an EMPTY table: partitions() returned [], and Spark falls
+            # back to a single None-partition read — yield nothing
+            return
         with pa.ipc.open_file(os.path.join(self.path, partition.file)) as r:
             for i in range(r.num_record_batches):
                 yield r.get_batch(i)
