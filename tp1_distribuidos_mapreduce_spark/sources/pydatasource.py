@@ -885,7 +885,11 @@ def compact_rowdir(spark, path: str, target_rows: int = 1_000_000) -> dict:
     (
         spark.read.format("rowdir")
         .load(path)
-        .coalesce(n_out)
+        # repartition, NOT coalesce: coalesce propagates its cap
+        # upstream and would read thousands of small files in n_out
+        # tasks; the shuffle keeps the read at full parallelism and
+        # only the write narrows
+        .repartition(n_out)
         .write.format("rowdir")
         .mode("overwrite")
         .save(path)
