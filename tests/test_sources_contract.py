@@ -477,3 +477,53 @@ def test_rowdir_nulls_unicode_and_empty_table(spark, tmp_path):
     assert got.count() == 0
     assert got.dtypes == empty.dtypes
     assert PDS._read_manifest(out2)["files"] == []
+
+
+def test_rowdir_compaction_cas_refuses_concurrent_commit(spark, tmp_path):
+    """Optimistic concurrency (code-review r10 finding #1): a commit
+    carrying expectedVersion must REFUSE — loudly, pre-swap — when
+    another commit landed after the caller resolved the manifest, so a
+    compaction rewrite can never silently unlist a concurrent append.
+    The refused job's staged files are reclaimed and the table is
+    byte-identical to the pre-attempt state."""
+    import pytest
+
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_cas")
+    spark.createDataFrame([(1, "a")], "id long, tag string").write.format(
+        "rowdir"
+    ).mode("overwrite").save(out)  # v1
+
+    # a "compaction" that resolved v1, with an append racing in between
+    spark.createDataFrame([(2, "b")], "id long, tag string").write.format(
+        "rowdir"
+    ).mode("append").save(out)  # v2 lands first
+
+    with pytest.raises(Exception, match="concurrent commit detected"):
+        spark.createDataFrame([(9, "stale")], "id long, tag string").write.format(
+            "rowdir"
+        ).mode("overwrite").option("expectedVersion", 1).save(out)
+
+    got = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
+    assert got == [(1, "a"), (2, "b")]  # nothing lost, nothing applied
+    import os
+
+    assert not os.path.exists(os.path.join(out, "_temp"))
+    # matching expectedVersion commits fine
+    spark.createDataFrame([(3, "c")], "id long, tag string").write.format(
+        "rowdir"
+    ).mode("append").option("expectedVersion", 2).save(out)
+    assert spark.read.format("rowdir").load(out).count() == 3
+
+
+def test_detgen_zero_rows_reads_empty(spark):
+    """rows=0 → partitions() is empty and Spark's None-partition
+    fallback must yield an empty result, not an AttributeError
+    (code-review r10 finding #4)."""
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_detgen(spark)
+    df = spark.read.format("detgen").option("rows", 0).load()
+    assert df.count() == 0

@@ -589,7 +589,8 @@ def test_rowdir_stream_writer_exactly_once(spark, tmp_path):
     # with a real temp file staged
     with open(os.path.join(out, PDS.ROWDIR_MANIFEST)) as f:
         manifest = json.load(f)
-    assert manifest["last_batch_id"] >= 0
+    mark = manifest["stream_marks"]["default"]
+    assert mark >= 0
     os.makedirs(os.path.join(out, "_temp"), exist_ok=True)
     fake = "task-replay.arrow"
     with open(os.path.join(out, "_temp", fake), "w") as f:
@@ -598,7 +599,27 @@ def test_rowdir_stream_writer_exactly_once(spark, tmp_path):
         {"path": out},
         spark.read.format("rowdir").load(out).schema,
     )
-    w.commit([PDS._FileCommit(fake, 1)], manifest["last_batch_id"])
+    w.commit([PDS._FileCommit(fake, 1)], mark)
     final = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
     assert final == got
     assert not os.path.exists(os.path.join(out, "_temp", fake))
+
+    # replay marks are PER WRITER: a second producer (fresh checkpoint,
+    # batchIds restarting at 0) with its own writerId must NOT be
+    # mistaken for a replay of the first — its early batches commit
+    q2 = (
+        stream_events(spark, src_dir)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("rowdir")
+        .option("path", out)
+        .option("writerId", "producer-2")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    doubled = spark.read.format("rowdir").load(out).count()
+    assert doubled == 2 * len(got)
+    with open(os.path.join(out, PDS.ROWDIR_MANIFEST)) as f:
+        marks = json.load(f)["stream_marks"]
+    assert set(marks) == {"default", "producer-2"}

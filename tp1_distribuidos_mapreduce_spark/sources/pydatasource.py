@@ -68,13 +68,18 @@ class DetGenReader(DataSourceReader):
             if i * per < self.n_rows
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator:
+    def read(self, partition: _RangePartition | None) -> Iterator:
         # Arrow-batched generation: the DataSource read() contract accepts
         # pyarrow RecordBatches, which skip per-row Python tuple pickling
         # entirely — measured 4.5s → sub-second at 100k rows. A real
         # connector would stream batches off its wire format the same way.
         import numpy as np
         import pyarrow as pa
+
+        if partition is None:
+            # rows=0: partitions() returned [] and Spark falls back to a
+            # single None-partition read — an empty result, not a crash
+            return
 
         ids = np.arange(partition.start, partition.end, dtype=np.int64)
         mixed = (ids * _MIX) % _MOD
@@ -113,7 +118,12 @@ class DetGenDataSource(DataSource):
 # touches a Python source calls register_*() first, so routing the pin
 # through here covers the concurrent oracle differential and any other
 # multithreaded caller.
-_DS_REGISTERED: set[tuple[str, int]] = set()
+# WeakKeyDictionary keyed by the session OBJECT: a stopped session's
+# entry dies with it, so a new session recycled at the same memory
+# address can never inherit the old one's "already registered" state
+# (the id(spark)-keyed set had exactly that trap), and the map cannot
+# grow past the set of live sessions.
+_DS_REGISTERED = __import__("weakref").WeakKeyDictionary()
 _DS_REG_LOCK = __import__("threading").Lock()
 
 
@@ -128,12 +138,12 @@ def _ensure_active_session(spark) -> None:
 
 def _register_once(spark, ds_class) -> None:
     _ensure_active_session(spark)
-    key = (ds_class.name(), id(spark))
     with _DS_REG_LOCK:
-        if key in _DS_REGISTERED:
+        names = _DS_REGISTERED.setdefault(spark, set())
+        if ds_class.name() in names:
             return
         spark.dataSource.register(ds_class)
-        _DS_REGISTERED.add(key)
+        names.add(ds_class.name())
 
 
 def register_detgen(spark) -> None:
@@ -276,6 +286,13 @@ class RowDirArrowWriter(DataSourceArrowWriter):
         self.path = _rowdir_path(options)
         self.schema_json = schema.json()
         self.overwrite = overwrite
+        # optimistic concurrency (the Iceberg snapshot-CAS shape): when
+        # `expectedVersion` is set, the commit REFUSES (loudly, pre-swap)
+        # if another commit landed since the caller resolved the
+        # manifest — compact_rowdir uses this so a concurrent append can
+        # never be silently unlisted by the rewrite.
+        ev = options.get("expectedversion", options.get("expectedVersion"))
+        self.expected_version = None if ev is None else int(ev)
 
     def write(self, iterator) -> _FileCommit:
         import pyarrow as pa
@@ -333,6 +350,14 @@ class RowDirArrowWriter(DataSourceArrowWriter):
         return _FileCommit(fname if n else "", n, stats if n else None)
 
     def commit(self, messages) -> None:
+        self.commit_with_guard(messages)
+
+    def commit_with_guard(
+        self,
+        messages,
+        batch_id: int | None = None,
+        writer_id: str | None = None,
+    ) -> None:
         # Serialize the manifest read-modify-write across concurrent
         # committers on this host (two simultaneous appends would
         # otherwise each merge against the same old manifest and the
@@ -345,11 +370,25 @@ class RowDirArrowWriter(DataSourceArrowWriter):
         with open(os.path.join(self.path, ".commit_lock"), "w") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
             try:
-                self._commit_locked(messages)
+                self._commit_locked(messages, batch_id, writer_id)
             finally:
                 fcntl.flock(lf, fcntl.LOCK_UN)
 
-    def _commit_locked(self, messages, batch_id: int | None = None) -> None:
+    def _drop_staged(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self.path, "_temp", m.file))
+                except FileNotFoundError:
+                    pass
+        self._try_rmdir_temp()
+
+    def _commit_locked(
+        self,
+        messages,
+        batch_id: int | None = None,
+        writer_id: str | None = None,
+    ) -> None:
         new_files = [
             {"file": m.file, "n_rows": m.n_rows, "stats": m.stats or {}}
             for m in messages
@@ -357,7 +396,7 @@ class RowDirArrowWriter(DataSourceArrowWriter):
         ]
         old_files: list[dict] = []
         old_version = 0  # versions are 1-based: first commit publishes v1
-        last_batch_id = -1
+        stream_marks: dict[str, int] = {}
         mpath = os.path.join(self.path, ROWDIR_MANIFEST)
         if os.path.exists(mpath):
             with open(mpath) as f:
@@ -368,7 +407,28 @@ class RowDirArrowWriter(DataSourceArrowWriter):
                 )
             old_files = old["files"]
             old_version = old.get("version", 0)
-            last_batch_id = old.get("last_batch_id", -1)
+            stream_marks = dict(old.get("stream_marks", {}))
+        if (
+            self.expected_version is not None
+            and old_version != self.expected_version
+        ):
+            # optimistic-CAS refusal: another commit landed since the
+            # caller resolved the manifest — fail loudly BEFORE any file
+            # promotion; the staged files are reclaimed and the caller
+            # (e.g. compact_rowdir) reruns against the new snapshot
+            self._drop_staged(messages)
+            raise RuntimeError(
+                f"rowdir: concurrent commit detected (expected version "
+                f"{self.expected_version}, found {old_version}) — rerun"
+            )
+        if batch_id is not None:
+            # streaming exactly-once: per-WRITER high-water mark, so two
+            # independent streaming queries (distinct writerId) can share
+            # a table while each one's replays are still dropped whole
+            if batch_id <= stream_marks.get(writer_id, -1):
+                self._drop_staged(messages)
+                return
+            stream_marks[writer_id] = batch_id
         for e in new_files:
             os.replace(
                 os.path.join(self.path, "_temp", e["file"]),
@@ -378,9 +438,9 @@ class RowDirArrowWriter(DataSourceArrowWriter):
             "version": old_version + 1,
             "schema": self.schema_json,
             "files": (new_files if self.overwrite else old_files + new_files),
-            # high-water mark for the STREAMING writer's exactly-once
-            # replay guard; batch commits carry the prior mark forward
-            "last_batch_id": batch_id if batch_id is not None else last_batch_id,
+            # per-writer high-water marks for the STREAMING replay
+            # guard; batch commits carry the prior marks forward
+            "stream_marks": stream_marks,
         }
         # immutable per-version snapshot first (time travel reads it),
         # then the atomic current-pointer swap — the single commit point.
@@ -435,35 +495,21 @@ class RowDirStreamArrowWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options: dict, schema) -> None:
         self._inner = RowDirArrowWriter(options, schema, overwrite=False)
+        # Replay marks are PER WRITER: batchIds restart at 0 for every
+        # new checkpoint, so a single table-global mark would silently
+        # drop the early batches of any second producer (or of the same
+        # pipeline after a checkpoint reset). Distinct producers set a
+        # distinct writerId option — the Delta txn-appId discipline; a
+        # single-producer table can use the default.
+        self.writer_id = str(options.get("writerid", options.get("writerId", "default")))
 
     def write(self, iterator):
         return self._inner.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        import fcntl
-
-        path = self._inner.path
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, ".commit_lock"), "w") as lf:
-            fcntl.flock(lf, fcntl.LOCK_EX)
-            try:
-                mpath = os.path.join(path, ROWDIR_MANIFEST)
-                if os.path.exists(mpath):
-                    with open(mpath) as f:
-                        if batchId <= json.load(f).get("last_batch_id", -1):
-                            # replayed batch: drop its temp files, change nothing
-                            for m in messages:
-                                if m is not None and m.file:
-                                    try:
-                                        os.remove(
-                                            os.path.join(path, "_temp", m.file)
-                                        )
-                                    except FileNotFoundError:
-                                        pass
-                            return
-                self._inner._commit_locked(messages, batch_id=batchId)
-            finally:
-                fcntl.flock(lf, fcntl.LOCK_UN)
+        self._inner.commit_with_guard(
+            messages, batch_id=batchId, writer_id=self.writer_id
+        )
 
     def abort(self, messages, batchId: int) -> None:
         self._inner.abort(messages)
@@ -706,7 +752,10 @@ def vacuum_rowdir(path: str) -> list[str]:
                     and f.endswith(".json")
                     and f != keep_manifest
                 )
-                if dead_data or dead_manifest:
+                # a committer that crashed between json.dump and
+                # os.replace leaves *.json.tmp-<hex> orphans
+                dead_tmp_manifest = ".json.tmp-" in f
+                if dead_data or dead_manifest or dead_tmp_manifest:
                     os.remove(os.path.join(path, f))
                     removed.append(f)
             # staged-file orphans from crashed jobs (commit/abort only
@@ -884,6 +933,7 @@ def compact_rowdir(spark, path: str, target_rows: int = 1_000_000) -> dict:
     n_out = max(1, -(-n_rows // target_rows))
     (
         spark.read.format("rowdir")
+        .option("version", before["version"])  # pin the snapshot we rewrite
         .load(path)
         # repartition, NOT coalesce: coalesce propagates its cap
         # upstream and would read thousands of small files in n_out
@@ -892,6 +942,11 @@ def compact_rowdir(spark, path: str, target_rows: int = 1_000_000) -> dict:
         .repartition(n_out)
         .write.format("rowdir")
         .mode("overwrite")
+        # optimistic CAS: if ANY commit (append, streaming batch)
+        # landed after the snapshot above was resolved, the rewrite
+        # REFUSES instead of silently unlisting those rows — the caller
+        # reruns against the new snapshot
+        .option("expectedVersion", before["version"])
         .save(path)
     )
     after = _read_manifest(path)
