@@ -527,3 +527,33 @@ def test_detgen_zero_rows_reads_empty(spark):
     PDS.register_detgen(spark)
     df = spark.read.format("detgen").option("rows", 0).load()
     assert df.count() == 0
+
+
+def test_rowdir_merge_upsert(spark, tmp_path):
+    """Copy-on-write MERGE: matched keys updated, new keys inserted,
+    one new version, previous snapshot still time-travelable, and the
+    CAS guard protects the whole read-rewrite window."""
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_merge")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, tag string"
+    ).write.format("rowdir").mode("overwrite").save(out)  # v1
+
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, tag string"
+    )
+    res = PDS.merge_rowdir(spark, out, updates, "id")
+    assert res == {"version": 2, "n_updated": 1, "n_inserted": 1}
+
+    got = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    # pre-merge snapshot intact
+    v1 = sorted(
+        map(
+            tuple,
+            spark.read.format("rowdir").option("version", 1).load(out).collect(),
+        )
+    )
+    assert v1 == [(1, "a"), (2, "b"), (3, "c")]

@@ -985,3 +985,42 @@ def rowdir_changes(spark, path: str, since_version: int, to_version: int | None 
     if to_version is not None:
         reader = reader.option("version", to_version)
     return reader.load(path)
+
+
+def merge_rowdir(spark, path: str, updates, key: str) -> dict:
+    """Copy-on-write MERGE (upsert) into the rowdir table: rows of
+    ``updates`` replace current rows with the same ``key`` and new keys
+    are inserted, published as one new version. The rewrite is a plain
+    outer-shaped DataFrame plan (current left-anti updates, union) —
+    Catalyst's problem, not a row-at-a-time loop — and the commit
+    carries the optimistic-CAS guard, so a concurrent append/stream
+    batch makes the merge REFUSE loudly instead of silently reverting
+    it. Returns {version, n_updated, n_inserted}.
+
+    Copy-on-write is the right default for analytic tables (reads stay
+    plain scans); a merge-on-read delete-vector variant is the known
+    next step if update rates ever dominate."""
+    register_rowdir(spark)
+    before = _read_manifest(path)
+    current = (
+        spark.read.format("rowdir")
+        .option("version", before["version"])
+        .load(path)
+    )
+    n_total = current.count()
+    kept = current.join(updates.select(key), key, "left_anti")
+    n_kept = kept.count()
+    merged = kept.unionByName(updates)
+    (
+        merged.write.format("rowdir")
+        .mode("overwrite")
+        .option("expectedVersion", before["version"])
+        .save(path)
+    )
+    after = _read_manifest(path)
+    n_updates = updates.count()
+    return {
+        "version": after["version"],
+        "n_updated": n_total - n_kept,
+        "n_inserted": n_updates - (n_total - n_kept),
+    }
