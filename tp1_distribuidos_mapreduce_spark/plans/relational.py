@@ -181,27 +181,53 @@ ORDER BY month
 
 
 def brand_stats_having(part: DataFrame) -> DataFrame:
-    """GROUP BY + HAVING over part: brands whose avg retail price above the median-ish cut."""
+    """GROUP BY + HAVING over part: brands whose avg retail price is
+    above the median-ish cut.
+
+    Exact-arithmetic form (ADVICE flake class: round(avg(double),4) in a
+    HAVING can flip group membership when a group mean lands on the
+    rounding boundary and the engines' partial-sum orders differ by an
+    ulp): prices scale to integral cents per row, the 4dp mean is an
+    integer half-up division, and the HAVING compares the same exact
+    BIGINT — no float ever decides membership or the printed value."""
+    scaled = F.sum(
+        F.round(F.col("p_retailprice") * 100).cast("long")
+    ).alias("sum_cents")
     return (
         part.groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            scaled,
             F.max("p_size").alias("max_size"),
         )
-        .where(F.col("avg_price") > 910.0)
+        # avg at 4dp = half-up(sum_cents*100 / n): (2*S*100 + n) div (2*n)
+        .withColumn(
+            "avg_4dp_scaled",
+            F.expr("(2 * sum_cents * 100 + n_parts) div (2 * n_parts)"),
+        )
+        .where(F.col("avg_4dp_scaled") > 910_0000)
+        .select(
+            "p_brand",
+            "n_parts",
+            (F.col("avg_4dp_scaled") / 10000.0).alias("avg_price"),
+            "max_size",
+        )
         .orderBy("p_brand")
     )
 
 
 BRAND_HAVING_ORACLE = """
-SELECT p_brand,
-       count(*)                        AS n_parts,
-       round(avg(p_retailprice), 4)    AS avg_price,
-       max(p_size)                     AS max_size
-FROM part
-GROUP BY p_brand
-HAVING round(avg(p_retailprice), 4) > 910.0
+SELECT p_brand, n_parts, avg_4dp_scaled / 10000.0 AS avg_price, max_size
+FROM (
+  SELECT p_brand,
+         count(*) AS n_parts,
+         (2 * sum(CAST(round(p_retailprice * 100) AS BIGINT)) * 100
+            + count(*)) // (2 * count(*)) AS avg_4dp_scaled,
+         max(p_size) AS max_size
+  FROM part
+  GROUP BY p_brand
+)
+WHERE avg_4dp_scaled > 9100000
 ORDER BY p_brand
 """
 
