@@ -38,11 +38,28 @@ def _lock_for(key: str) -> threading.Lock:
 
 @contextmanager
 def pathlock(key: str):
-    """Per-key process-wide critical section for builders whose
-    check-then-act spans more than a marker file (e.g. catalog
-    registration plus layout write)."""
+    """Per-key critical section for builders whose check-then-act spans
+    more than a marker file (e.g. catalog registration plus layout
+    write) — thread-safe within the process AND flock-serialized across
+    processes (same rationale as build_once: two processes running
+    mode('overwrite') to one /tmp layout path can interleave
+    delete/commit into a corrupt mixed directory). The lockfile lives in
+    the temp root so it works for keys whose directory does not exist
+    yet."""
+    import hashlib
+    import tempfile
+
     with _lock_for(key):
-        yield
+        lockpath = os.path.join(
+            tempfile.gettempdir(),
+            f"tp1_pathlock_{hashlib.md5(key.encode()).hexdigest()}.lock",
+        )
+        with open(lockpath, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def build_once(
