@@ -117,3 +117,40 @@ def test_rolling_hll_within_error_envelope(spark, duck):
         ((abs(got[k] - exact[k]) / exact[k]), k) for k in exact
     )[-3:]
     assert sum(rels) / len(rels) <= 0.10
+
+
+def test_rolling_hll_negative_ids_and_gap_days(spark):
+    """Code-review r10: (a) negative user ids are in-domain for the HLL
+    sketch (signed to_bytes — the unsigned form raised OverflowError);
+    (b) an eventless calendar day between observed days is still a
+    window end, matching the exact twin's max-day-cut convention (the
+    old observed-days semi-join silently dropped it)."""
+    from datetime import datetime
+
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AP
+    from tp1_distribuidos_mapreduce_spark.plans import behavior as BH
+
+    rows = []
+    eid = 0
+    for day, users in ((1, [-5, -6, 7]), (3, [-5, 8, 9, 10])):
+        for u in users:
+            eid += 1
+            rows.append((eid, datetime(2024, 1, day, 12, 0), u, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    exact = {
+        r["day"]: r["active_users"]
+        for r in BH.rolling_active_users(ev, days=7).collect()
+    }
+    approx = {
+        r["window_end"]: r["approx_users"]
+        for r in AP.rolling_hll_active_users(ev, days=7).collect()
+    }
+    # identical day sets, INCLUDING the eventless Jan 2
+    assert sorted(d.isoformat() for d in approx) == sorted(
+        d.isoformat() for d in exact
+    )
+    assert any(d.isoformat() == "2024-01-02" for d in approx)
+    # at these cardinalities the sketch is exact (linear counting regime)
+    assert approx == exact

@@ -623,3 +623,34 @@ def test_rowdir_stream_writer_exactly_once(spark, tmp_path):
     with open(os.path.join(out, PDS.ROWDIR_MANIFEST)) as f:
         marks = json.load(f)["stream_marks"]
     assert set(marks) == {"default", "producer-2"}
+
+
+def test_ivm_fold_null_user_key_merges_not_duplicates(spark, tmp_path):
+    """Code-review r10: the IVM state combine joins on user_id, and a
+    plain equi-join never matches NULL keys — each fold would re-insert
+    the NULL-user group as a fresh row. The null-safe join must keep
+    exactly ONE NULL row whose totals accumulate across folds."""
+    from datetime import datetime
+
+    from tp1_distribuidos_mapreduce_spark.streaming.sinks import (
+        _ivm_fold,
+        read_ivm_state,
+    )
+
+    state = str(tmp_path / "ivm_state")
+
+    def batch(eid, uid, value):
+        return spark.createDataFrame(
+            [(eid, datetime(2024, 1, 1, 12, 0), uid, "purchase", value, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    _ivm_fold(batch(1, None, 10.0), 0, state)
+    _ivm_fold(batch(2, None, 2.5), 1, state)
+    _ivm_fold(batch(3, 7, 1.0), 2, state)
+
+    rows = read_ivm_state(spark, state).collect()
+    nulls = [r for r in rows if r["user_id"] is None]
+    assert len(nulls) == 1  # merged, not multiplied
+    assert (nulls[0]["n_events"], nulls[0]["total_value"]) == (2, 12.5)
+    assert {r["user_id"] for r in rows} == {None, 7}

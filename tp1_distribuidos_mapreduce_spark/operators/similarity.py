@@ -48,13 +48,7 @@ def knn_bruteforce(
             cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 KNN_BRUTEFORCE_ORACLE = """
@@ -175,13 +169,7 @@ def knn_lsh(
             cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(cands, k)
 
 
 def _lloyd_centroids(
@@ -254,7 +242,9 @@ def _assign_lists(e: DataFrame, C: np.ndarray) -> DataFrame:
 
 
 def _rank_topk(cands: DataFrame, k: int) -> DataFrame:
-    """Exact cosine rank within candidates — the shared IVF search tail."""
+    """Exact cosine rank within candidates — the ONE top-k tail shared
+    by brute-force, LSH, and the IVF variants (a tie-break change here
+    changes every ANN path identically, never one silently)."""
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         cands.withColumn("rank", F.row_number().over(w))
@@ -335,15 +325,12 @@ def ensure_ivf_index(
     ensure_bucketed_fixture: catalog hit → metadata-only re-register →
     full build. Returns (inverted_table_name, centroids_path).
     """
-    import os
-
-    from ..sinks.bucketed import register_existing_bucketed, write_bucketed
-    from ..sources.tables import fixture_cache_tag, load_table
+    from ..sources.artifacts import pathlock
+    from ..sources.tables import fixture_cache_tag
 
     tag = fixture_cache_tag(
         sf_dir, "embeddings", "ivf", IVF_INDEX_VERSION, n_lists, sample_size, num_buckets
     )
-    from ..sources.artifacts import pathlock
 
     table = f"ivf_inverted_{tag}"
     base = f"/tmp/tp1_spark_ivf_{tag}"
@@ -610,16 +597,13 @@ def ensure_ivf_pq_index(
     Content-addressed and three-tier cached like ensure_ivf_index.
     Returns (inverted_table_name, index_base_path).
     """
-    import os
-
-    from ..sinks.bucketed import register_existing_bucketed, write_bucketed
-    from ..sources.tables import fixture_cache_tag, load_table
+    from ..sources.artifacts import pathlock
+    from ..sources.tables import fixture_cache_tag
 
     tag = fixture_cache_tag(
         sf_dir, "embeddings", "ivfpq", IVF_PQ_INDEX_VERSION,
         n_lists, m_subq, n_codes, sample_size, num_buckets,
     )
-    from ..sources.artifacts import pathlock
 
     table = f"ivfpq_inverted_{tag}"
     base = f"/tmp/tp1_spark_ivfpq_{tag}"

@@ -201,55 +201,76 @@ HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 ROLLING_HLL_DAYS = 28
 
 
-def _daily_hll_udf():
-    """Arrow-batched HLL sketch builder: one register array per day from
-    that day's distinct user list. blake2b(user_id) supplies bucket bits
-    and the rho run-length; numpy maximum.at folds a whole day in one
-    pass. (Factory — pandas_udf needs a session at decoration time.)"""
-    import pandas as pd
+def _fold_users_into_regs(regs, users) -> None:
+    """Fold a batch of user ids into an HLL register array in place.
+    blake2b(user_id) supplies bucket bits and the rho run-length; numpy
+    maximum.at folds the whole batch in one pass. signed=True keeps
+    negative ids in-domain (identical bytes for the non-negative range,
+    so sketches over existing fixtures are unchanged)."""
+    import hashlib
 
-    @F.pandas_udf("array<int>")
-    def sketch(user_lists: pd.Series) -> pd.Series:
-        import hashlib
+    import numpy as np
 
+    if not len(users):
+        return
+    hs = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(
+                    int(u).to_bytes(8, "little", signed=True), digest_size=8
+                ).digest(),
+                "big",
+            )
+            for u in users
+        ],
+        dtype=np.uint64,
+    )
+    j = (hs & np.uint64(HLL_M - 1)).astype(np.int64)
+    w = hs >> np.uint64(8)
+    # rho = leading-zero count of the 56-bit suffix + 1. Exact integer
+    # bit length via binary-shift unrolling — never through float64,
+    # whose 53-bit mantissa could round log2(w) across a power-of-two
+    # boundary for w >= 2^53 and skew rho by one.
+    bitlen = np.zeros(len(w), dtype=np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= np.uint64(1) << np.uint64(shift)
+        bitlen[big] += shift
+        v[big] >>= np.uint64(shift)
+    bitlen[w > np.uint64(0)] += 1
+    rho = (56 - bitlen + 1).astype(np.int32)
+    np.maximum.at(regs, j, rho)
+
+
+def _hll_partial_mapper():
+    """mapInPandas kernel: one PARTIAL register array per (day,
+    partition) from that partition's (day, user_id) rows. Registers are
+    max-mergeable by construction, so no day's user list is ever
+    materialized into a single row — the per-day reduce downstream
+    merges ≤ num-partitions fixed-size arrays, which is how a sketch
+    table is built at 100 TB (partial sketches per slice, tiny merge).
+    (Factory — keeps the pandas/numpy imports executor-side.)"""
+
+    def build(batches):
         import numpy as np
+        import pandas as pd
 
-        out = []
-        for users in user_lists:
-            regs = np.zeros(HLL_M, dtype=np.int32)
-            if len(users):
-                hs = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.blake2b(
-                                int(u).to_bytes(8, "little"), digest_size=8
-                            ).digest(),
-                            "big",
-                        )
-                        for u in users
-                    ],
-                    dtype=np.uint64,
+        regs_by_day: dict = {}
+        for pdf in batches:
+            for day, grp in pdf.groupby("day"):
+                regs = regs_by_day.setdefault(
+                    day, np.zeros(HLL_M, dtype=np.int32)
                 )
-                j = (hs & np.uint64(HLL_M - 1)).astype(np.int64)
-                w = hs >> np.uint64(8)
-                # rho = leading-zero count of the 56-bit suffix + 1.
-                # Exact integer bit length via binary-shift unrolling —
-                # never through float64, whose 53-bit mantissa could
-                # round log2(w) across a power-of-two boundary for
-                # w >= 2^53 and skew rho by one.
-                bitlen = np.zeros(len(w), dtype=np.int64)
-                v = w.copy()
-                for shift in (32, 16, 8, 4, 2, 1):
-                    big = v >= np.uint64(1) << np.uint64(shift)
-                    bitlen[big] += shift
-                    v[big] >>= np.uint64(shift)
-                bitlen[w > np.uint64(0)] += 1
-                rho = (56 - bitlen + 1).astype(np.int32)
-                np.maximum.at(regs, j, rho)
-            out.append(regs.tolist())
-        return pd.Series(out)
+                _fold_users_into_regs(regs, grp["user_id"].to_numpy())
+        if regs_by_day:
+            yield pd.DataFrame(
+                {
+                    "day": list(regs_by_day.keys()),
+                    "regs": [r.tolist() for r in regs_by_day.values()],
+                }
+            )
 
-    return sketch
+    return build
 
 
 def rolling_hll_active_users(
@@ -271,35 +292,46 @@ def rolling_hll_active_users(
     pure Catalyst (zip_with/aggregate over the tiny register arrays);
     Python appears only in the one Arrow-batched sketch build per day.
     """
-    daily = (
+    zero = F.array_repeat(F.lit(0), HLL_M)
+    zipmax = lambda acc, x: F.zip_with(  # noqa: E731
+        acc, x, lambda a, b: F.greatest(a, b)
+    )
+    # PARTIAL sketches per (day, partition) — no day's user list ever
+    # lands in one row (the collect_list-per-day form would put an
+    # entire day's distinct users into a single reducer row, the exact
+    # thing a mergeable sketch exists to avoid); the per-day reduce then
+    # folds ≤ num-partitions fixed 1 KB arrays.
+    partials = (
         events.select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
-        .groupBy("day")
-        .agg(F.collect_list("user_id").alias("users"))
-        .select("day", _daily_hll_udf()(F.col("users")).alias("regs"))
+        .mapInPandas(_hll_partial_mapper(), "day date, regs array<int>")
+    )
+    daily = partials.groupBy("day").agg(
+        F.aggregate(F.collect_list("regs"), zero, zipmax).alias("regs")
     )
     # each day's sketch contributes to the `days` windows ending on
-    # day..day+days-1; keep only window ends that are observed days
-    # (the exact twin's convention), via a semi-join on the day table
-    contrib = daily.select(
-        F.explode(
-            F.sequence(
-                F.col("day"),
-                F.date_add(F.col("day"), days - 1),
-                F.expr("interval 1 day"),
-            )
-        ).alias("window_end"),
-        "regs",
-    ).join(
-        daily.select(F.col("day").alias("window_end")), "window_end", "left_semi"
+    # day..day+days-1; window ends past the observed maximum are cut by
+    # a broadcast 1-row max-day aggregate — the exact twin's convention
+    # (rolling_active_users emits eventless gap days too, so a semi-join
+    # on observed days would silently diverge the pair on gapped data)
+    max_day = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    contrib = (
+        daily.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), days - 1),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("window_end"),
+            "regs",
+        )
+        .join(F.broadcast(max_day))
+        .where(F.col("window_end") <= F.col("max_day"))
+        .drop("max_day")
     )
-    zero = F.array_repeat(F.lit(0), HLL_M)
     merged = contrib.groupBy("window_end").agg(
-        F.aggregate(
-            F.collect_list("regs"),
-            zero,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
-        ).alias("regs")
+        F.aggregate(F.collect_list("regs"), zero, zipmax).alias("regs")
     )
     sum_inv = F.aggregate(
         F.col("regs"),

@@ -73,23 +73,31 @@ def bloom_prune(fact: DataFrame, key_col: str, bitmap: list[int]) -> DataFrame:
     BroadcastNestedLoopJoin with exactly one build row — constant cost, and
     the plan stays free of a driver-embedded 4,096-element literal). The
     probe itself is pure codegen: k shifted element_at bit tests.
+
+    Working columns carry a reserved ``__bloom_`` prefix so a generic
+    fact table with a column literally named ``bits`` (or ``_p0``…)
+    can't collide into an AMBIGUOUS_REFERENCE or lose its own column to
+    the final drop.
     """
     spark = fact.sparkSession
-    bloom_df = spark.createDataFrame([(bitmap,)], "bits array<bigint>")
+    bloom_df = spark.createDataFrame([(bitmap,)], "__bloom_bits array<bigint>")
     probed = fact.crossJoin(F.broadcast(bloom_df))
     for i in range(N_HASHES):
-        probed = probed.withColumn(f"_p{i}", _probe(F.col(key_col), i))
+        probed = probed.withColumn(f"__bloom_p{i}", _probe(F.col(key_col), i))
     tests = [
         F.expr(
-            f"(shiftright(element_at(bits, CAST(floor(_p{i} / 64) AS INT) + 1),"
-            f" CAST(_p{i} % 64 AS INT)) & 1) = 1"
+            f"(shiftright(element_at(__bloom_bits,"
+            f" CAST(floor(__bloom_p{i} / 64) AS INT) + 1),"
+            f" CAST(__bloom_p{i} % 64 AS INT)) & 1) = 1"
         )
         for i in range(N_HASHES)
     ]
     cond = tests[0]
     for t in tests[1:]:
         cond = cond & t
-    return probed.where(cond).drop("bits", *[f"_p{i}" for i in range(N_HASHES)])
+    return probed.where(cond).drop(
+        "__bloom_bits", *[f"__bloom_p{i}" for i in range(N_HASHES)]
+    )
 
 
 def bloom_pruned_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:

@@ -161,8 +161,15 @@ def _ivm_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
             F.col("n_events").alias("d_n"),
             F.col("cents").alias("d_c"),
         )
-        merged = b.join(d, "user_id", "full_outer").select(
-            "user_id",
+        # NULL-SAFE combine key: a plain equi-join never matches NULL ==
+        # NULL, so a NULL-user group (user_id is nullable in the events
+        # schema) would re-enter the state as a fresh row on every fold
+        # and multiply — eqNullSafe pairs the two at-most-one NULL-key
+        # rows exactly like SQL GROUP BY treats the NULL group.
+        merged = b.join(
+            d, b["user_id"].eqNullSafe(d["user_id"]), "full_outer"
+        ).select(
+            F.coalesce(b["user_id"], d["user_id"]).alias("user_id"),
             (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
             .cast("long")
             .alias("n_events"),
