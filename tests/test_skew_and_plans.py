@@ -277,6 +277,8 @@ NESTED_LOOP_ALLOWED = {
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate
     "rolling_7d_active_users",     # single-row broadcast max-day aggregate
+    "rolling_28d_users_hll",       # same single-row max-day cut as its
+                                   # exact twin (aligned in r10)
     "source_vocab_overlap",        # source-cardinality sizes cross (< join)
     "triangle_count",              # three 1-row tallies cross-joined into
                                    # the single output row
