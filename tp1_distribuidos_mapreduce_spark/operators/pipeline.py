@@ -112,6 +112,20 @@ def chunk_documents(
 _REBALANCE_KEEP_PERMILLE = {"en": 300, "de": 800}  # others keep all
 
 
+def _quota_expr() -> F.Column:
+    """Per-language keep-quota (permille) — the single quota definition
+    shared by language_rebalance and stratified_sample (and both
+    hard-coded oracle CASE expressions); a drift between copies would
+    silently desynchronize the two registered queries."""
+    return F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(p))
+            for lang, p in _REBALANCE_KEEP_PERMILLE.items()
+        ],
+        F.lit(1000),
+    )
+
+
 def language_rebalance(documents: DataFrame) -> DataFrame:
     """Stratified downsampling with exact deterministic quotas: keep a
     per-language fraction of documents (300‰ of en, 800‰ of de, all of the
@@ -126,13 +140,7 @@ def language_rebalance(documents: DataFrame) -> DataFrame:
     Returns per-language (n_total, n_kept, kept_permille).
     """
     bucket = _hash_bucket(F.col("doc_id"))
-    quota = F.coalesce(
-        *[
-            F.when(F.col("lang") == lang, F.lit(p))
-            for lang, p in _REBALANCE_KEEP_PERMILLE.items()
-        ],
-        F.lit(1000),
-    )
+    quota = _quota_expr()
     return (
         documents.select("doc_id", "lang")
         .withColumn("kept", (bucket < quota).cast("int"))
@@ -347,13 +355,7 @@ def stratified_sample(documents: DataFrame) -> DataFrame:
     presentation-only for the oracle compare).
     """
     bucket = _hash_bucket(F.col("doc_id"))
-    quota = F.coalesce(
-        *[
-            F.when(F.col("lang") == lang, F.lit(p))
-            for lang, p in _REBALANCE_KEEP_PERMILLE.items()
-        ],
-        F.lit(1000),
-    )
+    quota = _quota_expr()
     return (
         documents.select("doc_id", "lang", "source")
         .withColumn("bucket", bucket)

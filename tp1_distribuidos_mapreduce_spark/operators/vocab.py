@@ -205,7 +205,9 @@ def sequence_packing(
 SEQUENCE_PACKING_ORACLE = rf"""
 WITH d AS (
   SELECT doc_id,
-         doc_id % {PACK_BUCKETS} AS bucket,
+         -- pmod semantics to match Spark's F.pmod: DuckDB's % is signed
+         -- (−1 % 32 = −1), which would diverge on negative doc_ids.
+         ((doc_id % {PACK_BUCKETS}) + {PACK_BUCKETS}) % {PACK_BUCKETS} AS bucket,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
   FROM documents
 ), placed AS (
@@ -227,6 +229,17 @@ ORDER BY bucket, seq_id
 """
 
 
+def _trigrams_expr() -> F.Column:
+    """In-row word trigrams over a ``toks`` array column — the single
+    trigram definition shared by trigram_topk and trigram_novelty (and
+    both hard-coded oracles); a drift between the two copies would
+    silently desynchronize two registered queries."""
+    return F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+    )
+
+
 def trigram_topk(documents: DataFrame, k: int = TRIGRAM_TOP_K) -> DataFrame:
     """Top-k word trigrams across the corpus — the n-gram LM / boilerplate
     detection primitive (a C4-style pipeline uses exactly this table to
@@ -239,14 +252,10 @@ def trigram_topk(documents: DataFrame, k: int = TRIGRAM_TOP_K) -> DataFrame:
     top-k cut is a deterministic (count DESC, trigram ASC) order.
     """
     words = F.filter(tokenize("text"), lambda x: x != "")
-    tris = F.expr(
-        "transform(sequence(0, size(toks) - 3), "
-        "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
-    )
     return (
         documents.select(words.alias("toks"))
         .where(F.size("toks") >= 3)
-        .select(F.explode(tris).alias("trigram"))
+        .select(F.explode(_trigrams_expr()).alias("trigram"))
         .groupBy("trigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("trigram"))
@@ -446,12 +455,7 @@ def trigram_novelty(documents: DataFrame) -> DataFrame:
     the shuffle on a fixed-width trigram hash instead of the string.
     """
     toks = F.filter(tokenize("text"), lambda x: x != "")
-    tris = F.array_distinct(
-        F.expr(
-            "transform(sequence(0, size(toks) - 3), "
-            "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
-        )
-    )
+    tris = F.array_distinct(_trigrams_expr())
     g = (
         documents.select("doc_id", toks.alias("toks"))
         .where(F.size("toks") >= 3)

@@ -200,8 +200,6 @@ def top_event_paths(
     no matter the skew. Shuffles: user-keyed window + bounded aggregate,
     then path-cardinality counts.
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     per_user = (
         events.select("user_id", "ts", "event_id", "event_type")
@@ -237,8 +235,6 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
     event volume; the probability divides two BIGINTs of the same
     aggregate so the 4dp round is engine-exact.
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = (
         events.select("user_id", "ts", "event_id", "event_type")
@@ -372,8 +368,6 @@ def user_state_islands(events: DataFrame) -> DataFrame:
     Output: (user_id, event_type, valid_from, valid_to, n_events) per
     island, plus is_current for each user's last island.
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     runs = events.select(
         "user_id",

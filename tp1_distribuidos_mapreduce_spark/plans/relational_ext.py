@@ -151,22 +151,35 @@ def daily_revenue_moving_avg(lineitem: DataFrame) -> DataFrame:
     """Window-frame aggregation: daily revenue with a trailing 7-row
     moving average (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) — ordered
     frame over a pre-aggregated series, so the window input is one row per
-    day, not per lineitem."""
+    day, not per lineitem.
+
+    Revenue runs in EXACT integer units of 1e-4 dollars (cents ×
+    (100 − discount_pct), the nation_trade_flows discipline) — exactly
+    the 4dp output grain, so revenue is the lossless u/10000.0 and the
+    frame mean is half-up INTEGER division over the frame's u-sum and
+    row count. A float frame mean differs at last-ulp between Spark's
+    sliding add/subtract accumulation and DuckDB's window sum, flipping
+    4dp rounding near 5th-decimal boundaries."""
     from pyspark.sql import Window
 
-    daily = lineitem.groupBy(
-        F.to_date("l_shipdate").alias("ship_date")
-    ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "revenue"
-        )
+    u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    daily = lineitem.groupBy(F.to_date("l_shipdate").alias("ship_date")).agg(
+        F.sum(u).alias("u")
     )
     w = Window.orderBy("ship_date").rowsBetween(-6, 0)
     return (
         daily.select(
             "ship_date",
+            (F.col("u") / 10000.0).alias("revenue"),
+            F.sum("u").over(w).alias("s"),
+            F.count("u").over(w).alias("n"),
+        )
+        .select(
+            "ship_date",
             "revenue",
-            F.round(F.avg("revenue").over(w), 4).alias("ma7"),
+            (F.expr("(2 * s + n) div (2 * n)") / 10000.0).alias("ma7"),
         )
         .orderBy("ship_date")
     )
@@ -175,14 +188,20 @@ def daily_revenue_moving_avg(lineitem: DataFrame) -> DataFrame:
 MOVING_AVG_ORACLE = """
 WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS ship_date,
-         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS u
   FROM lineitem
   GROUP BY 1
+), framed AS (
+  SELECT ship_date, u / 10000.0 AS revenue,
+         sum(u)   OVER (ORDER BY ship_date
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s,
+         count(u) OVER (ORDER BY ship_date
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n
+  FROM daily
 )
-SELECT ship_date, revenue,
-       round(avg(revenue) OVER (ORDER BY ship_date
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
-FROM daily
+SELECT ship_date, revenue, ((2 * s + n) // (2 * n)) / 10000.0 AS ma7
+FROM framed
 ORDER BY ship_date
 """
 
@@ -267,47 +286,71 @@ def returned_item_revenue(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
 ) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
-    lineitem filter pushes to the scan; nation broadcasts."""
+    lineitem filter pushes to the scan; nation broadcasts.
+
+    Revenue sums the nation_trade_flows EXACT units (cents × (100 −
+    discount_pct)) and the top-20 cut orders by that BIGINT — a float
+    sum near a half-cent boundary could flip both the rounding AND the
+    ranking of the boundary customer; integer arithmetic can't."""
     returned = lineitem.where(F.col("l_returnflag") == "R")
+    u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         returned.join(orders, returned.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .agg(F.sum(u).alias("u"))
+        .orderBy(F.desc("u"), "c_custkey")
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.expr("(u + 50) div 100") / 100.0).alias("revenue"),
+        )
     )
 
 
 Q10_ORACLE = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
+       ((u + 50) // 100) / 100.0 AS revenue
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS u
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+  ORDER BY u DESC, c_custkey
+  LIMIT 20
+)
 """
 
 
 def parts_above_brand_avg(part: DataFrame) -> DataFrame:
     """Correlated-scalar-subquery shape (price > its brand's average),
     expressed as a window average — the decorrelated plan Catalyst would
-    produce, with one shuffle on brand instead of a re-scanning subquery."""
+    produce, with one shuffle on brand instead of a re-scanning subquery.
+
+    Membership is decided in EXACT integers, never on a float average:
+    price > mean(prices) ⟺ price_cents · n > Σ cents (prices carry
+    exactly 2 decimals), so a part whose price equals its brand's true
+    mean cannot flip sides on partial-sum order — the avg()-boundary
+    membership flake class idle_customers_opportunity documents."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("p_brand")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
     return (
-        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
-        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        part.withColumn("cents", cents)
+        .withColumn("brand_n", F.count("*").over(w))
+        .withColumn("brand_cents", F.sum("cents").over(w))
+        .where(F.col("cents") * F.col("brand_n") > F.col("brand_cents"))
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_above"),
@@ -320,8 +363,10 @@ def parts_above_brand_avg(part: DataFrame) -> DataFrame:
 ABOVE_AVG_ORACLE = """
 SELECT p_brand, count(*) AS n_above, round(max(p_retailprice), 2) AS max_price
 FROM part p
-WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
-                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+WHERE CAST(round(p.p_retailprice * 100) AS BIGINT)
+      * (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+      > (SELECT sum(CAST(round(p2.p_retailprice * 100) AS BIGINT))
+         FROM part p2 WHERE p2.p_brand = p.p_brand)
 GROUP BY p_brand
 ORDER BY p_brand
 """
@@ -329,7 +374,13 @@ ORDER BY p_brand
 
 def customer_order_gaps(orders: DataFrame) -> DataFrame:
     """lag + date arithmetic: average days between a customer's consecutive
-    orders, for customers with ≥ 5 orders."""
+    orders, for customers with ≥ 5 orders.
+
+    The 2dp average is computed by HALF-UP INTEGER division over the
+    integer day-sum ((200·S + g) div (2g), g = non-null gap count, the
+    avg() denominator) — round(avg(int)) has 3rd-decimal ties (e.g.
+    281/40 = 7.025) that Spark's BigDecimal round and DuckDB's raw-double
+    round resolve differently."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -343,9 +394,15 @@ def customer_order_gaps(orders: DataFrame) -> DataFrame:
         gaps.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.avg("gap_days"), 2).alias("avg_gap_days"),
+            F.sum("gap_days").alias("s"),
+            F.count("gap_days").alias("g"),
         )
         .where(F.col("n_orders") >= 5)
+        .select(
+            "o_custkey",
+            "n_orders",
+            (F.expr("(200 * s + g) div (2 * g)") / 100.0).alias("avg_gap_days"),
+        )
         .orderBy("o_custkey")
     )
 
@@ -361,7 +418,8 @@ WITH gaps AS (
 )
 SELECT o_custkey,
        count(*) AS n_orders,
-       round(avg(gap_days), 2) AS avg_gap_days
+       ((200 * sum(gap_days) + count(gap_days))
+        // (2 * count(gap_days))) / 100.0 AS avg_gap_days
 FROM gaps
 GROUP BY o_custkey
 HAVING count(*) >= 5
@@ -371,33 +429,55 @@ ORDER BY o_custkey
 
 def promo_revenue_by_month(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q14 shape: share of revenue from PROMO parts per ship month.
-    Conditional aggregation over a fact-dim join; part broadcasts."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    Conditional aggregation over a fact-dim join; part broadcasts.
+
+    Revenue runs in the nation_trade_flows EXACT units (cents × (100 −
+    discount_pct), an order-independent BIGINT sum); total_revenue and
+    promo_pct then round by half-up INTEGER division — the float-sum
+    half-cent-boundary and ratio-tie flake classes can't occur. The
+    20000·promo_u term stays in BIGINT range while a month's revenue is
+    below ~$46B (4.6e14 u); past that, cast the ratio to decimal(38,0).
+    """
+    u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
         .agg(
-            F.round(
-                100
-                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0))
-                / F.sum(rev),
-                2,
+            F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), u).otherwise(F.lit(0))
+            ).alias("promo_u"),
+            F.sum(u).alias("total_u"),
+        )
+        .select(
+            "month",
+            (
+                F.expr("(20000 * promo_u + total_u) div (2 * total_u)") / 100.0
             ).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            (F.expr("(total_u + 50) div 100") / 100.0).alias("total_revenue"),
         )
         .orderBy("month")
     )
 
 
 PROMO_REVENUE_ORACLE = """
-SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
-       round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_revenue
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-GROUP BY 1
+WITH m AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+         sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS promo_u,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_u
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT month,
+       ((20000 * promo_u + total_u) // (2 * total_u)) / 100.0 AS promo_pct,
+       ((total_u + 50) // 100) / 100.0 AS total_revenue
+FROM m
 ORDER BY month
 """
 
@@ -502,15 +582,20 @@ def disjunctive_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame
             & F.col("l_quantity").between(20, 50)
         )
     )
+    u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .where(cond)
         .groupBy("p_brand")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+        # exact-units revenue sum (nation_trade_flows discipline): a float
+        # sum near a half-cent boundary rounds differently across engines.
+        .agg(F.count("*").alias("n_lines"), F.sum(u).alias("u"))
+        .select(
+            "p_brand",
+            "n_lines",
+            (F.expr("(u + 50) div 100") / 100.0).alias("revenue"),
         )
         .orderBy("p_brand")
     )
@@ -518,7 +603,9 @@ def disjunctive_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame
 
 DISJUNCTIVE_ORACLE = """
 SELECT p_brand, count(*) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100)
+       / 100.0 AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -542,12 +629,25 @@ def order_value_deciles(orders: DataFrame) -> DataFrame:
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
         orders.withColumn("decile", F.ntile(10).over(w))
+        .withColumn("cents", F.round(F.col("o_totalprice") * 100).cast("long"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.sum("cents").alias("s"),
+        )
+        .select(
+            "decile",
+            "n_orders",
+            "lo",
+            "hi",
+            # half-up integer division: round(avg) of 2dp values has
+            # 3rd-decimal ties that split the engines (nation_trade_flows
+            # discipline).
+            (F.expr("(2 * s + n_orders) div (2 * n_orders)") / 100.0).alias(
+                "avg_price"
+            ),
         )
         .orderBy("decile")
     )
@@ -557,9 +657,10 @@ DECILES_ORACLE = """
 SELECT decile, count(*) AS n_orders,
        round(min(o_totalprice), 2) AS lo,
        round(max(o_totalprice), 2) AS hi,
-       round(avg(o_totalprice), 2) AS avg_price
+       ((2 * sum(cents) + count(*)) // (2 * count(*))) / 100.0 AS avg_price
 FROM (
   SELECT o_totalprice,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
          ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
   FROM orders
 )
@@ -621,9 +722,18 @@ def hourly_event_gapfill(events: DataFrame) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
     )
     types = events.select("event_type").distinct()
+    # value carries exactly 3 decimals in the fixtures, so the sum runs
+    # on exact 1e-3-scaled BIGINTs (order-independent) and the one
+    # /1000.0 at the edge is deterministic — a float sum near a
+    # 0.0005 boundary rounds differently across engines.
     counts = events.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+    ).agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 1000).cast("long")) / 1000.0
+        ).alias("sum_value"),
+    )
     return (
         hours.crossJoin(types)
         .join(counts, ["hour", "event_type"], "left")
@@ -648,7 +758,8 @@ hours AS (
 types AS (SELECT DISTINCT event_type FROM events),
 counts AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
-         count(*) AS n, round(sum(value), 3) AS sum_value
+         count(*) AS n,
+         sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0 AS sum_value
   FROM events GROUP BY 1, 2
 )
 SELECT CAST(h.hour AS VARCHAR) AS hour, t.event_type AS event_type,
@@ -1032,6 +1143,12 @@ def monthly_metrics_unpivot(orders: DataFrame) -> DataFrame:
     daily_revenue_anomalies discipline: cent sums are order-independent,
     so the 2dp rounding never flakes on partial-sum order), then unpivot
     — a map-only row expansion (3 rows per month, no shuffle).
+
+    avg_price divides summed cents by the month's order count with
+    HALF-UP INTEGER division ((2S + n) div (2n)) before the one exact
+    /100.0: an avg of 2dp values has arbitrary-denominator rationals
+    whose 3rd-decimal ties split Spark's BigDecimal round from DuckDB's
+    raw-double round (the nation_trade_flows tie mechanism).
     """
     wide = (
         orders.select(
@@ -1047,7 +1164,7 @@ def monthly_metrics_unpivot(orders: DataFrame) -> DataFrame:
             "month",
             F.col("n").cast("double").alias("n_orders"),
             F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-            F.round(F.col("cents") / 100.0 / F.col("n"), 2).alias("avg_price"),
+            (F.expr("(2 * cents + n) div (2 * n)") / 100.0).alias("avg_price"),
         )
     )
     return wide.unpivot(
@@ -1065,7 +1182,7 @@ WITH wide AS (
   SELECT month,
          CAST(n AS DOUBLE) AS n_orders,
          round(cents / 100.0, 2) AS revenue,
-         round(cents / 100.0 / n, 2) AS avg_price
+         ((2 * cents + n) // (2 * n)) / 100.0 AS avg_price
   FROM wide
 )
 SELECT month, metric, value FROM (

@@ -68,9 +68,18 @@ def rfm_segmentation(orders: DataFrame) -> DataFrame:
         scored.groupBy("r_quintile", "f_quintile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("monetary_cents") / F.count("*") / 100.0, 2).alias(
-                "avg_monetary"
-            ),
+            F.sum("monetary_cents").alias("s"),
+        )
+        .select(
+            "r_quintile",
+            "f_quintile",
+            "n_customers",
+            # half-up integer division before the one exact /100.0:
+            # round(sum/count) of cent values has 3rd-decimal ties that
+            # split Spark's BigDecimal round from DuckDB's double round.
+            (
+                F.expr("(2 * s + n_customers) div (2 * n_customers)") / 100.0
+            ).alias("avg_monetary"),
         )
         .orderBy("r_quintile", "f_quintile")
     )
@@ -99,8 +108,8 @@ WITH per_cust AS (
 SELECT CAST(r_quintile AS INTEGER) AS r_quintile,
        CAST(f_quintile AS INTEGER) AS f_quintile,
        count(*) AS n_customers,
-       round(CAST(sum(monetary_cents) AS BIGINT) / count(*) / 100.0, 2)
-         AS avg_monetary
+       ((2 * CAST(sum(monetary_cents) AS BIGINT) + count(*))
+        // (2 * count(*))) / 100.0 AS avg_monetary
 FROM scored
 GROUP BY r_quintile, f_quintile
 ORDER BY r_quintile, f_quintile
