@@ -1,0 +1,81 @@
+"""Source audit: no tie-capable round() over a float aggregate.
+
+Spark's round() re-decimalizes a double via shortest-repr BigDecimal
+(HALF_UP on printed digits) while DuckDB rounds the raw double, so any
+aggregate whose TRUE value can land exactly on a rounding boundary is an
+intermittent cross-engine flake — the class behind every historical
+oracle-hash mismatch of this kind in this repo. The fix is the
+nation_trade_flows discipline: exact scaled-integer sums + half-up
+INTEGER division, mirrored in the oracle.
+
+This test greps the package for the `F.round(F.sum(...)` /
+`F.round(F.avg(...)` shapes and requires every remaining occurrence to be
+a documented tie-safe site:
+
+- sums of INTEGRAL columns (exact in a double below 2^53);
+- divisions by a power of two (exact binary doubles — both engines round
+  the identical exact value identically);
+- CONTINUOUS measures (cosines, log-likelihoods): a tie requires the true
+  value to be an exact decimal, a measure-zero event for real-valued
+  inputs (and deterministic inputs make it reproducible, not flaky).
+
+A new `F.round(F.sum/avg(...))` over money/ratio/fixed-decimal columns
+must instead use the integer discipline; add it here ONLY with a written
+tie-safety argument.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "tp1_distribuidos_mapreduce_spark"
+
+# (filename, line-content substring) -> why the site cannot tie.
+ALLOWED = {
+    ("plans/relational_ext.py", 'F.round(F.sum("l_quantity"), 4)'):
+        "l_quantity is integral; a double sum of integers is exact below 2^53",
+    ("plans/relational.py", 'F.round(F.sum("l_quantity"), 2)'):
+        "l_quantity is integral; a double sum of integers is exact below 2^53",
+    ("operators/vocab.py", 'F.round(F.sum("n_tokens") / F.lit(float(seq_len)), 4)'):
+        "seq_len is a power of two: S/seq_len is an exact binary double, and "
+        "half-up (Spark) == half-away (DuckDB) on exactly-representable ties",
+    ("operators/vectors.py", 'F.round(F.avg("cos"), 4)'):
+        "cosine similarities are continuous reals; an exact 5th-decimal tie "
+        "is measure-zero",
+    ("operators/lm.py", 'F.round(F.avg("doc_nll"), 4)'):
+        "log-likelihoods are continuous reals; an exact 5th-decimal tie is "
+        "measure-zero",
+}
+
+PATTERN = re.compile(r"F\.round\(\s*F\.(sum|avg)\(")
+
+
+def test_no_tie_capable_round_over_float_aggregate():
+    violations = []
+    for path in sorted(PKG.rglob("*.py")):
+        rel = str(path.relative_to(PKG))
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            if not PATTERN.search(line):
+                continue
+            if any(
+                rel == f and snippet in line for (f, snippet) in ALLOWED
+            ):
+                continue
+            violations.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not violations, (
+        "tie-capable F.round(F.sum/avg(...)) outside the documented "
+        "allowlist — use exact scaled-integer sums with half-up integer "
+        "division (see nation_trade_flows) or add a tie-safety argument "
+        "to ALLOWED:\n" + "\n".join(violations)
+    )
+
+
+def test_allowlist_entries_still_exist():
+    """Prune stale allowlist rows so the audit stays meaningful."""
+    stale = []
+    for f, snippet in ALLOWED:
+        text = (PKG / f).read_text()
+        if snippet not in text:
+            stale.append(f"{f}: {snippet}")
+    assert not stale, "ALLOWED entries no longer present:\n" + "\n".join(stale)

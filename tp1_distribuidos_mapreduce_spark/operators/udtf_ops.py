@@ -63,7 +63,16 @@ def sentence_stats(documents: DataFrame) -> DataFrame:
         exploded.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_sentences"),
-            F.round(F.avg("n_words"), 4).alias("avg_sentence_words"),
+            # integer word counts: half-up integer division at 4dp
+            # (round(avg(int)) ties at the 5th decimal and float
+            # partial-sum order decides the side).
+            (
+                F.expr(
+                    "(20000 * sum(n_words) + count(n_words))"
+                    " div (2 * count(n_words))"
+                )
+                / 10000.0
+            ).alias("avg_sentence_words"),
             F.max("n_words").alias("max_sentence_words"),
         )
         .orderBy("doc_id")
@@ -82,7 +91,8 @@ WITH sents AS (
 )
 SELECT doc_id,
        count(*) AS n_sentences,
-       round(avg(n_words), 4) AS avg_sentence_words,
+       ((20000 * CAST(sum(n_words) AS BIGINT) + count(n_words))
+        // (2 * count(n_words))) / 10000.0 AS avg_sentence_words,
        max(n_words) AS max_sentence_words
 FROM sents
 WHERE n_words > 0

@@ -196,6 +196,9 @@ def sequence_packing(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
             F.min("doc_id").alias("first_doc"),
+            # tie-safe: seq_len is a power of two, so S/seq_len is an
+            # exact binary double and both engines round the identical
+            # exact value the same way (half-up == half-away on exacts).
             F.round(F.sum("n_tokens") / F.lit(float(seq_len)), 4).alias("fill_ratio"),
         )
         .orderBy("bucket", "seq_id")

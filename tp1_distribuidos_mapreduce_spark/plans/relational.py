@@ -26,39 +26,83 @@ from pyspark.sql import functions as F
 
 
 def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
-    """TPC-H Q1: pricing summary report (groupBy 2 cols + 8 aggregates)."""
+    """TPC-H Q1: pricing summary report (groupBy 2 cols + 8 aggregates).
+
+    All money aggregates run on EXACT scaled BIGINTs (price/discount/tax
+    carry exactly 2 decimals, so cents, cents·(100−d), and
+    cents·(100−d)·(100+t) are exact per-row integers and their sums are
+    partial-order-independent), rounded by half-up INTEGER division —
+    float sums over millions of rows per group land on half-cent /
+    5th-decimal ties and split the engines (the nation_trade_flows flake
+    class). Quantities are integral, so their float sum is exact below
+    2^53 and needs no scaling. BIGINT headroom: the 1e-6-dollar charge
+    sum overflows past ~$9.2e6 billion per group; at that scale cast the
+    unit columns to decimal(38,0)."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    t = F.round(F.col("l_tax") * 100).cast("long")
     return (
         lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(cents).alias("c"),
+            F.sum(cents * (F.lit(100) - d)).alias("u4"),
+            F.sum(cents * (F.lit(100) - d) * (F.lit(100) + t)).alias("u6"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+            F.sum(d).alias("sd"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            (F.col("c") / 100.0).alias("sum_base_price"),
+            (F.expr("(u4 + 50) div 100") / 100.0).alias("sum_disc_price"),
+            (F.expr("(u6 + 5000) div 10000") / 100.0).alias("sum_charge"),
+            # half-up integer division at 4dp: round(10^4·S/n) for the
+            # integral-quantity sum, round(10^2·S/n) for cent-scaled sums.
+            (
+                F.expr("(20000 * sq + count_order) div (2 * count_order)") / 10000.0
+            ).alias("avg_qty"),
+            (
+                F.expr("(200 * c + count_order) div (2 * count_order)") / 10000.0
+            ).alias("avg_price"),
+            (
+                F.expr("(200 * sd + count_order) div (2 * count_order)") / 10000.0
+            ).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 Q1_ORACLE = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-       round(avg(l_quantity), 4)                                          AS avg_qty,
-       round(avg(l_extendedprice), 4)                                     AS avg_price,
-       round(avg(l_discount), 4)                                          AS avg_disc,
-       count(*)                                                           AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS u4,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS u6,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         sum(CAST(round(l_discount * 100) AS BIGINT)) AS sd,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty,
+       c / 100.0                                                AS sum_base_price,
+       ((u4 + 50) // 100) / 100.0                               AS sum_disc_price,
+       ((u6 + 5000) // 10000) / 100.0                           AS sum_charge,
+       ((20000 * sq + count_order) // (2 * count_order)) / 10000.0 AS avg_qty,
+       ((200 * c + count_order) // (2 * count_order)) / 10000.0 AS avg_price,
+       ((200 * sd + count_order) // (2 * count_order)) / 10000.0 AS avg_disc,
+       count_order
+FROM g
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -80,32 +124,44 @@ def q3_shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataF
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact-units revenue (nation_trade_flows discipline): the top-k
+        # cut ranks on the BIGINT so a half-cent float tie can't reorder.
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("u")
+        )
+        .orderBy(F.desc("u"), F.asc("o_orderkey"))
+        .limit(10)
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
-            "revenue",
+            (F.expr("(u + 50) div 100") / 100.0).alias("revenue"),
         )
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
     )
 
 
 Q3_ORACLE = """
-SELECT o_orderkey,
-       strftime(o_orderdate, '%Y-%m-%d')                                  AS orderdate,
-       o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS revenue
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-07-01'
-  AND l_shipdate  > TIMESTAMP '1998-07-01'
-GROUP BY o_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT 10
+SELECT o_orderkey, orderdate, o_orderpriority,
+       ((u + 50) // 100) / 100.0 AS revenue
+FROM (
+  SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         o_orderpriority,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS u
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-07-01'
+    AND l_shipdate  > TIMESTAMP '1998-07-01'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+  ORDER BY u DESC, o_orderkey ASC
+  LIMIT 10
+)
 """
 
 
@@ -134,14 +190,23 @@ def q5_revenue_by_nation(
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact-units revenue sum (nation_trade_flows discipline).
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("u")
+        )
+        .select("n_name", (F.expr("(u + 50) div 100") / 100.0).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
 Q5_ORACLE = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100)
+       / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -160,10 +225,20 @@ def monthly_order_stats(orders: DataFrame) -> DataFrame:
     """Calendar rollup: per-month order count / total / avg value."""
     return (
         orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        # exact cents: the sum is lossless at 2dp; the 4dp average uses
+        # half-up integer division (round(10^2·S_cents/n)) — round(avg)
+        # over floats flakes on partial-sum order at rounding ties.
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            (F.col("c") / 100.0).alias("total_value"),
+            (F.expr("(200 * c + n_orders) div (2 * n_orders)") / 10000.0).alias(
+                "avg_value"
+            ),
         )
         .orderBy("month")
     )
@@ -172,8 +247,9 @@ def monthly_order_stats(orders: DataFrame) -> DataFrame:
 MONTHLY_ORACLE = """
 SELECT strftime(o_orderdate, '%Y-%m')       AS month,
        count(*)                             AS n_orders,
-       round(sum(o_totalprice), 2)          AS total_value,
-       round(avg(o_totalprice), 4)          AS avg_value
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_value,
+       ((200 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*))
+        // (2 * count(*))) / 10000.0        AS avg_value
 FROM orders
 GROUP BY month
 ORDER BY month
@@ -240,7 +316,13 @@ def top_customers_per_nation(customer: DataFrame, orders: DataFrame, nation: Dat
     """
     spend = (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        # exact cents sum, lossless /100.0 — order-independent, so the
+        # per-nation rank can't flip on a float partial-sum tie.
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0
+            ).alias("spend")
+        )
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
@@ -259,7 +341,8 @@ FROM (
   SELECT n_name, c_custkey, c_name, spend,
          CAST(row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey ASC) AS INTEGER) AS rank
   FROM (
-    SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+    SELECT o_custkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS spend
     FROM orders GROUP BY o_custkey
   )
   JOIN customer ON o_custkey = c_custkey
@@ -326,23 +409,40 @@ def top_parts_by_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     (grows with SF but stays dim-sized; AQE confirms at runtime)."""
     return (
         lineitem.groupBy("l_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact-units revenue; the top-20 ranks on the BIGINT so float
+        # half-cent ties can't reorder the cut boundary.
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("u")
+        )
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .select("p_partkey", "p_name", "p_brand", "revenue")
-        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .orderBy(F.desc("u"), F.asc("p_partkey"))
         .limit(20)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            (F.expr("(u + 50) div 100") / 100.0).alias("revenue"),
+        )
     )
 
 
 TOP_PARTS_ORACLE = """
-SELECT p_partkey, p_name, p_brand, revenue
+SELECT p_partkey, p_name, p_brand, ((u + 50) // 100) / 100.0 AS revenue
 FROM (
-  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-  FROM lineitem GROUP BY l_partkey
+  SELECT p_partkey, p_name, p_brand, u
+  FROM (
+    SELECT l_partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS u
+    FROM lineitem GROUP BY l_partkey
+  )
+  JOIN part ON l_partkey = p_partkey
+  ORDER BY u DESC, p_partkey ASC
+  LIMIT 20
 )
-JOIN part ON l_partkey = p_partkey
-ORDER BY revenue DESC, p_partkey ASC
-LIMIT 20
 """
 
 
@@ -395,24 +495,46 @@ def events_json_stats(events: DataFrame) -> DataFrame:
     return (
         events.withColumn("k", k)
         .groupBy("event_type")
+        # value carries exactly 3 decimals and k is integral, so both
+        # averages run on exact integer sums with half-up integer
+        # division at 4dp (round(avg) over floats flakes at ties); the
+        # avg() denominators are the non-null counts.
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sv"),
+            F.count("value").alias("nv"),
+            F.sum("k").alias("sk"),
+            F.count("k").alias("nk"),
             F.max("k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.expr("(20 * sv + nv) div (2 * nv)") / 10000.0).alias("avg_value"),
+            (F.expr("(20000 * sk + nk) div (2 * nk)") / 10000.0).alias("avg_k"),
+            "max_k",
         )
         .orderBy("event_type")
     )
 
 
 EVENTS_JSON_ORACLE = """
-SELECT event_type,
-       count(*)                                                      AS n_events,
-       round(avg(value), 4)                                          AS avg_value,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER))       AS max_k
-FROM events
-GROUP BY event_type
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         sum(CAST(round(value * 1000) AS BIGINT)) AS sv,
+         count(value) AS nv,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sk,
+         count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS nk,
+         max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n_events,
+       ((20 * sv + nv) // (2 * nv)) / 10000.0       AS avg_value,
+       ((20000 * sk + nk) // (2 * nk)) / 10000.0    AS avg_k,
+       max_k
+FROM g
 ORDER BY event_type
 """
 

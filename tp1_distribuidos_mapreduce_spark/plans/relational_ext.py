@@ -66,7 +66,12 @@ def cube_order_status_priority(orders: DataFrame) -> DataFrame:
             .otherwise(F.col("o_orderpriority"))
             .alias("priority"),
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            # exact cents: the grand-total grouping set sums the whole
+            # table, where a float sum's accumulated error can cross a
+            # 4dp rounding boundary; the BIGINT sum is lossless.
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0
+            ).alias("sum_price"),
         )
         .select("status", "priority", "n", "sum_price")
         .orderBy("status", "priority")
@@ -77,7 +82,7 @@ CUBE_ORACLE = """
 SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
        CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
        count(*) AS n,
-       round(sum(o_totalprice), 4) AS sum_price
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
@@ -264,9 +269,18 @@ def weekday_order_stats(orders: DataFrame) -> DataFrame:
     count and average price."""
     return (
         orders.groupBy(F.dayofweek("o_orderdate").alias("weekday"))
+        # exact-cents average via half-up integer division at 4dp
+        # (round(avg) over floats flakes at rounding-boundary ties).
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+        )
+        .select(
+            "weekday",
+            "n_orders",
+            (F.expr("(200 * c + n_orders) div (2 * n_orders)") / 10000.0).alias(
+                "avg_price"
+            ),
         )
         .orderBy("weekday")
     )
@@ -275,7 +289,8 @@ def weekday_order_stats(orders: DataFrame) -> DataFrame:
 WEEKDAY_ORACLE = """
 SELECT CAST(date_part('dow', o_orderdate) + 1 AS INTEGER) AS weekday,
        count(*) AS n_orders,
-       round(avg(o_totalprice), 4) AS avg_price
+       ((200 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*))
+        // (2 * count(*))) / 10000.0 AS avg_price
 FROM orders
 GROUP BY 1
 ORDER BY weekday

@@ -143,8 +143,11 @@ def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFram
     broadcast, so the probe over lineitem is map-side only and the only
     wide exchange is the aggregate's own partial→final step.
 
-    Output rounded at 2dp (sum-order float wobble is far below cents).
-    """
+    The membership gate runs in EXACT integers: quantities are integral,
+    so q < 0.2·(S/n) ⟺ 5·n·q < S — a float 0.2·avg threshold can flip a
+    boundary row on partial-sum order (the avg()-membership flake
+    class). avg_yearly likewise: cents summed as BIGINT, /7 rounded by
+    half-up integer division."""
     brand_parts = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
     avg_qty = (
         lineitem.join(
@@ -153,26 +156,37 @@ def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFram
             "left_semi",
         )
         .groupBy("l_partkey")
-        .agg((F.avg("l_quantity") * 0.2).alias("qty_cut"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            F.count("*").alias("qty_n"),
+        )
     )
     small = (
         lineitem.join(F.broadcast(avg_qty), "l_partkey")
-        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .where(
+            F.lit(5) * F.col("qty_n") * F.col("l_quantity").cast("long")
+            < F.col("qty_sum")
+        )
     )
     return small.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c")
+    ).select(
+        # value = c/(100·7); 2dp round ⟺ round-half-up(c/7)/100
+        (F.expr("(2 * c + 7) div 14") / 100.0).alias("avg_yearly")
     )
 
 
 Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) + 7) // 14)
+       / 100.0 AS avg_yearly
 FROM lineitem l
 JOIN part ON p_partkey = l.l_partkey
 WHERE p_brand = 'Brand#23'
-  AND l_quantity < (
-    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
-    WHERE l2.l_partkey = l.l_partkey
-  )
+  AND 5 * (SELECT count(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+      * CAST(l.l_quantity AS BIGINT)
+      < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
 """
 
 
@@ -227,26 +241,36 @@ def q8_market_share(
         )
         .join(F.broadcast(supp_nation), lineitem["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("o_year", "supp_nation")
+        # exact-units nation revenue: the share then divides two exact
+        # BIGINTs, identical on both engines (a float sum's partial-order
+        # wobble would shift the ratio across a 5th-decimal boundary).
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "nation_rev"
-            )
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("nation_u")
         )
     )
     total = Window.partitionBy("o_year")
-    return rev.select(
-        "o_year",
-        "supp_nation",
-        F.round(F.col("nation_rev") / F.sum("nation_rev").over(total), 4).alias(
-            "mkt_share"
-        ),
-    ).orderBy("o_year", "supp_nation")
+    return (
+        rev.withColumn("total_u", F.sum("nation_u").over(total))
+        .select(
+            "o_year",
+            "supp_nation",
+            # half-up integer division at 4dp: round(10^4·nu/tu).
+            (
+                F.expr("(20000 * nation_u + total_u) div (2 * total_u)") / 10000.0
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year", "supp_nation")
+    )
 
 
 Q8_ORACLE = """
 WITH rev AS (
   SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
-         sum(l_extendedprice * (1 - l_discount)) AS nation_rev
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS nation_u
   FROM lineitem
   JOIN orders   ON o_orderkey = l_orderkey
   JOIN customer ON c_custkey = o_custkey
@@ -257,9 +281,12 @@ WITH rev AS (
   GROUP BY 1, 2
 )
 SELECT o_year, supp_nation,
-       round(nation_rev / sum(nation_rev) OVER (PARTITION BY o_year), 4)
-         AS mkt_share
-FROM rev
+       ((20000 * nation_u + total_u) // (2 * total_u)) / 10000.0 AS mkt_share
+FROM (
+  SELECT o_year, supp_nation, nation_u,
+         sum(nation_u) OVER (PARTITION BY o_year) AS total_u
+  FROM rev
+)
 ORDER BY o_year, supp_nation
 """
 
@@ -430,17 +457,26 @@ def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
+        # exact units (cents × discount_pct = 1e-4 dollars, an
+        # order-independent BIGINT sum), half-up integer cents round.
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round(F.col("l_discount") * 100).cast("long")
+            ).alias("u")
+        )
+        .select(
+            F.coalesce(F.expr("(u + 50) div 100") / 100.0, F.lit(0.0)).alias(
                 "revenue"
             )
         )
-        .select(F.coalesce("revenue", F.lit(0.0)).alias("revenue"))
     )
 
 
 Q6_ORACLE = """
-SELECT coalesce(round(sum(l_extendedprice * l_discount), 2), 0.0) AS revenue
+SELECT coalesce(((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) + 50) // 100)
+                / 100.0, 0.0) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -489,22 +525,32 @@ def q7_volume_shipping(
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        # exact-units revenue sum (nation_trade_flows discipline).
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("u")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("(u + 50) div 100") / 100.0).alias("revenue"),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       ((sum(u) + 50) // 100) / 100.0 AS revenue
 FROM (
   SELECT sn.n_name AS supp_nation,
          cn.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -544,27 +590,41 @@ def q14_promo_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact-units sums feed the pct; round(10^4·100·pv/tv) by half-up
+    # integer division. BIGINT headroom: 1e6·pv_u overflows past ~$920B
+    # in the month window; past that, cast the ratio to decimal(38,0).
+    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         month.join(F.broadcast(promo), month["l_partkey"] == F.col("p_partkey"))
         .agg(
-            F.sum(F.when(F.col("is_promo"), vol).otherwise(0.0)).alias("pv"),
+            F.sum(F.when(F.col("is_promo"), vol).otherwise(F.lit(0))).alias("pv"),
             F.sum(vol).alias("tv"),
         )
-        .select(F.round(100.0 * F.col("pv") / F.col("tv"), 4).alias("promo_revenue_pct"))
+        .select(
+            (F.expr("(2000000 * pv + tv) div (2 * tv)") / 10000.0).alias(
+                "promo_revenue_pct"
+            )
+        )
     )
 
 
 Q14_ORACLE = """
-SELECT round(
-         100.0 * sum(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0.0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-  AND l_shipdate <  TIMESTAMP '1997-04-01'
+WITH g AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS pv,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS tv
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+)
+SELECT ((2000000 * pv + tv) // (2 * tv)) / 10000.0 AS promo_revenue_pct
+FROM g
 """
 
 
@@ -727,19 +787,27 @@ def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    return j.where(leg).agg(
-        F.round(
-            F.coalesce(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                F.lit(0.0),
-            ),
-            2,
-        ).alias("revenue")
+    # exact-units revenue sum (nation_trade_flows discipline).
+    return (
+        j.where(leg)
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("u")
+        )
+        .select(
+            F.coalesce(F.expr("(u + 50) div 100") / 100.0, F.lit(0.0)).alias(
+                "revenue"
+            )
+        )
     )
 
 
 Q19_ORACLE = """
-SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2) AS revenue
+SELECT coalesce(((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50)
+                 // 100) / 100.0, 0.0) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 1 AND 11)

@@ -779,7 +779,8 @@ _ZORDER_PRUNED_ORACLE = """
 WITH b AS (SELECT min(user_id) AS lo, max(user_id) AS hi FROM events)
 SELECT event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       ((sum(CAST(round(value * 1000) AS BIGINT)) + 5) // 10) / 100.0
+         AS sum_value
 FROM events e, b
 WHERE e.user_id BETWEEN b.lo + ((b.hi - b.lo) * 2) // 5
                     AND b.lo + ((b.hi - b.lo) * 3) // 5
@@ -817,7 +818,11 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact 1e-3-scaled BIGINT sum, half-up integer round to 2dp.
+            (
+                F.expr("(sum(cast(round(value * 1000) as bigint)) + 5) div 10")
+                / 100.0
+            ).alias("sum_value"),
         )
         .orderBy("event_type")
     )

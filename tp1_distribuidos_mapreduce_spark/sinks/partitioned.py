@@ -75,7 +75,12 @@ def partitioned_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact 1e-3-scaled BIGINT sum, half-up integer round to 2dp
+            # (a 3dp-true sum ties at the half-cent; float order decides).
+            (
+                F.expr("(sum(cast(round(value * 1000) as bigint)) + 5) div 10")
+                / 100.0
+            ).alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -85,7 +90,8 @@ PARTITIONED_DAILY_ACTIVITY_ORACLE = f"""
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       round(sum(value), 2) AS total_value
+       ((sum(CAST(round(value * 1000) AS BIGINT)) + 5) // 10) / 100.0
+         AS total_value
 FROM events
 WHERE CAST(ts AS DATE) = DATE '{PRUNE_DATE}'
 GROUP BY event_type

@@ -83,7 +83,15 @@ def stream_static_enrichment(
     enriched = events.join(F.broadcast(dim), "user_id")
     out = enriched.groupBy("nation", "event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # exact 1e-3-scaled BIGINT sum, half-up integer round to 2dp —
+        # a 3dp-true sum ties at the half-cent for ~1 in 10 groups, and
+        # a float sum resolves the tie by partial order.
+        (
+            F.expr(
+                "(sum(cast(round(value * 1000) as bigint)) + 5) div 10"
+            )
+            / 100.0
+        ).alias("total_value"),
     )
     # global sort is illegal on an unbounded stream; batch keeps it for
     # the deterministic oracle comparison.
@@ -94,7 +102,8 @@ STREAM_STATIC_ENRICHMENT_ORACLE = """
 SELECT n.n_name AS nation,
        e.event_type,
        count(*) AS n_events,
-       round(sum(e.value), 2) AS total_value
+       ((sum(CAST(round(e.value * 1000) AS BIGINT)) + 5) // 10) / 100.0
+         AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey

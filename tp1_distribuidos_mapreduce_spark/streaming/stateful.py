@@ -24,19 +24,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
-STATE_SCHEMA = "n long, total double"
+# total is 1e-3-scaled integer millis (value carries exactly 3 decimals):
+# an exact, arrival-order-independent accumulator — float accumulation
+# would make the emitted running total depend on micro-batch boundaries.
+STATE_SCHEMA = "n long, total long"
 
 
 def _update_user_totals(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total += int(pdf["value"].mul(1000).round().sum())
     state.update((n, total))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 4)]}
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [total / 1000.0]}
     )
 
 
@@ -61,14 +64,18 @@ def user_event_totals(events: DataFrame) -> DataFrame:
         events.groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # same exact 1e-3-scaled integer sum as the streaming state.
+            (
+                F.sum(F.round(F.col("value") * 1000).cast("long")) / 1000.0
+            ).alias("sum_value"),
         )
         .orderBy("user_id")
     )
 
 
 USER_TOTALS_ORACLE = """
-SELECT user_id, count(*) AS n_events, round(sum("value"), 4) AS sum_value
+SELECT user_id, count(*) AS n_events,
+       sum(CAST(round("value" * 1000) AS BIGINT)) / 1000.0 AS sum_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id

@@ -36,7 +36,11 @@ def tumbling_event_counts(
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact 1e-3-scaled BIGINT sum (value carries exactly 3
+            # decimals): lossless at the 4dp grain, order-independent.
+            (
+                F.sum(F.round(F.col("value") * 1000).cast("long")) / 1000.0
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -51,7 +55,7 @@ TUMBLING_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum("value"), 4) AS sum_value
+       sum(CAST(round("value" * 1000) AS BIGINT)) / 1000.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -70,15 +74,19 @@ def sliding_event_stats(
         events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        # exact 1e-3-scaled BIGINT sum + half-up integer division at 4dp
+        # (round(avg) over floats flakes at rounding-boundary ties); the
+        # avg() denominator is the non-null value count.
         .agg(
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sv"),
+            F.count("value").alias("nv"),
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "avg_value",
+            (F.expr("(20 * sv + nv) div (2 * nv)") / 10000.0).alias("avg_value"),
         )
     )
 
@@ -89,7 +97,8 @@ SLIDING_ORACLE = """
 SELECT ws AS window_start,
        event_type,
        count(*) AS n_events,
-       round(avg("value"), 4) AS avg_value
+       ((20 * sum(CAST(round("value" * 1000) AS BIGINT)) + count("value"))
+        // (2 * count("value"))) / 10000.0 AS avg_value
 FROM (
   SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
                  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
@@ -112,7 +121,11 @@ def session_window_stats(
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact 1e-3-scaled BIGINT sum (value carries exactly 3
+            # decimals): lossless at the 4dp grain, order-independent.
+            (
+                F.sum(F.round(F.col("value") * 1000).cast("long")) / 1000.0
+            ).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -145,7 +158,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL '30 minutes' AS session_end,
        count(*) AS n_events,
-       round(sum("value"), 4) AS sum_value
+       sum(CAST(round("value" * 1000) AS BIGINT)) / 1000.0 AS sum_value
 FROM numbered
 GROUP BY user_id, session_no
 """
