@@ -33,6 +33,23 @@ PKG = Path(__file__).resolve().parent.parent / "tp1_distribuidos_mapreduce_spark
 
 # (filename, line-content substring) -> why the site cannot tie.
 ALLOWED = {
+    # ---- round-over-division sites (RATIO_PATTERN) ----
+    ("plans/relational_ext.py", 'F.round(F.col("cents") / 100.0, 2)'):
+        "integer cents / 10^2 rounded at 2dp: the true value IS on the "
+        "rounding grid, so no tie exists",
+    ("plans/retail.py", 'F.round(F.col("cents") / 100.0, 2)'):
+        "integer cents / 10^2 at 2dp — value on the grid, no tie",
+    ("plans/retail.py", 'F.round(F.col("prev_cents") / 100.0, 2)'):
+        "integer cents / 10^2 at 2dp — value on the grid, no tie",
+    ("operators/vocab.py", 'F.round(w / F.col("p"), 4)'):
+        "w goes through sqrt: the true value is irrational, a decimal tie "
+        "is impossible, and round() of the identical double is "
+        "engine-deterministic",
+    ("operators/ranking.py", "F.round(F.col(\"tf\") * F.log("):
+        "tf-idf goes through log: irrational true value, no decimal tie",
+    ("operators/ranking.py", "F.round(idf * F.col(\"tf\") * (BM25_K1 + 1.0) / denom, 4)"):
+        "bm25 goes through log and non-decimal constants: irrational true "
+        "value, no decimal tie",
     ("plans/relational_ext.py", 'F.round(F.sum("l_quantity"), 4)'):
         "l_quantity is integral; a double sum of integers is exact below 2^53",
     ("plans/relational.py", 'F.round(F.sum("l_quantity"), 2)'):
@@ -49,6 +66,11 @@ ALLOWED = {
 }
 
 PATTERN = re.compile(r"F\.round\(\s*F\.(sum|avg)\(")
+# round over a division on the same line: integer-ratio rounds (7/160 =
+# 0.04375 etc.) tie exactly on decimal boundaries. `[^)]*` keeps the
+# match inside the round() call's first argument region, so e.g.
+# `F.round(x * 100).cast(...) / 100` (division OUTSIDE round) is exempt.
+RATIO_PATTERN = re.compile(r"F\.round\([^)]*/")
 
 
 def test_no_tie_capable_round_over_float_aggregate():
@@ -56,7 +78,7 @@ def test_no_tie_capable_round_over_float_aggregate():
     for path in sorted(PKG.rglob("*.py")):
         rel = str(path.relative_to(PKG))
         for lineno, line in enumerate(path.read_text().splitlines(), 1):
-            if not PATTERN.search(line):
+            if not (PATTERN.search(line) or RATIO_PATTERN.search(line)):
                 continue
             if any(
                 rel == f and snippet in line for (f, snippet) in ALLOWED

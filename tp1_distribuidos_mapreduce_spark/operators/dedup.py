@@ -210,13 +210,17 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+    # 4dp Jaccard by half-up INTEGER division, and the ≥-threshold gate
+    # compares the scaled integer: round() of the exact rational
+    # inter/union ties (e.g. 7/160), where Spark's shortest-repr HALF_UP
+    # and DuckDB's raw-double round pick opposite sides — flipping
+    # MEMBERSHIP at the threshold boundary, not just a digit.
+    t4 = int(round(threshold * 10000))
     return (
-        pairs.withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        pairs.withColumn("u", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("j4", F.expr("(20000 * inter + u) div (2 * u)"))
+        .where(F.col("j4") >= t4)
+        .select("doc_a", "doc_b", (F.col("j4") / 10000.0).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -272,11 +276,14 @@ def ngram_jaccard_oracle(
     return f"""
 WITH {_jaccard_ctes(max_df)}
 SELECT doc_a, doc_b,
-       round(i / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= {threshold}
+       ((20000 * i + u) // (2 * u)) / 10000.0 AS jaccard
+FROM (
+  SELECT doc_a, doc_b, i, sa.n_sh + sb.n_sh - i AS u
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+WHERE (20000 * i + u) // (2 * u) >= {int(round(threshold * 10000))}
 ORDER BY doc_a, doc_b
 """
 
@@ -1241,12 +1248,12 @@ def ngram_jaccard_prefix_pairs(
             "doc_b",
         )
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
-            ),
-        )
-        .where(F.col("jaccard") >= F.lit(t_num) / F.lit(t_den))
+        # same half-up integer 4dp Jaccard + integer-scaled gate as
+        # ngram_jaccard_pairs (the A/B test pins bitwise-identical output)
+        .withColumn("u", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("j4", F.expr("(20000 * inter + u) div (2 * u)"))
+        .where(F.col("j4") * t_den >= F.lit(10000) * t_num)
     )
-    return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+    return verified.select(
+        "doc_a", "doc_b", (F.col("j4") / 10000.0).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

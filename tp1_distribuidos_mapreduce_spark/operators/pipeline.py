@@ -282,9 +282,12 @@ keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
 signals AS (
   SELECT doc_id, source,
          len(t) AS n_tokens,
-         round(least(len(t) / 50.0, 1.0)
-               * (n_alpha / greatest(n_chars, 1))
-               * (1 - n_punct / greatest(n_chars, 1)), 4) AS quality_score,
+         -- integer half-up mirror of quality_score_expr (tie-proof; the
+         -- >= 0.15 gate below makes a rounding tie flip ROWS, not digits)
+         ((20000 * (least(len(t), 50) * n_alpha * (greatest(n_chars, 1) - n_punct))
+           + (50 * greatest(n_chars, 1) * greatest(n_chars, 1)))
+          // (2 * (50 * greatest(n_chars, 1) * greatest(n_chars, 1)))) / 10000.0
+           AS quality_score,
          {_profile_sql(_LANG_PROFILES['en'])} AS s_en,
          {_profile_sql(_LANG_PROFILES['es'])} AS s_es,
          {_profile_sql(_LANG_PROFILES['de'])} AS s_de,

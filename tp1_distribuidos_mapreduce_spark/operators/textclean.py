@@ -183,19 +183,12 @@ ORDER BY source
 """
 
 
-def repetition_stats(documents: DataFrame) -> DataFrame:
-    """Per-document repetition signals: duplicated-token fraction and the
-    most-frequent-bigram fraction (Gopher §A1.1 boilerplate gates).
-
-    Map-only: bigrams are built, sorted, and mode-counted inside a single
-    row via `array_sort` + `aggregate` (longest run of a sorted array ==
-    count of the modal element), so no per-bigram shuffle exists at any
-    scale. The oracle computes the same mode with a relational
-    unnest→group→max, proving the fold correct.
-    """
-    t = F.filter(tokenize("text"), lambda x: x != "")
-    d = documents.select("doc_id", t.alias("t"))
-    bigrams = F.expr(
+def _bigrams_expr() -> F.Column:
+    """In-row bigram array over a ``t`` token-array column — the single
+    bigram definition shared by repetition_stats and source_quality_gates
+    (and both hard-coded oracles); a drift between copies would silently
+    desynchronize the two registered queries."""
+    return F.expr(
         """
         CASE WHEN size(t) < 2 THEN array()
              ELSE transform(sequence(0, size(t) - 2),
@@ -203,8 +196,13 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         END
         """
     )
-    d = d.withColumn("bg", bigrams)
-    top_run = F.expr(
+
+
+def _top_run_expr() -> F.Column:
+    """Count of the modal element of a ``bg`` array column: longest run of
+    the sorted array via a null-safe (<=>) fold — shared by
+    repetition_stats and source_quality_gates."""
+    return F.expr(
         """
         aggregate(
           array_sort(bg),
@@ -217,17 +215,53 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
           acc -> acc.best)
         """
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-document repetition signals: duplicated-token fraction and the
+    most-frequent-bigram fraction (Gopher §A1.1 boilerplate gates).
+
+    Map-only: bigrams are built, sorted, and mode-counted inside a single
+    row via `array_sort` + `aggregate` (longest run of a sorted array ==
+    count of the modal element), so no per-bigram shuffle exists at any
+    scale. The oracle computes the same mode with a relational
+    unnest→group→max, proving the fold correct.
+    """
+    t = F.filter(tokenize("text"), lambda x: x != "")
+    d = documents.select("doc_id", t.alias("t"))
+    bigrams = _bigrams_expr()
+    d = d.withColumn("bg", bigrams)
+    top_run = _top_run_expr()
     n_tokens = F.size("t")
     n_bigrams = F.size("bg")
-    return d.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(
-            F.lit(1) - F.size(F.array_distinct("t")) / F.greatest(n_tokens, F.lit(1)), 4
-        ).alias("dup_token_frac"),
-        n_bigrams.cast("long").alias("n_bigrams"),
-        F.round(top_run / F.greatest(n_bigrams, F.lit(1)), 4).alias("top_bigram_frac"),
-    ).orderBy("doc_id")
+    # integer-ratio rounds at 4dp via half-up integer division (7/160 =
+    # 0.04375 sits exactly on the boundary; the engines' float round()s
+    # pick opposite sides).
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (F.greatest(n_tokens, F.lit(1)) - F.size(F.array_distinct("t"))).alias(
+                "dup_n"
+            ),
+            F.greatest(n_tokens, F.lit(1)).alias("tok_d"),
+            n_bigrams.cast("long").alias("n_bigrams"),
+            top_run.alias("top_run"),
+            F.greatest(n_bigrams, F.lit(1)).alias("bg_d"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.expr("(20000 * dup_n + tok_d) div (2 * tok_d)") / 10000.0).alias(
+                "dup_token_frac"
+            ),
+            "n_bigrams",
+            (F.expr("(20000 * top_run + bg_d) div (2 * bg_d)") / 10000.0).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 REPETITION_STATS_ORACLE = r"""
@@ -247,9 +281,13 @@ WITH toks AS (
 )
 SELECT t.doc_id,
        len(t.t) AS n_tokens,
-       round(1 - len(list_distinct(t.t)) / greatest(len(t.t), 1), 4) AS dup_token_frac,
+       ((20000 * (greatest(len(t.t), 1) - len(list_distinct(t.t)))
+         + greatest(len(t.t), 1))
+        // (2 * greatest(len(t.t), 1))) / 10000.0 AS dup_token_frac,
        CAST(coalesce(a.total_bg, 0) AS BIGINT) AS n_bigrams,
-       round(coalesce(a.top_c, 0) / greatest(coalesce(a.total_bg, 0), 1), 4) AS top_bigram_frac
+       ((20000 * coalesce(a.top_c, 0) + greatest(coalesce(a.total_bg, 0), 1))
+        // (2 * greatest(coalesce(a.total_bg, 0), 1))) / 10000.0
+         AS top_bigram_frac
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 ORDER BY t.doc_id
 """
@@ -282,30 +320,11 @@ def source_quality_gates(documents: DataFrame) -> DataFrame:
     sum_len = F.expr("aggregate(t, 0L, (acc, x) -> acc + length(x))")
     mean_len = sum_len / F.greatest(n, F.lit(1))
     dup_frac = F.lit(1) - F.size(F.array_distinct("t")) / F.greatest(n, F.lit(1))
-    bg = F.expr(
-        """
-        CASE WHEN size(t) < 2 THEN array()
-             ELSE transform(sequence(0, size(t) - 2),
-                            i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))
-        END
-        """
-    )
+    bg = _bigrams_expr()
     d = d.withColumn("n", n).withColumn("mean_len", mean_len).withColumn(
         "dup_frac", dup_frac
     ).withColumn("bg", bg)
-    top_run = F.expr(
-        """
-        aggregate(
-          array_sort(bg),
-          named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
-          (acc, x) -> named_struct(
-              'prev', x,
-              'run',  CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END,
-              'best', greatest(acc.best,
-                               CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END)),
-          acc -> acc.best)
-        """
-    )
+    top_run = _top_run_expr()
     bigram_frac = top_run / F.greatest(F.size("bg"), F.lit(1))
     flags = d.select(
         "source",
@@ -331,7 +350,11 @@ def source_quality_gates(documents: DataFrame) -> DataFrame:
                 ).cast("long")
             ).alias("n_pass"),
         )
-        .withColumn("pass_rate", F.round(F.col("n_pass") / F.col("n_docs"), 4))
+        .withColumn(
+            # half-up integer division at 4dp (integer-ratio round ties).
+            "pass_rate",
+            F.expr("(20000 * n_pass + n_docs) div (2 * n_docs)") / 10000.0,
+        )
         .orderBy("source")
     )
 
@@ -372,8 +395,9 @@ SELECT source,
        CAST(sum(f_dup) AS BIGINT) AS n_fail_dup,
        CAST(sum(f_bigram) AS BIGINT) AS n_fail_bigram,
        CAST(sum(CASE WHEN f_short + f_wordlen + f_dup + f_bigram = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       round(sum(CASE WHEN f_short + f_wordlen + f_dup + f_bigram = 0 THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 4) AS pass_rate
+       ((20000 * CAST(sum(CASE WHEN f_short + f_wordlen + f_dup + f_bigram = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) + count(*))
+        // (2 * count(*))) / 10000.0 AS pass_rate
 FROM flags
 GROUP BY source
 ORDER BY source

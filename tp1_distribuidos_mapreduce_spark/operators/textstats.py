@@ -39,15 +39,30 @@ def quality_score_expr() -> F.Column:
     """Composite quality score of `text`, rounded 4dp — the same
     expression text_quality emits, exposed for single-pass compositions
     (corpus_curation computes every gate in one projection over one
-    scan)."""
-    n_chars = F.length("text")
-    n_punct = F.length(F.regexp_replace(F.col("text"), r"[\p{L}\s]", ""))
-    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
-    return F.round(
-        F.least(F.size(_toks()) / F.lit(50.0), F.lit(1.0))
-        * (n_alpha / F.greatest(n_chars, F.lit(1)))
-        * (1 - n_punct / F.greatest(n_chars, F.lit(1))),
-        4,
+    scan).
+
+    Computed ENTIRELY in integers: the true score is the rational
+    least(nt,50)·na·(nc−np) / (50·nc²), whose 4dp rounding can land
+    exactly on a .00005 boundary (e.g. nc a multiple of 200) where
+    Spark's shortest-repr HALF_UP and DuckDB's raw-double round()
+    disagree — and corpus_curation gates membership on the rounded
+    value, so a tie would flip rows, not just digits. Half-up integer
+    division is tie-proof; both oracles mirror it. BIGINT headroom:
+    20000·num overflows for docs past ~35 MB of text."""
+    from ..functions.tokenize import TOKEN_SPLIT_REGEX
+
+    split_re = TOKEN_SPLIT_REGEX.replace("\\", "\\\\")
+    nt = f"size(filter(split(lower(text), '{split_re}'), x -> x != ''))"
+    nc = "greatest(length(text), 1)"
+    np = "length(regexp_replace(text, '[\\\\p{L}\\\\s]', ''))"
+    na = "length(regexp_replace(text, '[^\\\\p{L}]', ''))"
+    num = f"(least({nt}, 50) * {na} * ({nc} - {np}))"
+    den = f"(50 * {nc} * {nc})"
+    # NB: the /10000.0 stays Python-side — inside the SQL string Spark
+    # would parse the literal as DECIMAL(6,1) and emit a DECIMAL column.
+    return (
+        F.expr(f"(20000 * cast({num} as bigint) + {den}) div (2 * {den})")
+        / 10000.0
     )
 
 
@@ -83,24 +98,31 @@ def text_quality(documents: DataFrame) -> DataFrame:
     n_punct = F.length(F.regexp_replace(F.col("text"), r"[\p{L}\s]", ""))
     n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
-    safe_tokens = F.greatest(n_tokens, F.lit(1))
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
-    stop_ratio = F.round(n_stop / safe_tokens, 4)
-    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4)
-    avg_tok_len = F.round(n_alpha / safe_tokens, 4)
-    return documents.select(
+
+    # integer-ratio rounds at 4dp via half-up integer division: a ratio
+    # like 7/160 = 0.04375 sits exactly on the boundary, where Spark's
+    # shortest-repr HALF_UP and DuckDB's raw-double round() disagree.
+    def r4(num: str, den: str) -> F.Column:
+        return F.expr(f"(20000 * {num} + {den}) div (2 * {den})") / 10000.0
+
+    base = documents.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        avg_tok_len.alias("avg_token_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        # composite: long-enough, mostly-alpha, not punctuation-soup.
-        # Built from UNROUNDED ratios: multiplying 4-dp-rounded factors
-        # lands on exact .00005 boundaries (e.g. 0.3×0.8205) where Spark
-        # and DuckDB round differently.
+        n_punct.alias("np"),
+        n_alpha.alias("na"),
+        n_stop.alias("ns"),
         quality_score_expr().alias("quality_score"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        r4("na", "greatest(n_tokens, 1)").alias("avg_token_len"),
+        r4("np", "greatest(n_chars, 1)").alias("punct_ratio"),
+        r4("ns", "greatest(n_tokens, 1)").alias("stopword_ratio"),
+        r4("na", "greatest(n_chars, 1)").alias("alpha_ratio"),
+        "quality_score",
     ).orderBy("doc_id")
 
 
@@ -118,13 +140,18 @@ WITH base AS (
 SELECT doc_id,
        n_chars,
        len(t) AS n_tokens,
-       round(n_alpha / greatest(len(t), 1), 4) AS avg_token_len,
-       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
-       round(len(list_filter(t, x -> x IN ({_SW}))) / greatest(len(t), 1), 4) AS stopword_ratio,
-       round(n_alpha / greatest(n_chars, 1), 4) AS alpha_ratio,
-       round(least(len(t) / 50.0, 1.0)
-             * (n_alpha / greatest(n_chars, 1))
-             * (1 - n_punct / greatest(n_chars, 1)), 4) AS quality_score
+       ((20000 * n_alpha + greatest(len(t), 1))
+        // (2 * greatest(len(t), 1))) / 10000.0 AS avg_token_len,
+       ((20000 * n_punct + greatest(n_chars, 1))
+        // (2 * greatest(n_chars, 1))) / 10000.0 AS punct_ratio,
+       ((20000 * len(list_filter(t, x -> x IN ({_SW}))) + greatest(len(t), 1))
+        // (2 * greatest(len(t), 1))) / 10000.0 AS stopword_ratio,
+       ((20000 * n_alpha + greatest(n_chars, 1))
+        // (2 * greatest(n_chars, 1))) / 10000.0 AS alpha_ratio,
+       ((20000 * (least(len(t), 50) * n_alpha * (greatest(n_chars, 1) - n_punct))
+         + (50 * greatest(n_chars, 1) * greatest(n_chars, 1)))
+        // (2 * (50 * greatest(n_chars, 1) * greatest(n_chars, 1)))) / 10000.0
+         AS quality_score
 FROM base
 ORDER BY doc_id
 """
@@ -247,7 +274,12 @@ def doc_fingerprint(documents: DataFrame, k: int = 5, window: int = 4) -> DataFr
             mins = h.min(keepdims=True)
         else:
             mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
-        return np.unique(mins).astype(np.int64)
+        # re-sort AFTER the signed reinterpretation: unique() orders in
+        # uint64 space, where hashes >= 2^63 sort last but wrap negative
+        # as longs — without this, min_fingerprint (f[0]) would not be
+        # the min of the emitted array and the array would not be sorted
+        # in the emitted long domain.
+        return np.sort(np.unique(mins).astype(np.int64))
 
     def winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,8 +328,17 @@ def language_confusion(documents: DataFrame) -> DataFrame:
     )
     per_true = Window.partitionBy("true_lang")
     return (
-        m.withColumn(
-            "frac_of_true", F.round(F.col("n") / F.sum("n").over(per_true), 4)
+        m.withColumn("tot", F.sum("n").over(per_true))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            # half-up integer division at 4dp: round() of an exact
+            # integer ratio still ties (e.g. 3/160) and the engines'
+            # float round()s pick opposite sides.
+            (F.expr("(20000 * n + tot) div (2 * tot)") / 10000.0).alias(
+                "frac_of_true"
+            ),
         )
         .orderBy("true_lang", "pred_lang")
     )
@@ -326,9 +367,12 @@ WITH scored AS (
   FROM pred GROUP BY 1, 2
 )
 SELECT true_lang, pred_lang, n,
-       round(n / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 4)
-         AS frac_of_true
-FROM m
+       ((20000 * n + tot) // (2 * tot)) / 10000.0 AS frac_of_true
+FROM (
+  SELECT true_lang, pred_lang, n,
+         sum(n) OVER (PARTITION BY true_lang) AS tot
+  FROM m
+)
 ORDER BY true_lang, pred_lang
 """
 

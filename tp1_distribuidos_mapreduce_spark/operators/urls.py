@@ -77,11 +77,17 @@ def url_domain_stats(documents: DataFrame) -> DataFrame:
     )
     total = Window.partitionBy()
     return (
-        per_domain.withColumn(
-            "url_share",
-            F.round(F.col("n_urls") / F.sum("n_urls").over(total), 4),
+        per_domain.withColumn("tot", F.sum("n_urls").over(total))
+        .select(
+            "domain",
+            "n_urls",
+            "n_docs",
+            # half-up integer division at 4dp (integer-count ratio ties
+            # at the 5th decimal; float round() splits the engines).
+            (F.expr("(20000 * n_urls + tot) div (2 * tot)") / 10000.0).alias(
+                "url_share"
+            ),
         )
-        .select("domain", "n_urls", "n_docs", "url_share")
         .orderBy("domain")
     )
 
@@ -113,7 +119,10 @@ WITH dirty1 AS (
   FROM hosts GROUP BY domain
 )
 SELECT domain, n_urls, n_docs,
-       round(n_urls / sum(n_urls) OVER (), 4) AS url_share
-FROM per_domain
+       ((20000 * n_urls + tot) // (2 * tot)) / 10000.0 AS url_share
+FROM (
+  SELECT domain, n_urls, n_docs, sum(n_urls) OVER () AS tot
+  FROM per_domain
+)
 ORDER BY domain
 """

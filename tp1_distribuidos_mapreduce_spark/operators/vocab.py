@@ -402,14 +402,26 @@ def source_mix_weights(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
     total = Window.partitionBy()
     p = F.col("n_docs") / F.sum("n_docs").over(total)
-    withp = per.withColumn("p", p).withColumn("sq", F.sqrt(F.col("p")))
+    withp = (
+        per.withColumn("p", p)
+        .withColumn("tot_docs", F.sum("n_docs").over(total))
+        .withColumn("sq", F.sqrt(F.col("p")))
+    )
     w = F.col("sq") / F.sum("sq").over(total)
     return (
         withp.select(
             "source",
             "n_docs",
             "n_tokens",
-            F.round("p", 4).alias("raw_share"),
+            # raw_share is an integer-count ratio → half-up integer
+            # division at 4dp (tie-capable under float round);
+            # mix_weight/upsample_factor go through sqrt, so their true
+            # values are irrational — a decimal tie is impossible and
+            # round() of the identical double is engine-deterministic.
+            (
+                F.expr("(20000 * n_docs + tot_docs) div (2 * tot_docs)")
+                / 10000.0
+            ).alias("raw_share"),
             F.round(w, 4).alias("mix_weight"),
             F.round(w / F.col("p"), 4).alias("upsample_factor"),
         )
@@ -426,12 +438,13 @@ WITH per AS (
   FROM documents GROUP BY source
 ), shares AS (
   SELECT source, n_docs, n_tokens,
+         sum(n_docs) OVER () AS tot_docs,
          n_docs / sum(n_docs) OVER () AS p,
          sqrt(n_docs / sum(n_docs) OVER ()) AS sq
   FROM per
 )
 SELECT source, n_docs, n_tokens,
-       round(p, 4) AS raw_share,
+       ((20000 * n_docs + tot_docs) // (2 * tot_docs)) / 10000.0 AS raw_share,
        round(sq / sum(sq) OVER (), 4) AS mix_weight,
        round(sq / sum(sq) OVER () / p, 4) AS upsample_factor
 FROM shares
@@ -479,7 +492,12 @@ def trigram_novelty(documents: DataFrame) -> DataFrame:
             "doc_id",
             "n_trigrams",
             "n_novel",
-            F.round(F.col("n_novel") / F.col("n_trigrams"), 4).alias("novelty_frac"),
+            # half-up integer division at 4dp (integer-count ratio ties
+            # at the 5th decimal; float round() splits the engines).
+            (
+                F.expr("(20000 * n_novel + n_trigrams) div (2 * n_trigrams)")
+                / 10000.0
+            ).alias("novelty_frac"),
         )
         .orderBy("doc_id")
     )
@@ -505,7 +523,8 @@ WITH toks AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_trigrams,
        CAST(sum(novel) AS BIGINT) AS n_novel,
-       round(sum(novel) / CAST(count(*) AS DOUBLE), 4) AS novelty_frac
+       ((20000 * CAST(sum(novel) AS BIGINT) + count(*))
+        // (2 * count(*))) / 10000.0 AS novelty_frac
 FROM flagged
 GROUP BY doc_id
 ORDER BY doc_id

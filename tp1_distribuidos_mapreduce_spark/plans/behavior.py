@@ -250,10 +250,18 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
     )
     wrow = Window.partitionBy("from_type")
     return (
-        counts.withColumn(
-            "p", F.round(F.col("n_transitions") / F.sum("n_transitions").over(wrow), 4)
+        counts.withColumn("tot", F.sum("n_transitions").over(wrow))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            # half-up integer division at 4dp: round() of an exact
+            # integer ratio still ties at the 5th decimal, and the
+            # engines' float round()s pick opposite sides there.
+            (
+                F.expr("(20000 * n_transitions + tot) div (2 * tot)") / 10000.0
+            ).alias("prob"),
         )
-        .select("from_type", "to_type", "n_transitions", F.col("p").alias("prob"))
         .orderBy("from_type", "to_type")
     )
 
@@ -270,8 +278,12 @@ WITH steps AS (
 )
 SELECT from_type, to_type,
        CAST(n_transitions AS BIGINT) AS n_transitions,
-       round(n_transitions / sum(n_transitions) OVER (PARTITION BY from_type), 4) AS prob
-FROM counts
+       ((20000 * n_transitions + tot) // (2 * tot)) / 10000.0 AS prob
+FROM (
+  SELECT from_type, to_type, n_transitions,
+         sum(n_transitions) OVER (PARTITION BY from_type) AS tot
+  FROM counts
+)
 ORDER BY from_type, to_type
 """
 

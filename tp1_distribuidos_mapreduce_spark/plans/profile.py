@@ -252,21 +252,34 @@ def numeric_histogram(lineitem: DataFrame, bins: int = HISTOGRAM_BINS) -> DataFr
     )
     return (
         with_bin.groupBy("bin")
+        # edges in EXACT integers: prices carry 2 decimals, so the true
+        # edge lo + b·(hi−lo)/bins is the rational (bins·lo_c + b·Δ_c)
+        # / (100·bins) — an odd Δ_c at the mid bin lands exactly on a
+        # half-cent, where Spark's shortest-repr HALF_UP and DuckDB's
+        # raw-double round diverge; half-up integer division cannot.
         .agg(
-            F.round(
-                F.first("lo_all")
-                + F.col("bin") * ((F.first("hi_all") - F.first("lo_all")) / bins),
-                2,
-            ).alias("lo"),
-            F.round(
-                F.first("lo_all")
-                + (F.col("bin") + 1)
-                * ((F.first("hi_all") - F.first("lo_all")) / bins),
-                2,
-            ).alias("hi"),
+            F.round(F.first("lo_all") * 100).cast("long").alias("lo_c"),
+            F.round(F.first("hi_all") * 100).cast("long").alias("hi_c"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .select("bin", "lo", "hi", "n_items")
+        .select(
+            "bin",
+            (
+                F.expr(
+                    f"(2 * ({bins} * lo_c + bin * (hi_c - lo_c)) + {bins})"
+                    f" div (2 * {bins})"
+                )
+                / 100.0
+            ).alias("lo"),
+            (
+                F.expr(
+                    f"(2 * ({bins} * lo_c + (bin + 1) * (hi_c - lo_c)) + {bins})"
+                    f" div (2 * {bins})"
+                )
+                / 100.0
+            ).alias("hi"),
+            "n_items",
+        )
         .orderBy("bin")
     )
 
@@ -283,11 +296,19 @@ WITH stats AS (
   FROM lineitem, stats
 )
 SELECT bin,
-       round(max(lo_all) + bin * ((max(hi_all) - max(lo_all)) / {HISTOGRAM_BINS}), 2) AS lo,
-       round(max(lo_all) + (bin + 1) * ((max(hi_all) - max(lo_all)) / {HISTOGRAM_BINS}), 2) AS hi,
-       count(*) AS n_items
-FROM binned
-GROUP BY bin
+       ((2 * ({HISTOGRAM_BINS} * lo_c + bin * (hi_c - lo_c)) + {HISTOGRAM_BINS})
+        // (2 * {HISTOGRAM_BINS})) / 100.0 AS lo,
+       ((2 * ({HISTOGRAM_BINS} * lo_c + (bin + 1) * (hi_c - lo_c)) + {HISTOGRAM_BINS})
+        // (2 * {HISTOGRAM_BINS})) / 100.0 AS hi,
+       n_items
+FROM (
+  SELECT bin,
+         CAST(round(max(lo_all) * 100) AS BIGINT) AS lo_c,
+         CAST(round(max(hi_all) * 100) AS BIGINT) AS hi_c,
+         count(*) AS n_items
+  FROM binned
+  GROUP BY bin
+)
 ORDER BY bin
 """
 
@@ -331,7 +352,11 @@ def mad_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
             ).alias("n_outliers"),
         )
         .withColumn(
-            "outlier_frac", F.round(F.col("n_outliers") / F.col("n"), 4)
+            # integer-ratio round at 4dp by half-up integer division
+            # (e.g. 3/160 = 0.01875 sits exactly on the boundary and the
+            # engines' float round()s pick opposite sides).
+            "outlier_frac",
+            F.expr("(20000 * n_outliers + n) div (2 * n)") / 10000.0,
         )
         .orderBy("event_type")
     )
@@ -352,8 +377,9 @@ SELECT e.event_type,
        round(min(s.mad), 4) AS mad,
        CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       round(sum(CASE WHEN abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
-                 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS outlier_frac
+       ((20000 * CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
+                               THEN 1 ELSE 0 END) AS BIGINT) + count(*))
+        // (2 * count(*))) / 10000.0 AS outlier_frac
 FROM events e JOIN stats s USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type

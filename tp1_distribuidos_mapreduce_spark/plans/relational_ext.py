@@ -1060,6 +1060,8 @@ def daily_revenue_anomalies(orders: DataFrame) -> DataFrame:
         .groupBy("dow")
         .agg(
             F.avg("cents").alias("mu"),
+            F.sum("cents").alias("s"),
+            F.count("cents").alias("cnt"),
             F.stddev("cents").alias("sigma"),
         )
     )
@@ -1070,7 +1072,11 @@ def daily_revenue_anomalies(orders: DataFrame) -> DataFrame:
             "day",
             F.round(F.col("cents") / 100.0, 2).alias("revenue"),
             F.col("dow").cast("int").alias("dow"),
-            F.round(F.col("mu") / 100.0, 2).alias("dow_mean"),
+            # dow_mean by half-up integer division: round(S/(100n)) at
+            # 2dp ties at the half-cent (the float avg round flake
+            # class); the anomaly gate below keeps the float mu — both
+            # engines derive the identical double from identical ints.
+            (F.expr("(2 * s + cnt) div (2 * cnt)") / 100.0).alias("dow_mean"),
             (
                 F.abs(F.col("cents") - F.col("mu"))
                 > F.lit(2.0) * F.coalesce(F.col("sigma"), F.lit(0.0))
@@ -1089,13 +1095,16 @@ WITH daily AS (
   FROM orders GROUP BY 1
 ), base AS (
   SELECT date_part('dow', day) AS dow,
-         avg(cents) AS mu, stddev_samp(cents) AS sigma
+         avg(cents) AS mu,
+         CAST(sum(cents) AS BIGINT) AS s,
+         count(cents) AS cnt,
+         stddev_samp(cents) AS sigma
   FROM daily GROUP BY 1
 )
 SELECT d.day,
        round(d.cents / 100.0, 2) AS revenue,
        CAST(b.dow AS INTEGER) AS dow,
-       round(b.mu / 100.0, 2) AS dow_mean,
+       ((2 * b.s + b.cnt) // (2 * b.cnt)) / 100.0 AS dow_mean,
        CAST(CASE WHEN abs(d.cents - b.mu) > 2.0 * coalesce(b.sigma, 0.0)
             THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
 FROM daily d JOIN base b ON date_part('dow', d.day) = b.dow

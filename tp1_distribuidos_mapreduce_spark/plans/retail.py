@@ -461,7 +461,11 @@ def customer_ltv_pareto(orders: DataFrame) -> DataFrame:
         .select(
             "o_custkey",
             F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-            F.round(F.col("cum") / F.col("tot"), 4).alias("cum_share"),
+            # half-up integer division at 4dp (integer-cents ratio can
+            # tie at the 5th decimal; float round() splits the engines).
+            (F.expr("(20000 * cum + tot) div (2 * tot)") / 10000.0).alias(
+                "cum_share"
+            ),
             (
                 (F.col("cum") - F.col("cents")) * 5 < F.col("tot") * 4
             )
@@ -487,7 +491,7 @@ WITH per AS (
 )
 SELECT o_custkey,
        round(cents / 100.0, 2) AS revenue,
-       round(cum / CAST(tot AS DOUBLE), 4) AS cum_share,
+       ((20000 * cum + tot) // (2 * tot)) / 10000.0 AS cum_share,
        CAST(CASE WHEN (cum - cents) * 5 < tot * 4 THEN 1 ELSE 0 END AS BIGINT)
          AS in_top80
 FROM ranked
@@ -550,11 +554,17 @@ def association_rules(lineitem: DataFrame, min_support: int = RULE_MIN_SUPPORT) 
             F.col("a").alias("antecedent"),
             F.col("b").alias("consequent"),
             "n_ab",
-            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
-            F.round(
-                (F.col("n_ab") * F.col("n_total"))
-                / (F.col("n_a") * F.col("n_b")),
-                6,
+            # half-up integer division at 6dp: integer-count ratios can
+            # tie at the 7th decimal, where float round() splits engines.
+            (
+                F.expr("(2000000 * n_ab + n_a) div (2 * n_a)") / 1000000.0
+            ).alias("confidence"),
+            (
+                F.expr(
+                    "(2000000 * n_ab * n_total + n_a * n_b)"
+                    " div (2 * n_a * n_b)"
+                )
+                / 1000000.0
             ).alias("lift"),
         )
         .orderBy(F.desc("n_ab"), "antecedent", "consequent")
@@ -581,9 +591,10 @@ WITH items AS (
   FROM items GROUP BY 1
 )
 SELECT d.a AS antecedent, d.b AS consequent, d.n_ab,
-       round(d.n_ab / CAST(x.n_part AS DOUBLE), 6) AS confidence,
-       round((d.n_ab * n_total.n_total)
-             / CAST(x.n_part * y.n_part AS DOUBLE), 6) AS lift
+       ((2000000 * d.n_ab + x.n_part) // (2 * x.n_part)) / 1000000.0
+         AS confidence,
+       ((2000000 * d.n_ab * n_total.n_total + x.n_part * y.n_part)
+        // (2 * x.n_part * y.n_part)) / 1000000.0 AS lift
 FROM directed d
 JOIN item_counts x ON d.a = x.part
 JOIN item_counts y ON d.b = y.part

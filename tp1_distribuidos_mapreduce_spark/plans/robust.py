@@ -75,11 +75,13 @@ def source_gini(documents: DataFrame) -> DataFrame:
 
     Formula (sorted ascending, i = 1..n):
       G = (2·Σ i·wᵢ − (n+1)·Σ wᵢ) / (n·Σ wᵢ)
-    Every term is 64-bit integer arithmetic over identical inputs — the
-    division to double happens exactly once on identical integers, so
-    the 6dp rounding is deterministic cross-engine. One per-source
-    window (rank by n_chars, doc_id tiebreak for a total order) + one
-    aggregate; no global sort.
+    Every term is 64-bit integer arithmetic over identical inputs, and
+    the 6dp rounding runs as HALF-UP INTEGER division — even on
+    identical doubles, Spark's shortest-repr round and DuckDB's
+    raw-double round split when the exact rational lands on a 7th-
+    decimal .5 boundary. One per-source window (rank by n_chars, doc_id
+    tiebreak for a total order) + one aggregate; no global sort. BIGINT
+    headroom: 2e6·num overflows past ~4.6e12 char-rank mass per source.
     """
     w = Window.partitionBy("source").orderBy("w", "doc_id")
     ranked = documents.select(
@@ -89,10 +91,18 @@ def source_gini(documents: DataFrame) -> DataFrame:
         ranked.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(
-                (2 * F.sum(F.col("i") * F.col("w")) - (F.count(F.lit(1)) + 1) * F.sum("w"))
-                / (F.count(F.lit(1)) * F.sum("w")),
-                6,
+            F.sum(F.col("i") * F.col("w")).alias("siw"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.expr(
+                    "(2000000 * (2 * siw - (n_docs + 1) * sw) + n_docs * sw)"
+                    " div (2 * n_docs * sw)"
+                )
+                / 1000000.0
             ).alias("gini"),
         )
         .orderBy("source")
@@ -105,13 +115,18 @@ WITH ranked AS (
          CAST(row_number() OVER (PARTITION BY source
                                  ORDER BY n_chars, doc_id) AS BIGINT) AS i
   FROM documents
+), g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(i * w) AS BIGINT) AS siw,
+         CAST(sum(w) AS BIGINT) AS sw
+  FROM ranked
+  GROUP BY source
 )
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       round((2 * sum(i * w) - (count(*) + 1) * sum(w))
-             / CAST(count(*) * sum(w) AS DOUBLE), 6) AS gini
-FROM ranked
-GROUP BY source
+SELECT source, n_docs,
+       ((2000000 * (2 * siw - (n_docs + 1) * sw) + n_docs * sw)
+        // (2 * n_docs * sw)) / 1000000.0 AS gini
+FROM g
 ORDER BY source
 """
 
