@@ -334,10 +334,14 @@ def media_with_replayed_images(documents: DataFrame) -> DataFrame:
     cannot collide with any real non-negative id at any SF (the
     incremental-dedup re-key lesson — no arithmetic offset to outgrow).
     Gives image_phash_dupes non-trivial exact-duplicate groups to find:
-    each replayed blob forms a size-2 group with its original."""
+    each replayed blob forms a size-2 group with its original.
+
+    The replay branch filters the DOCUMENTS (media_id = doc_id, kind =
+    doc_id % 3, so image ∧ media_id % 5 == 0 ⟺ doc_id % 15 == 0) and
+    re-synthesizes only that 1-in-15 slice — filtering a second full
+    synthesize_media lineage would regenerate every blob twice."""
     media = synthesize_media(documents)
-    replayed = (
-        media.where((F.col("kind") == "image") & (F.col("media_id") % 5 == 0))
-        .withColumn("media_id", -F.col("media_id") - 1)
-    )
+    replayed = synthesize_media(
+        documents.where(F.col("doc_id") % 15 == 0)
+    ).withColumn("media_id", -F.col("media_id") - 1)
     return media.unionByName(replayed)

@@ -22,12 +22,16 @@ from pyspark.sql import functions as F
 
 
 def _salt_of(df: DataFrame, num_salts: int) -> Column:
-    """Deterministic per-row salt: hash of the whole row mod num_salts.
-    Any distribution works for correctness; hashing every column spreads
-    the hot key's rows evenly without needing a random source."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts)).cast(
-        "int"
-    )
+    """Per-row salt: hash of the whole row PLUS a per-row monotonic id,
+    mod num_salts. Any distribution works for correctness; the monotonic
+    id matters because a hot key whose rows are byte-identical across
+    every column (a projected join key, duplicated events) would
+    otherwise hash to ONE salt and land on a single task — silently
+    defeating the very mitigation this function exists for."""
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]),
+        F.lit(num_salts),
+    ).cast("int")
 
 
 def salted_join(
@@ -40,7 +44,21 @@ def salted_join(
     """Equi-join where ``big``'s hot join keys are spread over
     ``num_salts`` sub-keys and ``small`` is replicated once per salt —
     each hot key's rows land on ``num_salts`` tasks instead of one.
-    Output columns = big's columns + small's non-key columns."""
+    Output columns = big's columns + small's non-key columns.
+
+    Only joins that preserve the replicated side's multiplicity are
+    legal: under right/full outer joins each of the ``num_salts`` small-
+    side replicas without a matching (key, salt) row would emit its own
+    null-padded output row — duplicated and spurious rows, silently.
+    """
+    safe = {"inner", "left", "left_outer", "leftouter", "cross",
+            "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate the replicated "
+            "small side's unmatched rows once per salt; only "
+            "inner/left/semi/anti joins are supported"
+        )
     big_s = big.withColumn("__salt", _salt_of(big, num_salts))
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))

@@ -157,6 +157,10 @@ def _gram_partials(embeddings: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
         .orderBy("pos")
     )
     n = parts.agg(F.sum("n")).collect()[0][0]
+    if n is None or n == 0:
+        # F.sum over zero rows is NULL — fail loudly instead of an
+        # unrelated TypeError/reshape(0,0) further down.
+        raise ValueError("PCA: no vectors in input")
     g_flat = np.array([r["x"] for r in g.collect()])
     s_vec = np.array([r["x"] for r in s.collect()])
     dim = s_vec.shape[0]
@@ -228,9 +232,14 @@ def kmeans_clusters(
     import pandas as pd
 
     e = _as_double(embeddings).localCheckpoint()
-    init_rows = (
-        e.where(F.col("vec_id") < k).orderBy("vec_id").select("v").collect()
-    )
+    # seed with the k lowest vec_ids PRESENT (not `vec_id < k`, which
+    # under-fills on filtered/subset inputs or ids not starting at 0 and
+    # would index past the centroid matrix in the update loop).
+    init_rows = e.orderBy("vec_id").select("v").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans_clusters: k={k} but only {len(init_rows)} vectors present"
+        )
     cents = np.array([list(r["v"]) for r in init_rows])
 
     def partials_fn(C: np.ndarray):

@@ -51,12 +51,15 @@ def zorder_expr(
     for i, c in enumerate(cols):
         lo, hi = bounds[c]
         span = (hi - lo) or 1.0
-        v = F.least(
-            F.lit(max_bucket),
-            F.floor((_to_numeric(F.col(c), dtypes[c]) - F.lit(lo)) / F.lit(span) * max_bucket),
-        ).cast("long")
-        # NULL sorts first: bucket 0, same as the column's minimum
-        v = F.coalesce(v, F.lit(0))
+        bucket = F.floor(
+            (_to_numeric(F.col(c), dtypes[c]) - F.lit(lo)) / F.lit(span) * max_bucket
+        )
+        # NULL sorts first: bucket 0, same as the column's minimum. The
+        # coalesce must wrap the RAW bucket, before least(): Spark's
+        # least() SKIPS nulls, so least(max_bucket, NULL) = max_bucket
+        # and a post-least coalesce would be dead code sending NULLs to
+        # the TOP of the curve instead.
+        v = F.least(F.lit(max_bucket), F.coalesce(bucket, F.lit(0))).cast("long")
         for b in range(bits):
             terms.append(F.shiftleft(F.shiftright(v, b).bitwiseAND(F.lit(1)), b * k + i))
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
@@ -72,6 +75,11 @@ def column_bounds(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, 
         v = _to_numeric(F.col(c), dtypes[c])
         aggs += [F.min(v).alias(f"__lo_{c}"), F.max(v).alias(f"__hi_{c}")]
     row = df.agg(*aggs).collect()[0]
+    for c in cols:
+        if row[f"__lo_{c}"] is None:
+            # empty input or all-NULL column: fail loudly instead of the
+            # float(None) TypeError below.
+            raise ValueError(f"write_zordered: no non-null values in {c!r}")
     return {c: (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"])) for c in cols}
 
 

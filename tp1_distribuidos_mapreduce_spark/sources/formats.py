@@ -149,21 +149,16 @@ def type_widening_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The read is schema-directed (see orders_widened_batches): the
     catalog-supplied evolved schema declares o_custkey BIGINT and the
-    vectorized reader up-casts the INT32 batch's row groups at scan time
-    — asserted here engine-side (a silent narrow would corrupt every
-    downstream aggregate), then proven value-exact against the
-    all-BIGINT parquet oracle with the same orderkey-parity split rule.
+    vectorized reader up-casts the INT32 batch's row groups at scan
+    time. The output schema is BIGINT by construction (the read schema
+    is caller-supplied, so asserting it here would be tautological);
+    what proves the up-cast VALUE-correct is the differential against
+    the all-BIGINT parquet oracle with the same orderkey-parity split
+    rule — a silent narrow/corrupt cast would break custkey_sum there.
     """
-    from pyspark.sql.types import LongType
-
     df = spark.read.schema(WIDENED_ORDERS_SCHEMA).parquet(
         orders_widened_batches(spark, sf_dir)
     )
-    merged_type = df.schema["o_custkey"].dataType
-    if not isinstance(merged_type, LongType):
-        raise TypeError(
-            f"widened read resolved o_custkey to {merged_type}, expected BIGINT"
-        )
     return (
         df.groupBy(F.col("batch").cast("string").alias("batch"))
         .agg(
