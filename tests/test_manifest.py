@@ -32,20 +32,36 @@ def test_write_then_read_round_trips(spark, published):
 
 
 def test_stray_files_are_invisible(spark, published, tmp_path):
-    df, path, _ = published
-    # A failed concurrent writer leaves an unmanifested part-file; a
-    # directory-listing read would double-count, the manifested read must
-    # not see it.
+    df, path, m = published
+    # A failed/crashed writer leaves an unmanifested part-file inside the
+    # live snapshot dir; a directory-listing read would double-count, the
+    # manifested read must not see it.
     df.limit(3).write.mode("overwrite").parquet(str(tmp_path / "stray"))
     stray = next(
         n for n in os.listdir(str(tmp_path / "stray")) if n.endswith(".parquet")
     )
+    snap_dir = os.path.join(path, m["snapshot"])
     os.rename(
         os.path.join(str(tmp_path / "stray"), stray),
-        os.path.join(path, "part-stray-from-failed-writer.parquet"),
+        os.path.join(snap_dir, "part-stray-from-failed-writer.parquet"),
     )
     assert MF.read_published(spark, path).count() == df.count()
-    assert spark.read.parquet(path).count() == df.count() + 3  # the naive read
+    # the naive directory-listing read double-counts
+    assert spark.read.parquet(snap_dir).count() == df.count() + 3
+
+
+def test_republish_swaps_atomically_and_vacuum(spark, published):
+    df, path, m1 = published
+    # Re-publish a different dataset: the old snapshot stays on disk (a
+    # reader mid-scan of it must not break) until an explicit vacuum.
+    m2 = MF.write_published(df.limit(5), path)
+    assert m2["snapshot"] != m1["snapshot"]
+    assert MF.read_published(spark, path, validate_counts=True).count() == 5
+    assert os.path.isdir(os.path.join(path, m1["snapshot"]))
+    removed = MF.vacuum_published(path)
+    assert removed == [m1["snapshot"]]
+    assert not os.path.isdir(os.path.join(path, m1["snapshot"]))
+    assert MF.read_published(spark, path, validate_counts=True).count() == 5
 
 
 def test_missing_manifest_is_loud(spark, published):

@@ -45,10 +45,16 @@ def _doc_spans(documents: DataFrame, k: int) -> DataFrame:
         END
         """
     )
-    return d.select(
+    # Materialize the span array as a named column BEFORE size+explode:
+    # Catalyst inlines (never CSEs) the expression into the Project above
+    # the Generate, so size(spans) alongside explode(spans) would rebuild
+    # the whole tokenize+md5 array once per EXPLODED ROW — O(m²) md5 work
+    # per doc (verified in the formatted plan). Projected first, the
+    # array is computed once per input row and size() reads the attribute.
+    return d.select("doc_id", spans.alias("spans")).select(
         "doc_id",
-        F.size(spans).cast("long").alias("n_spans"),
-        F.explode(spans).alias("s"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.explode("spans").alias("s"),
     )
 
 
@@ -70,9 +76,9 @@ def benchmark_contamination(
     # 3.6s at sf0.1 (adjacent A/B, idle machine); at cluster scale inputs
     # already have thousands of splits and this is a planning-time no-op
     # (same policy as ngram_jaccard_pairs / minhash_lsh_pairs).
-    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if documents.rdd.getNumPartitions() < target:
-        documents = documents.repartition(target)
+    from ..session import widen_to_shuffle_parallelism
+
+    documents = widen_to_shuffle_parallelism(documents)
     bench_spans = (
         _doc_spans(documents.where(F.col("doc_id") % 13 == 0), k)
         .select("s")

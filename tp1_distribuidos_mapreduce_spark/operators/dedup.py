@@ -151,9 +151,9 @@ def _shingled_with_sizes(
         ),
         0,
     )
-    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if documents.rdd.getNumPartitions() < target:
-        documents = documents.repartition(target)
+    from ..session import widen_to_shuffle_parallelism
+
+    documents = widen_to_shuffle_parallelism(documents)
     shingled = (
         documents.select("doc_id", F.explode(packed).alias("p"))
         .select("doc_id", F.col("p.sh").alias("sh"), F.col("p.n_sh").alias("n_sh"))
@@ -315,9 +315,9 @@ def minhash_lsh_pairs(
     # bench total — see the verify skill notes — but minhash, like
     # jaccard, has ONE expensive consumer and no Python-worker fanout, so
     # the targeted widen is a clean win.)
-    target = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if documents.rdd.getNumPartitions() < target:
-        documents = documents.repartition(target)
+    from ..session import widen_to_shuffle_parallelism
+
+    documents = widen_to_shuffle_parallelism(documents)
     toks = documents.select("doc_id", _tokens().alias("toks")).where(F.size("toks") > 0)
     sigs = toks.select(
         "doc_id",

@@ -100,7 +100,13 @@ def run_mapreduce(
             for pdf in batches:
                 rows = [
                     (k, combine_fn(k, list(vs)))
-                    for k, vs in pdf.groupby("key", sort=False)["value"]
+                    # dropna=False: pandas' default silently discards
+                    # null keys, which Spark's reduce-side groupBy keeps —
+                    # an optimization-only combiner must not change the
+                    # result set.
+                    for k, vs in pdf.groupby("key", sort=False, dropna=False)[
+                        "value"
+                    ]
                 ]
                 yield pd.DataFrame(rows, columns=["key", "value"])
 
@@ -145,12 +151,25 @@ def _ii_map(doc_id: str, contents: str) -> Iterable[tuple[str, str]]:
     return ((w, str(doc_id)) for w in _LETTER_RUN.findall(contents.lower()))
 
 
+# Internal combiner-partial delimiter: the final output comma-joins per
+# the reference contract (ii.go:40), but re-SPLITTING on ',' to merge
+# partials would shred a doc_id that itself contains a comma ('a,b.txt'
+# → bogus docs 'a' and 'b.txt'). US (unit separator) never appears in
+# real filenames.
+_II_SEP = "\x1f"
+
+
+def _ii_combine(key: str, values: list[str]) -> str:
+    # partials are _II_SEP-joined; raw map output is single doc_ids
+    # (which split(_II_SEP) passes through unchanged).
+    return _II_SEP.join(sorted({d for v in values for d in v.split(_II_SEP)}))
+
+
 def _ii_reduce(key: str, values: list[str]) -> str:
-    # plugins/ii/ii.go:26-41 — distinct + ascending sort + comma-join; the
-    # comma-join of combined partials re-splits transparently.
-    docs = sorted({d for v in values for d in v.split(",")})
+    # plugins/ii/ii.go:26-41 — distinct + ascending sort + comma-join.
+    docs = sorted({d for v in values for d in v.split(_II_SEP)})
     return ",".join(docs)
 
 
 WC_JOB = MapReduceJob(map_fn=_wc_map, reduce_fn=_wc_reduce, combine_fn=_wc_reduce)
-II_JOB = MapReduceJob(map_fn=_ii_map, reduce_fn=_ii_reduce, combine_fn=_ii_reduce)
+II_JOB = MapReduceJob(map_fn=_ii_map, reduce_fn=_ii_reduce, combine_fn=_ii_combine)

@@ -32,6 +32,14 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     rows insert. Source must share the target's schema and carry unique
     keys (real MERGE raises on ambiguous source matches for the same
     reason).
+
+    NULL semantics caveat for oracle authors: a matched row takes the
+    source value EVEN WHEN NULL (real MERGE), but the companion
+    MERGE_UPSERT_ORDERS_ORACLE mirrors this with coalesce(s.col, t.col),
+    which would resurrect the target value instead. The two agree today
+    only because the derived change batch carries no NULLs — a new query
+    reusing this helper with a NULL-bearing source must write its oracle
+    with CASE WHEN s.key IS NOT NULL THEN s.col, not coalesce.
     """
     # No explicit broadcast hint: Catalyst/AQE picks broadcast when the
     # batch is small and falls back to a key shuffle when it isn't —

@@ -17,7 +17,12 @@ from ..sources.tables import register_views
 REVENUE_BY_REGION_SQL = """
 SELECT r_name,
        count(DISTINCT c_custkey) AS n_customers,
-       round(sum(o_totalprice), 2) AS total_revenue
+       -- exact integer cents: a float sum's partial-order wobble can
+       -- cross the half-cent rounding boundary differently per engine
+       -- CAST to DOUBLE before /100.0: in Spark SQL text the literal is
+       -- DECIMAL(4,1) and BIGINT/DECIMAL yields DECIMAL (dtype mismatch)
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -45,7 +50,9 @@ GROUPING_SETS_SQL = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n,
-       round(sum(l_extendedprice), 2) AS sum_price
+       -- exact integer cents (same one-text-two-engines tie-proofing)
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_price
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
 ORDER BY returnflag, linestatus

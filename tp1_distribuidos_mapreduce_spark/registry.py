@@ -81,10 +81,16 @@ _WINDOW: list[str] = [
     "rowdir_roundtrip",
     "rowdir_time_travel",
     "rowdir_pruned_scan",
+    # added mid-round-10 (new-query-gets-a-row): the manifest-committed
+    # publish census — the snapshot-layout rework's driver gate. Its slot
+    # comes from brand_type_vocabulary, the backlog's lowest-risk member
+    # (pure string aggregation, zero float arithmetic, code untouched
+    # since its r6 green; it stays covered by every pytest differential
+    # and is first in line for the r11 window).
+    "published_events_census",
     # the full r6-era staleness backlog (newest green row = r6)
     "bloom_pruned_join",
     "brand_stats_having",
-    "brand_type_vocabulary",
     "bucketed_colocated_join",
     "cms_heavy_hitters",
     "cube_order_status_priority",
@@ -773,6 +779,19 @@ from .sinks import bucketed as BK  # noqa: E402
 @register("bucketed_colocated_join", oracle=BK.BUCKETED_REVENUE_ORACLE)
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BK.bucketed_revenue_by_priority(spark, sf_dir)
+
+
+from .sinks import manifest as MF  # noqa: E402
+
+
+@register("published_events_census", oracle=MF.PUBLISHED_EVENTS_CENSUS_ORACLE)
+def q_published_events_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type census read through the manifest-committed publish path
+    (sinks/manifest.py: snapshot dir + commit-last manifest +
+    footer-count validation); the oracle aggregates the raw fixture, so
+    any row the publish loses, duplicates, or mixes in from a stray
+    writer breaks the hash — the snapshot layout is physical only."""
+    return MF.published_events_census(spark, sf_dir)
 
 
 _ZORDER_PRUNED_ORACLE = """

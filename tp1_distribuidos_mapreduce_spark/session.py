@@ -86,3 +86,23 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     # externally-built session needs it too.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark
+
+
+def widen_to_shuffle_parallelism(df):
+    """Repartition a narrow CPU-bound input up to the session's shuffle
+    parallelism — the measured fix for single-split fixture parquet
+    pinning a tokenize/hash pipeline to one core (20.7s → 3.6s for
+    benchmark_contamination at sf0.1); a planning-time no-op at cluster
+    scale where inputs already carry thousands of splits.
+
+    Shared by every widen site (decontam, jaccard, minhash) so the
+    policy can't drift between copies, and 'auto'-safe: managed
+    platforms set spark.sql.shuffle.partitions to a non-integer."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    try:
+        target = int(raw)
+    except ValueError:
+        return df
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df

@@ -5,7 +5,11 @@ lines sorted by key: hash-partitioning at cmd/worker/worker.go:75-79 +
 111-119, per-partition sort at worker.go:122-124/208-210, writer at
 worker.go:171-182. Here that whole pipeline is one declarative write:
 
-    repartition(R, key) . sortWithinPartitions(key) . write.csv(sep=' ')
+    repartition(R, key) . sortWithinPartitions(key)
+      . select(concat_ws(' ', key, value)) . write.text()
+
+(a raw text sink, NOT write.csv: the CSV writer would add quoting/
+escaping the reference's naive ``strings.Split`` reader cannot parse)
 
 Spark's shuffle replaces the mr-<m>-<r>.txt intermediate files and its
 output committer replaces the reference's O_TRUNC-overwrite idempotence

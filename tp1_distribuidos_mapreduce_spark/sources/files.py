@@ -166,9 +166,13 @@ def read_csv(
     )
     if header:
         # the header line renders only the FILE's columns —
-        # directory-partition columns never appear in it
+        # directory-partition columns never appear in it. Join with the
+        # dialect's separator: under options={'sep': ';'} the real header
+        # is 'a;b;c' and a comma-joined predicate would let it survive
+        # into _corrupt_record as a phantom malformed row per file.
+        sep = (options or {}).get("sep", ",")
         part_cols = [c for c in raw.columns if c != "value"]
-        header_line = ",".join(f.name for f in st.fields if f.name not in part_cols)
+        header_line = sep.join(f.name for f in st.fields if f.name not in part_cols)
         parsed = parsed.where(
             F.col(_CORRUPT).isNull() | (F.col(_CORRUPT) != header_line)
         )

@@ -56,20 +56,68 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read it as raw nanos (legacy conf) and truncate to
-    microseconds — integer `div`, NOT double division: epoch-nanos
-    (~1.7e18) exceeds double's 53-bit exact range, so float division
-    would corrupt timestamps by ±1µs. DuckDB also truncates ns→µs, so
-    the oracle sees identical values."""
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _usec_events_path(spark: SparkSession, path: str) -> str:
+    """Path to a µs-timestamp copy of an events parquet: ``path`` itself
+    when it is already readable without legacy confs, else a one-time
+    converted /tmp artifact.
+
+    The TIMESTAMP(NANOS) handling used to set the session-global
+    nanosAsLong conf and LEAVE it on — after which any foreign parquet
+    with a NANOS column read later in the session silently came back as
+    raw bigint nanos instead of failing loudly (order-dependent, silent
+    wrong dtypes). The conf is now toggled only around the eager
+    conversion job and restored in a finally. The ns→µs truncate is an
+    integer `div`, NOT double division: epoch-nanos (~1.7e18) exceeds
+    double's 53-bit exact range. DuckDB also truncates ns→µs, so the
+    oracle sees identical values."""
+    import hashlib
+    import tempfile
+
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return _normalize_ts(df)
+    try:
+        if dict(spark.read.parquet(path).dtypes).get("ts") != "bigint":
+            return path
+        # ts reads as bigint only when some caller turned nanosAsLong on
+        # globally — still convert so our output dtype stays timestamp.
+    except Exception as ex:  # noqa: BLE001 — only the NANOS rejection
+        if "NANOS" not in str(ex):
+            raise
+
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"{path}|{st.st_size}|{st.st_mtime_ns}|us-v1".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_events_us_{key}")
+
+    def _build() -> None:
+        prev = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _normalize_ts(df).write.mode("overwrite").parquet(out)
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
+
+    from .artifacts import build_once
+
+    build_once(out, _build)
+    return out
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects — read via the µs-converted artifact (see
+    _usec_events_path)."""
+    return _normalize_ts(spark.read.parquet(_usec_events_path(spark, path)))
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
@@ -97,17 +145,12 @@ def stream_events(
     streaming plans see an identical schema. ``max_files_per_trigger``
     splits a bounded replay into multiple micro-batches (used by tests to
     exercise watermarks and cross-batch state)."""
-    from pyspark.sql import functions as F
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    src = _usec_events_path(spark, path)
+    schema = spark.read.parquet(src).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return _normalize_ts(df)
+    return _normalize_ts(reader.parquet(src))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
