@@ -846,3 +846,79 @@ SELECT CAST(count(*) AS BIGINT) AS n_converters,
        quantile_cont(minutes, 0.75) AS p75_min
 FROM conv
 """
+
+
+def time_weighted_value(events: DataFrame) -> DataFrame:
+    """Per-type TIME-WEIGHTED average event value — the TWAP/duration-
+    weighted mean: each event's value holds until the user's next event,
+    so it contributes weight = its interval length in whole seconds. The
+    plain mean treats a 1-second and a 3-day reading identically; the
+    duration-weighted mean is the correct aggregate for state-like
+    readings (sensor values, prices, session quality).
+
+    Shape: one user-keyed lead() window (the event_gap_detection
+    machinery — per-user timeline, second-truncated deltas), then one
+    hash aggregate on event_type with map-side combine. Each user's last
+    event has no interval and drops out; zero-length intervals carry
+    zero weight and are filtered so a type whose every interval is
+    zero-length cannot divide by zero.
+
+    Exactness: value is 3dp → 1e-3-scaled BIGINT; weights are integer
+    seconds; Σ(millis·secs) and Σ(secs) are exact BIGINTs and the 4dp
+    mean rounds by half-up integer division (round(10·Σwv/Σs)) — the
+    engine-wide tie discipline.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.round(F.col("value") * 1000).cast("long").alias("mv"),
+        )
+        .withColumn(
+            "dur_s",
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts"),
+        )
+        .where(F.col("dur_s") > 0)
+    )
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_s").alias("total_seconds"),
+            F.sum(F.col("mv") * F.col("dur_s")).alias("wv"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            "total_seconds",
+            (
+                F.expr("(20 * wv + total_seconds) div (2 * total_seconds)")
+                / 10000.0
+            ).alias("twap_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TIME_WEIGHTED_VALUE_ORACLE = """
+WITH iv AS (
+  SELECT event_type,
+         CAST(round(value * 1000) AS BIGINT) AS mv,
+         date_diff('second', ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS dur_s
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_intervals,
+       CAST(sum(dur_s) AS BIGINT) AS total_seconds,
+       ((20 * CAST(sum(mv * dur_s) AS BIGINT) + CAST(sum(dur_s) AS BIGINT))
+        // (2 * CAST(sum(dur_s) AS BIGINT))) / 10000.0 AS twap_value
+FROM iv
+WHERE dur_s > 0
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -88,6 +88,12 @@ _WINDOW: list[str] = [
     # since its r6 green; it stays covered by every pytest differential
     # and is first in line for the r11 window).
     "published_events_census",
+    # added mid-round-10: the duration-weighted (TWAP) mean — a new
+    # aggregate class for event analytics. Slot from order_priority_pivot
+    # (integer-count pivot, zero float arithmetic, code untouched since
+    # its r6 green; next in line for the r11 window with
+    # brand_type_vocabulary).
+    "time_weighted_value",
     # the full r6-era staleness backlog (newest green row = r6)
     "bloom_pruned_join",
     "brand_stats_having",
@@ -107,7 +113,6 @@ _WINDOW: list[str] = [
     "language_rebalance",
     "monthly_order_stats",
     "order_price_quantiles",
-    "order_priority_pivot",
     "order_value_deciles",
     "priorities_with_big_items",
     "purchase_asof_last_click",
@@ -739,6 +744,17 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts × active-week offsets, exact integer week arithmetic with
     floor() on both engines."""
     return BH.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register("time_weighted_value", oracle=BH.TIME_WEIGHTED_VALUE_ORACLE)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted (TWAP-style) mean event value per type
+    (plans/behavior.py): each event's value holds until the user's next
+    event and weighs by whole-second interval length — the correct
+    aggregate for state-like readings, where a plain mean treats a
+    1-second and a 3-day reading identically. Exact BIGINT weighted
+    sums, half-up integer 4dp mean."""
+    return BH.time_weighted_value(load_table(spark, sf_dir, "events"))
 
 
 @register("top_event_paths", oracle=BH.TOP_EVENT_PATHS_ORACLE)
