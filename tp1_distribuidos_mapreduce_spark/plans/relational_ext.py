@@ -1502,3 +1502,70 @@ FROM (
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def subtree_rollup(documents: DataFrame) -> DataFrame:
+    """Hierarchical (recursive-CTE-family) rollup: documents form a
+    10-ary tree via parent(n) = n div 10 (root 0), and every node gets
+    its SUBTREE totals — descendant count and total text chars,
+    descendants including itself. The org-chart / category-tree rollup
+    shape SQL writes as WITH RECURSIVE (the oracle does exactly that);
+    Spark has no recursive CTE, so this is the Spark-first equivalent.
+
+    Shape: the ancestor closure is a BOUNDED UNION of ceil(log10(max_id))
+    parent-jump projections — one scalar agg picks the depth bound, then
+    the whole closure + rollup is ONE declarative job (no per-round
+    actions, no loop state): closure size is n·depth rows (~5n at a
+    10-ary fan-out), shuffled once on the ancestor key. At 100 TB the
+    same plan holds — depth grows logarithmically, and each jump is a
+    map-only projection, not a join (the parent function is arithmetic;
+    a stored parent-pointer table would use log-round pointer doubling
+    instead). Ancestors are kept only if they exist as real nodes
+    (semi-join), so sparse id spaces don't invent virtual nodes.
+    """
+    d = documents.select(
+        F.col("doc_id").cast("long").alias("node"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    # bounded collect: one scalar (the depth bound), sketch-grid class
+    max_id = d.agg(F.max("node")).collect()[0][0] or 0
+    rounds = max(len(str(max_id)), 1)
+    levels = [d.select("node", F.col("node").alias("anc"))]
+    frontier = d.select(
+        "node", F.expr("case when node > 0 then node div 10 end").alias("anc")
+    ).where(F.col("anc").isNotNull())
+    for _ in range(rounds):
+        levels.append(frontier)
+        frontier = frontier.select(
+            "node", F.expr("case when anc > 0 then anc div 10 end").alias("anc")
+        ).where(F.col("anc").isNotNull())
+    closure = levels[0]
+    for lv in levels[1:]:
+        closure = closure.unionByName(lv)
+    return (
+        closure.join(d, "node")
+        .join(
+            d.select(F.col("node").alias("anc")), "anc", "left_semi"
+        )
+        .groupBy("anc")
+        .agg(F.count("*").alias("n_desc"), F.sum("chars").alias("subtree_chars"))
+        .select(F.col("anc").alias("node"), "n_desc", "subtree_chars")
+        .orderBy("node")
+    )
+
+
+SUBTREE_ROLLUP_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT doc_id AS node, doc_id AS anc FROM documents
+  UNION ALL
+  SELECT node, anc // 10 FROM anc WHERE anc > 0
+)
+SELECT a.anc AS node,
+       count(*) AS n_desc,
+       CAST(sum(length(d.text)) AS BIGINT) AS subtree_chars
+FROM anc a
+JOIN documents d ON d.doc_id = a.node
+WHERE a.anc IN (SELECT doc_id FROM documents)
+GROUP BY a.anc
+ORDER BY node
+"""

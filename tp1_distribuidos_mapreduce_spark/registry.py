@@ -94,6 +94,10 @@ _WINDOW: list[str] = [
     # its r6 green; next in line for the r11 window with
     # brand_type_vocabulary).
     "time_weighted_value",
+    # added mid-round-10: the recursive-CTE family (WITH RECURSIVE
+    # oracle). Slot from customer_set_ops (pure integer set ops, zero
+    # float risk, r11-window front of line with the other two displaced).
+    "subtree_rollup",
     # the full r6-era staleness backlog (newest green row = r6)
     "bloom_pruned_join",
     "brand_stats_having",
@@ -101,7 +105,6 @@ _WINDOW: list[str] = [
     "cms_heavy_hitters",
     "cube_order_status_priority",
     "customer_order_gaps",
-    "customer_set_ops",
     "daily_revenue_moving_avg",
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -755,6 +758,15 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-second and a 3-day reading identically. Exact BIGINT weighted
     sums, half-up integer 4dp mean."""
     return BH.time_weighted_value(load_table(spark, sf_dir, "events"))
+
+
+@register("subtree_rollup", oracle=RX.SUBTREE_ROLLUP_ORACLE)
+def q_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup over the implicit 10-ary doc tree
+    (plans/relational_ext.py) — the recursive-CTE query family, built
+    Spark-first as a bounded union of log-depth parent-jump projections
+    (one job, no loop actions); the oracle is a literal WITH RECURSIVE."""
+    return RX.subtree_rollup(load_table(spark, sf_dir, "documents"))
 
 
 @register("top_event_paths", oracle=BH.TOP_EVENT_PATHS_ORACLE)
