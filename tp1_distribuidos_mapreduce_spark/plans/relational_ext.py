@@ -1522,11 +1522,16 @@ def subtree_rollup(documents: DataFrame) -> DataFrame:
     a stored parent-pointer table would use log-round pointer doubling
     instead). Ancestors are kept only if they exist as real nodes
     (semi-join), so sparse id spaces don't invent virtual nodes.
+
+    The (node, chars) projection is materialized ONCE (eager
+    localCheckpoint, n fixed-width rows): without it every union branch
+    and both join sides re-scan the corpus parquet — 9 scans in the
+    executed plan — because Spark reuses exchanges, not scans.
     """
     d = documents.select(
         F.col("doc_id").cast("long").alias("node"),
         F.length("text").cast("long").alias("chars"),
-    )
+    ).localCheckpoint(eager=True)
     # bounded collect: one scalar (the depth bound), sketch-grid class
     max_id = d.agg(F.max("node")).collect()[0][0] or 0
     rounds = max(len(str(max_id)), 1)
