@@ -557,3 +557,41 @@ def test_rowdir_merge_upsert(spark, tmp_path):
         )
     )
     assert v1 == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_rowdir_merge_null_key_replaces_and_dup_keys_refused(spark, tmp_path):
+    """Review-found contract gaps: the key match must be NULL-SAFE (a
+    plain equi-anti-join never matches NULL==NULL, so a NULL-key row
+    would survive every merge and duplicate), and a non-key-unique
+    updates batch must be refused loudly (it would plant duplicate keys
+    in the merged version)."""
+    import pytest
+
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_merge_null")
+    spark.createDataFrame(
+        [(1, "a"), (None, "n0")], "id long, tag string"
+    ).write.format("rowdir").mode("overwrite").save(out)
+
+    res = PDS.merge_rowdir(
+        spark,
+        out,
+        spark.createDataFrame([(None, "n1")], "id long, tag string"),
+        "id",
+    )
+    assert res["n_updated"] == 1 and res["n_inserted"] == 0
+    got = sorted(
+        map(tuple, spark.read.format("rowdir").load(out).collect()),
+        key=lambda r: (r[0] is None, r),
+    )
+    assert got == [(1, "a"), (None, "n1")]  # replaced, not duplicated
+
+    with pytest.raises(ValueError, match="key-unique"):
+        PDS.merge_rowdir(
+            spark,
+            out,
+            spark.createDataFrame([(7, "x"), (7, "y")], "id long, tag string"),
+            "id",
+        )

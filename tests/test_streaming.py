@@ -654,3 +654,52 @@ def test_ivm_fold_null_user_key_merges_not_duplicates(spark, tmp_path):
     assert len(nulls) == 1  # merged, not multiplied
     assert (nulls[0]["n_events"], nulls[0]["total_value"]) == (2, 12.5)
     assert {r["user_id"] for r in rows} == {None, 7}
+
+
+def test_rowdir_stream_complete_mode_overwrites_per_batch(spark, tmp_path):
+    """outputMode('complete') makes Spark pass overwrite=True to
+    streamWriter: each micro-batch must REPLACE the table with the full
+    aggregate state, not append it — ignoring the flag would accumulate
+    one stale copy of every key per batch (the review-found contract
+    bug)."""
+    from pyspark.sql import functions as F
+
+    from tp1_distribuidos_mapreduce_spark.sources import pydatasource as PDS
+    from tp1_distribuidos_mapreduce_spark.sources.tables import (
+        load_table,
+        stream_events,
+    )
+
+    PDS.register_rowdir(spark)
+    out = str(tmp_path / "rowdir_complete")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir = str(tmp_path / "events_src")
+    # several source files => several micro-batches under
+    # maxFilesPerTrigger=1, so the complete-mode state is rewritten
+    # more than once
+    load_table(spark, SF_SMOKE, "events").repartition(3).write.parquet(src_dir)
+
+    q = (
+        stream_events(spark, src_dir, max_files_per_trigger=1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("rowdir")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = sorted(
+        map(
+            tuple,
+            load_table(spark, SF_SMOKE, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
+    assert got == expected  # appended stale states would duplicate keys

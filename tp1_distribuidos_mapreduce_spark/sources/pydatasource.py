@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
@@ -55,10 +54,22 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
+# Per-RecordBatch row cap for detgen generation: bounds executor memory
+# to batch-size regardless of rows/partitions (a 250M-row partition must
+# not materialize as one 6 GB batch).
+_DETGEN_BATCH_ROWS = 1_000_000
+
+
 class DetGenReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 4))
+        if self.n_rows < 0:
+            raise ValueError(f"detgen: rows must be >= 0, got {self.n_rows}")
+        if self.n_parts <= 0:
+            raise ValueError(
+                f"detgen: partitions must be >= 1, got {self.n_parts}"
+            )
 
     def partitions(self) -> Sequence[InputPartition]:
         per = (self.n_rows + self.n_parts - 1) // self.n_parts
@@ -81,16 +92,20 @@ class DetGenReader(DataSourceReader):
             # single None-partition read — an empty result, not a crash
             return
 
-        ids = np.arange(partition.start, partition.end, dtype=np.int64)
-        mixed = (ids * _MIX) % _MOD
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(ids, type=pa.int64()),
-                pa.array((mixed % 97).astype(np.int32), type=pa.int32()),
-                pa.array((mixed * 31) % _MOD, type=pa.int64()),
-            ],
-            names=["id", "bucket", "value"],
-        )
+        # chunked: one bounded batch at a time, never the whole partition
+        # (the lazy-generator contract the module docstring promises).
+        for lo in range(partition.start, partition.end, _DETGEN_BATCH_ROWS):
+            hi = min(lo + _DETGEN_BATCH_ROWS, partition.end)
+            ids = np.arange(lo, hi, dtype=np.int64)
+            mixed = (ids * _MIX) % _MOD
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array((mixed % 97).astype(np.int32), type=pa.int32()),
+                    pa.array((mixed * 31) % _MOD, type=pa.int64()),
+                ],
+                names=["id", "bucket", "value"],
+            )
 
 
 class DetGenDataSource(DataSource):
@@ -346,6 +361,14 @@ class RowDirArrowWriter(DataSourceArrowWriter):
             if writer is not None:
                 writer.close()
                 sink.close()
+        if n == 0:
+            # a task whose batches were all zero-row still opened a file;
+            # the ''-named commit message means neither commit() nor
+            # abort() would ever reclaim it — remove it here.
+            try:
+                os.remove(os.path.join(tmp_dir, fname))
+            except FileNotFoundError:
+                pass
         # empty partition → no file, and commit() skips the entry
         return _FileCommit(fname if n else "", n, stats if n else None)
 
@@ -493,8 +516,12 @@ class RowDirStreamArrowWriter(DataSourceStreamArrowWriter):
     versioned-state + replay-skip discipline as the IVM sink
     (streaming/sinks.py), carried natively by the connector."""
 
-    def __init__(self, options: dict, schema) -> None:
-        self._inner = RowDirArrowWriter(options, schema, overwrite=False)
+    def __init__(self, options: dict, schema, overwrite: bool = False) -> None:
+        # `overwrite` is Spark's per-microbatch replace flag (True for
+        # complete/truncate output modes): ignoring it would silently
+        # APPEND every microbatch's full aggregate state, accumulating a
+        # stale copy of every key per batch.
+        self._inner = RowDirArrowWriter(options, schema, overwrite=overwrite)
         # Replay marks are PER WRITER: batchIds restart at 0 for every
         # new checkpoint, so a single table-global mark would silently
         # drop the early batches of any second producer (or of the same
@@ -634,23 +661,31 @@ class RowDirDataSource(DataSource):
     def schema(self):
         from pyspark.sql.types import StructType
 
-        return StructType.fromJson(
-            json.loads(
-                _read_manifest(
-                    _rowdir_path(self.options),
-                    _rowdir_version_opt(self.options),
-                )["schema"]
-            )
+        m = _read_manifest(
+            _rowdir_path(self.options), _rowdir_version_opt(self.options)
         )
+        # pin the version schema() resolved so reader() scans the SAME
+        # snapshot: resolving the manifest twice would let a concurrent
+        # schema-changing overwrite land between the calls and bind the
+        # old schema to the new version's files.
+        self._resolved_version = m["version"]
+        return StructType.fromJson(json.loads(m["schema"]))
 
     def reader(self, schema) -> RowDirReader:
-        return RowDirReader(self.options)
+        opts = self.options
+        if (
+            _rowdir_version_opt(opts) is None
+            and getattr(self, "_resolved_version", None) is not None
+        ):
+            opts = dict(opts)
+            opts["version"] = str(self._resolved_version)
+        return RowDirReader(opts)
 
     def writer(self, schema, overwrite: bool) -> RowDirArrowWriter:
         return RowDirArrowWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> RowDirStreamArrowWriter:
-        return RowDirStreamArrowWriter(self.options, schema)
+        return RowDirStreamArrowWriter(self.options, schema, overwrite)
 
 
 def register_rowdir(spark) -> None:
@@ -999,17 +1034,38 @@ def merge_rowdir(spark, path: str, updates, key: str) -> dict:
 
     Copy-on-write is the right default for analytic tables (reads stay
     plain scans); a merge-on-read delete-vector variant is the known
-    next step if update rates ever dominate."""
+    next step if update rates ever dominate.
+
+    Contract guards: ``updates`` must be key-unique (an un-deduplicated
+    CDC feed would plant duplicate keys in the merged version and skew
+    the stats — fail loudly instead), and the key match is NULL-SAFE
+    (a plain equi-anti-join never matches NULL==NULL, so a NULL-key row
+    would survive every merge and duplicate — the eqNullSafe class the
+    IVM sink fold fixed). Stats come from the manifests' exact per-file
+    row counts plus one count of the small updates batch — no full
+    table scans beyond the rewrite itself."""
+    from pyspark.sql import functions as F
+
     register_rowdir(spark)
     before = _read_manifest(path)
+    n_updates = updates.count()
+    n_distinct_keys = updates.select(key).distinct().count()
+    if n_distinct_keys != n_updates:
+        raise ValueError(
+            f"merge_rowdir: updates carry {n_updates} rows but only "
+            f"{n_distinct_keys} distinct {key!r} values — upserts require "
+            "key-unique updates (dedupe the batch first)"
+        )
     current = (
         spark.read.format("rowdir")
         .option("version", before["version"])
         .load(path)
     )
-    n_total = current.count()
-    kept = current.join(updates.select(key), key, "left_anti")
-    n_kept = kept.count()
+    n_total = sum(e["n_rows"] for e in before["files"])
+    u_keys = updates.select(F.col(key).alias("__merge_key"))
+    kept = current.join(
+        u_keys, current[key].eqNullSafe(u_keys["__merge_key"]), "left_anti"
+    )
     merged = kept.unionByName(updates)
     (
         merged.write.format("rowdir")
@@ -1018,7 +1074,8 @@ def merge_rowdir(spark, path: str, updates, key: str) -> dict:
         .save(path)
     )
     after = _read_manifest(path)
-    n_updates = updates.count()
+    n_after = sum(e["n_rows"] for e in after["files"])
+    n_kept = n_after - n_updates
     return {
         "version": after["version"],
         "n_updated": n_total - n_kept,

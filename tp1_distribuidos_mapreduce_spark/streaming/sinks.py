@@ -12,7 +12,10 @@ Scale notes: the availableNow trigger processes a backlog in bounded
 micro-batches and terminates — the shape for scheduled incremental loads
 (a cron'd "drain what's new" job over a landing zone). Combined with
 streaming/dedup.py upstream, replayed source files do not re-land rows;
-combined with maxFilesPerTrigger, backlog drains under bounded memory.
+combined with maxFilesPerTrigger, backlog drains under bounded memory
+FOR THE APPEND SINK. The restatement sink must NOT be combined with
+micro-batch splitting that can scatter one logical partition across
+batches — see write_stream_restatement's contract.
 """
 
 from __future__ import annotations
@@ -69,6 +72,15 @@ def write_stream_restatement(
     last-writer-wins per partition regardless of crashes or replays. The
     append-mode file sink above cannot restate history; this sink's whole
     purpose is that a late re-delivery of a day replaces the day.
+
+    CONTRACT — each micro-batch must carry the COMPLETE restated content
+    of every partition it touches (the restatement/CDC feed shape: a
+    source emits whole corrected days). A source configuration that can
+    SPLIT one partition's rows across micro-batches (maxFilesPerTrigger
+    over a landing zone where several files hold the same day) makes the
+    later batch's overwrite silently drop the earlier batch's rows for
+    that day — aggregate whole partitions upstream, or use the
+    append-mode sink plus a downstream compaction instead.
     """
     from ..sinks.partitioned import overwrite_partitions
 
