@@ -11,6 +11,16 @@ full replay of a bounded input, the LAST emission per key equals the batch
 ``groupBy(user).agg(count, sum)`` — the invariant tests/test_streaming.py
 pins. State is a fixed-width tuple per user — O(distinct keys) executor
 memory, the same bound Spark's own streaming aggregation carries.
+
+Spark 4's successor API, ``transformWithStateInPandas`` (typed state
+variables, timers, TTL), is ENV-BLOCKED here — verified empirically, not
+assumed: the StatefulProcessor API imports and the RocksDB provider conf
+sets, but the TransformWithStateInPySpark driver worker crashes at init
+with ``ImportError: cannot import name 'descriptor' from
+'google.protobuf'`` (its runner protocol needs protobuf, absent in this
+container, and installs are disallowed). ``applyInPandasWithState``
+carries the same per-key state-machine contract without that dependency;
+migrating these operators to TWS is mechanical once protobuf exists.
 """
 
 from __future__ import annotations
