@@ -46,6 +46,17 @@ PAGERANK_ITERS = 10
 PAGERANK_BROADCAST_NODE_LIMIT = 1_000_000
 
 
+def _maybe_broadcast(n_nodes: int):
+    """The shared conditional broadcast guard for node-cardinality frames
+    inside iterative joins: broadcast while the node table fits, degrade
+    gracefully to the shuffled equi-join past the limit. One definition
+    for all three users (PageRank / BFS / k-core) so a threshold-policy
+    change cannot silently diverge between them."""
+    if n_nodes <= PAGERANK_BROADCAST_NODE_LIMIT:
+        return lambda df: F.broadcast(df)
+    return lambda df: df
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected co-purchase edge list as directed rows (a→b and b→a),
     deduplicated: (src, dst)."""
@@ -95,6 +106,11 @@ def pagerank_copurchase(
         F.count(F.lit(1)).alias("out_deg")
     ).localCheckpoint()
     n_nodes = degrees.count()
+    if n_nodes == 0:
+        raise ValueError(
+            "pagerank_copurchase: empty co-purchase graph (no order has "
+            ">= 2 distinct parts) — nothing to rank"
+        )
     base = (1.0 - damping) / n_nodes
 
     if initial_ranks is not None:
@@ -119,10 +135,10 @@ def pagerank_copurchase(
         ranks = degrees.select(
             "src", F.lit(1.0 / n_nodes).alias("rank"), "out_deg"
         ).localCheckpoint()
-    bcast = n_nodes <= PAGERANK_BROADCAST_NODE_LIMIT
+    bcast = _maybe_broadcast(n_nodes)
     for i in range(n_iter):
         contribs = (
-            edges.join(F.broadcast(ranks) if bcast else ranks, "src")
+            edges.join(bcast(ranks), "src")
             .select(F.col("dst").alias("src"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("src")
             .agg(F.sum("c").alias("mass"))
@@ -131,7 +147,7 @@ def pagerank_copurchase(
         # the aggregated contribs keeps the update join shuffle-free too
         # (adjacent A/B at sf0.1: 7.3-11.4s → 5.7s, identical 6dp ranks).
         ranks = degrees.join(
-            F.broadcast(contribs) if bcast else contribs, "src", "left"
+            bcast(contribs), "src", "left"
         ).select(
             "src",
             (
@@ -402,6 +418,11 @@ def bfs_distances(lineitem: DataFrame) -> DataFrame:
     edges = copurchase_edges(lineitem).localCheckpoint()
     nodes = edges.select(F.col("src").alias("part_id")).distinct().localCheckpoint()
     root = nodes.agg(F.min("part_id").alias("r")).collect()[0]["r"]
+    if root is None:
+        raise ValueError(
+            "bfs_distances: empty co-purchase graph (no order has >= 2 "
+            "distinct parts) — no root to start from"
+        )
 
     settled = nodes.sparkSession.createDataFrame(
         [(int(root), 0)], "part_id long, dist int"
@@ -414,12 +435,12 @@ def bfs_distances(lineitem: DataFrame) -> DataFrame:
     # adjacent A/B at sf0.1 (20k nodes, 1.2M directed edges, identical
     # distance tables): 11.7/9.0s shuffled → 4.0/3.5s broadcast. Past the
     # limit both joins degrade gracefully to the shuffled equi-join.
-    bcast = (
-        (lambda df: F.broadcast(df))
-        if nodes.count() <= PAGERANK_BROADCAST_NODE_LIMIT
-        else (lambda df: df)
-    )
-    for _ in range(BFS_MAX_ROUNDS):
+    bcast = _maybe_broadcast(nodes.count())
+    # + 1: completion is certified only by OBSERVING an empty frontier,
+    # which takes one round beyond the last settling round — without it,
+    # a graph whose eccentricity equals the bound exactly would raise
+    # spuriously after computing every distance correctly.
+    for _ in range(BFS_MAX_ROUNDS + 1):
         nxt = (
             bcast(frontier).join(edges, frontier["part_id"] == edges["src"])
             .select(F.col("dst").alias("part_id"), (F.col("dist") + 1).alias("dist"))
@@ -481,7 +502,12 @@ ORDER BY n.part_id
 # k-core decomposition (iterative peeling)
 # --------------------------------------------------------------------------
 
-KCORE_MAX_ROUNDS = 64
+# Peeling's worst case is O(|V|) rounds (a path graph under k=2 sheds
+# only its two endpoints per round), not the diameter-style bound BFS
+# enjoys — 64 would raise on valid sparse chains. 4096 keeps the
+# liveness guard (a genuinely stuck loop still fails loudly) while
+# covering any graph whose peeling is feasible on this engine at all.
+KCORE_MAX_ROUNDS = 4096
 
 
 def kcore_members(lineitem: DataFrame, k: int = 3) -> DataFrame:
@@ -519,11 +545,7 @@ def kcore_members(lineitem: DataFrame, k: int = 3) -> DataFrame:
         n_prev = n_now
         if n_now == 0:
             break
-        bcast = (
-            (lambda df: F.broadcast(df))
-            if n_now <= PAGERANK_BROADCAST_NODE_LIMIT
-            else (lambda df: df)
-        )
+        bcast = _maybe_broadcast(n_now)
         edges = (
             edges.join(bcast(keep), "src", "left_semi")
             .join(

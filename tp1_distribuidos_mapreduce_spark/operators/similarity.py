@@ -51,7 +51,11 @@ def knn_bruteforce(
     return _rank_topk(scored, k)
 
 
-KNN_BRUTEFORCE_ORACLE = """
+def knn_bruteforce_oracle(n_queries: int = 10, k: int = 5) -> str:
+    """Oracle generated from the SAME parameters as knn_bruteforce —
+    the hard_negative_oracle discipline: non-default parameters can
+    never silently pair with a stale fixed-parameter oracle string."""
+    return f"""
 SELECT query_id, rank, neighbor_id
 FROM (
   SELECT q.vec_id AS query_id,
@@ -62,11 +66,14 @@ FROM (
                      c.vec_id ASC) AS INTEGER) AS rank
   FROM embeddings q
   JOIN embeddings c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id < 10
+  WHERE q.vec_id < {n_queries}
 )
-WHERE rank <= 5
+WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+KNN_BRUTEFORCE_ORACLE = knn_bruteforce_oracle()
 
 _N_BANDS = 8
 _BITS_PER_BAND = 8
@@ -241,6 +248,72 @@ def _assign_lists(e: DataFrame, C: np.ndarray) -> DataFrame:
     )
 
 
+def _load_centroids(spark, path: str):
+    """k×dim centroid matrix from the persisted parquet, list_id order —
+    one definition for both persisted-index search paths."""
+    return np.vstack(
+        [
+            np.asarray(r.centroid)
+            for r in spark.read.parquet(path).orderBy("list_id").collect()
+        ]
+    )
+
+
+def _probe_plan(e: DataFrame, C, n_queries: int, n_probe: int) -> DataFrame:
+    """(query_id, qv, qlist) probe rows — one per (query, probed list).
+    The single definition all four IVF/IVF-PQ search paths share."""
+    return e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("qlist"),
+    )
+
+
+def _collected_probe(spark, e: DataFrame, C, n_queries: int, n_probe: int):
+    """Evaluate the probe subplan ONCE (bounded by n_queries × n_probe,
+    never corpus size) and return (broadcastable frame, sorted probed
+    list ids) — the persisted-index paths derive both from one collect
+    so the embeddings scan and probe UDF never run twice."""
+    q_plan = _probe_plan(e, C, n_queries, n_probe)
+    q_rows = q_plan.collect()
+    return (
+        spark.createDataFrame(q_rows, q_plan.schema),
+        sorted({r.qlist for r in q_rows}),
+    )
+
+
+def _pq_shortlist_topk(
+    index_df: DataFrame, q: DataFrame, books, e: DataFrame, rerank: int, k: int
+) -> DataFrame:
+    """ADC-scored shortlist + bounded exact-cosine rerank + shared top-k
+    tail — ONE definition for knn_ivf_pq and its persisted variant (the
+    pytest bit-identical pin depends on the two never drifting)."""
+    scored = index_df.join(
+        F.broadcast(q),
+        (F.col("list_id") == F.col("qlist"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_score_udf(books)(F.col("qv"), F.col("codes")).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank)
+        .drop("r", "adc")
+    )
+    exact = shortlist.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    return _rank_topk(exact, k)
+
+
 def _rank_topk(cands: DataFrame, k: int) -> DataFrame:
     """Exact cosine rank within candidates — the ONE top-k tail shared
     by brute-force, LSH, and the IVF variants (a tie-break change here
@@ -281,11 +354,7 @@ def knn_ivf(
     e = _as_double(embeddings)
     C = _train_centroids(e, n_lists, sample_size)
     assigned = _assign_lists(e, C)
-    q = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("qlist"),
-    )
+    q = _probe_plan(e, C, n_queries, n_probe)
     cands = (
         assigned.join(
             F.broadcast(q),
@@ -396,26 +465,14 @@ def knn_ivf_persisted(
     from ..sources.tables import load_table
 
     table, cpath = ensure_ivf_index(spark, sf_dir)
-    C = np.vstack(
-        [
-            np.asarray(r.centroid)
-            for r in spark.read.parquet(cpath).orderBy("list_id").collect()
-        ]
-    )
+    C = _load_centroids(spark, cpath)
     e = _as_double(load_table(spark, sf_dir, "embeddings"))
     # Evaluate the query-probe subplan ONCE: its rows are bounded by
     # n_queries x n_probe (never corpus size), so collect them and derive
     # both the probed-list set and the broadcast frame from that — the
     # lazy formulation would re-run the embeddings scan and the probe UDF
     # a second time inside the join.
-    q_plan = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("qlist"),
-    )
-    q_rows = q_plan.collect()
-    q = spark.createDataFrame(q_rows, q_plan.schema)
-    probed = sorted({r.qlist for r in q_rows})
+    q, probed = _collected_probe(spark, e, C, n_queries, n_probe)
     inverted = read_bucketed(spark, table).where(F.col("list_id").isin(probed))
     cands = (
         inverted.join(
@@ -538,38 +595,8 @@ def knn_ivf_pq(
     idx = _assign_lists(e, C).select(
         "vec_id", "list_id", _pq_encode_udf(books)(F.col("v")).alias("codes")
     )
-    q = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("qlist"),
-    )
-    scored = (
-        idx.join(
-            F.broadcast(q),
-            (F.col("list_id") == F.col("qlist"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            "qv",
-            F.col("vec_id").alias("neighbor_id"),
-            _adc_score_udf(books)(F.col("qv"), F.col("codes")).alias("adc"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    shortlist = (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= rerank)
-        .drop("r", "adc")
-    )
-    exact = shortlist.join(
-        e.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
-    ).select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
-    )
-    return _rank_topk(exact, k)
+    q = _probe_plan(e, C, n_queries, n_probe)
+    return _pq_shortlist_topk(idx, q, books, e, rerank, k)
 
 
 # Bump on any observable change to PQ training/encode (same contract as
@@ -686,12 +713,7 @@ def knn_ivf_pq_persisted(
     from ..sources.tables import load_table
 
     table, base = ensure_ivf_pq_index(spark, sf_dir)
-    C = np.vstack(
-        [
-            np.asarray(r.centroid)
-            for r in spark.read.parquet(f"{base}/centroids").orderBy("list_id").collect()
-        ]
-    )
+    C = _load_centroids(spark, f"{base}/centroids")
     brows = (
         spark.read.parquet(f"{base}/codebooks").orderBy("subspace", "code").collect()
     )
@@ -702,38 +724,9 @@ def knn_ivf_pq_persisted(
     for r in brows:
         books[r.subspace, r.code] = np.asarray(r.vec)
     e = _as_double(load_table(spark, sf_dir, "embeddings"))
-    q_plan = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.explode(_nearest_lists_udf(C, n_probe)(F.col("v"))).alias("qlist"),
-    )
-    q_rows = q_plan.collect()
-    q = spark.createDataFrame(q_rows, q_plan.schema)
-    probed = sorted({r.qlist for r in q_rows})
+    q, probed = _collected_probe(spark, e, C, n_queries, n_probe)
     inverted = read_bucketed(spark, table).where(F.col("list_id").isin(probed))
-    scored = inverted.join(
-        F.broadcast(q),
-        (F.col("list_id") == F.col("qlist")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        "qv",
-        F.col("vec_id").alias("neighbor_id"),
-        _adc_score_udf(books)(F.col("qv"), F.col("codes")).alias("adc"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    shortlist = (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= rerank)
-        .drop("r", "adc")
-    )
-    exact = shortlist.join(
-        e.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
-    ).select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("v")).alias("cos"),
-    )
-    return _rank_topk(exact, k)
+    return _pq_shortlist_topk(inverted, q, books, e, rerank, k)
 
 
 def hard_negative_mining(

@@ -257,6 +257,9 @@ def _hll_partial_mapper():
 
         regs_by_day: dict = {}
         for pdf in batches:
+            # local per-batch dedup: folding is idempotent, this only
+            # trims redundant hashing of repeat (day, user) rows.
+            pdf = pdf.drop_duplicates()
             for day, grp in pdf.groupby("day"):
                 regs = regs_by_day.setdefault(
                     day, np.zeros(HLL_M, dtype=np.int32)
@@ -301,9 +304,15 @@ def rolling_hll_active_users(
     # entire day's distinct users into a single reducer row, the exact
     # thing a mergeable sketch exists to avoid); the per-day reduce then
     # folds ≤ num-partitions fixed 1 KB arrays.
+    # NO global distinct: HLL register folding (per-bucket max) is
+    # idempotent under duplicate user ids, so the sketch build stays
+    # genuinely MAP-SIDE — a .distinct() here would pay the exact
+    # events-cardinality (day, user) shuffle the exact twin pays and the
+    # mergeable sketch exists to avoid. The kernel dedupes locally per
+    # batch to cut redundant blake2b hashing; cross-partition duplicates
+    # cost only a re-fold into the same register.
     partials = (
         events.select(F.to_date("ts").alias("day"), "user_id")
-        .distinct()
         .mapInPandas(_hll_partial_mapper(), "day date, regs array<int>")
     )
     daily = partials.groupBy("day").agg(
