@@ -451,14 +451,22 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     lag + conditional-sum window — one shuffle on user_id; the same logic
     streaming exposes via session_window (streaming/windows.py).
+
+    The gap compares INTEGER MICROSECONDS on both engines (unix_micros /
+    epoch_us): the fixture timestamps carry microseconds, and a
+    whole-second Spark diff vs DuckDB's fractional epoch() would flip a
+    pair whose true gap sits in (gap, gap+1) seconds — e.g. 1800.8s is a
+    break in DuckDB but 2800−1000 = 1800 (not >1800) kept one session in
+    Spark. No fixture pair sits in the flip zone today; exactness makes
+    that luck irrelevant.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
     with_breaks = events.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_s),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
             1,
         ).otherwise(0),
     )
@@ -479,7 +487,7 @@ SELECT user_id,
 FROM (
   SELECT user_id, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -317,15 +317,19 @@ def fuzzy_part_match(part: DataFrame, max_dist: int = 3) -> DataFrame:
     return (
         a.join(b, "block")
         .where(F.col("a.p_name") < F.col("b.p_name"))
-        .where(
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= max_dist
+        # bind the O(len²) edit distance to a column BEFORE filtering:
+        # Filter and Project are separate operators and Catalyst does not
+        # CSE across them, so filtering and re-projecting the raw
+        # expression would compute Levenshtein twice per surviving pair.
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long"),
         )
+        .where(F.col("edit_dist") <= max_dist)
         .select(
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-            .cast("long")
-            .alias("edit_dist"),
+            "edit_dist",
         )
         .orderBy("name_a", "name_b")
     )
@@ -364,22 +368,25 @@ def max_concurrent_sessions(events: DataFrame, gap_min: int = 30) -> DataFrame:
     ends sort before starts (delta ascending: −1 first), the
     non-overlapping convention shared with the oracle.
     """
-    w_user = Window.partitionBy("user_id").orderBy("ts")
-    gap_s = gap_min * 60
+    # event_id tiebreak + integer-microsecond gap (unix_micros vs the
+    # oracle's epoch_us): the sessionize_events discipline — a truncated
+    # whole-second diff vs fractional epoch() flips pairs whose true gap
+    # sits in (gap, gap+1) seconds, and an untied ts order would be
+    # engine-nondeterministic on equal timestamps.
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = gap_min * 60 * 1_000_000
     sess = (
-        events.select("user_id", "ts")
+        events.select("user_id", "event_id", "ts")
         .withColumn("prev_ts", F.lag("ts").over(w_user))
         .withColumn(
             "new_sess",
             (
                 F.col("prev_ts").isNull()
-                | (
-                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-                    > gap_s
-                )
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us)
             ).cast("int"),
         )
-        .withColumn("sess_id", F.sum("new_sess").over(w_user))
+        .withColumn("sess_id", F.sum("new_sess").over(w_run))
         .groupBy("user_id", "sess_id")
         .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
     )
@@ -405,16 +412,16 @@ def max_concurrent_sessions(events: DataFrame, gap_min: int = 30) -> DataFrame:
 
 MAX_CONCURRENT_ORACLE = """
 WITH marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, sess_id, min(ts) AS start_ts, max(ts) AS end_ts
-  FROM (SELECT user_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+  FROM (SELECT user_id, event_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM marked)
   GROUP BY user_id, sess_id

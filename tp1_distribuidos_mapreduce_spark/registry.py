@@ -24,8 +24,11 @@ from .sources.text import read_documents_as_corpus
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Tokenizer regex shared verbatim by Spark (Java regex) and DuckDB (RE2):
-# both support the Unicode letter class \p{L}.
-_TOK = r"[^\p{L}]+"
+# both support the Unicode letter class \p{L}. Imported, not re-declared:
+# the Spark-side plans tokenize via this same constant, so an edit to the
+# token class can never silently desynchronize the reference-parity
+# oracles from the plans.
+from .functions.tokenize import TOKEN_SPLIT_REGEX as _TOK  # noqa: E402
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
@@ -392,7 +395,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def _ordered_names() -> list[str]:
     in_window = [n for n in _WINDOW if n in _QUERIES]
-    rest = [n for n in _QUERIES if n not in set(in_window)]
+    win = set(in_window)
+    rest = [n for n in _QUERIES if n not in win]
     # After the window: remaining oracle-bearing queries (still driver-
     # checkable if the cap ever rises), rows-only sketch/media queries last.
     return (
@@ -1956,7 +1960,14 @@ def q_stream_ivm_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src),
     )
 
-    work = tempfile.mkdtemp(prefix="tp1_spark_ivm_q_")
+    # one content-addressed work root per fixture, wiped before each run:
+    # a fresh mkdtemp per invocation leaked a state dir + checkpoint every
+    # replay (bench loops run this hundreds of times); wiping instead of
+    # reusing keeps the query's from-scratch replay semantics.
+    import shutil
+
+    work = f"/tmp/tp1_spark_ivm_q_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
     SK.write_stream_ivm(
         stream_events(spark, src, max_files_per_trigger=2),
         f"{work}/state",
