@@ -26,7 +26,13 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    except ValueError:
+        # custom dir names (e.g. /data/tpch-sf01) must not abort the run;
+        # -1.0 marks "unknown sf" while keeping the JSON numeric.
+        print(f"bench: cannot parse sf from {sf_dir!r}; using -1", file=sys.stderr)
+        sf = -1.0
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -53,9 +59,16 @@ def main() -> None:
     t_warm0 = time.perf_counter()
     # SPARK_GRAFT_BENCH_WARMUP=0 skips warmup (contract test / smoke runs
     # where per-query numbers are not being compared round-over-round).
+    # Every warmup step is individually fail-soft: a transient one-time
+    # build failure here must degrade to a cold (slower) timed run, never
+    # abort the whole bench with no JSON line (the timed loop's own
+    # contract).
     do_warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     for t in TABLE_NAMES if do_warmup else []:
-        materialize(load_table(spark, sf_dir, t))
+        try:
+            materialize(load_table(spark, sf_dir, t))
+        except Exception as ex:
+            print(f"bench: warmup table {t} failed: {ex}", file=sys.stderr)
     # bucketed_colocated_join, wc_textfiles, and knn_ivf_persisted also
     # warm here so their one-time /tmp materializations (bucketed layout,
     # text-file corpus, IVF index — amortized across every later run) stay
@@ -89,7 +102,10 @@ def main() -> None:
         else ()
     ):
         if warm in qs:
-            materialize(qs[warm](spark, sf_dir))
+            try:
+                materialize(qs[warm](spark, sf_dir))
+            except Exception as ex:
+                print(f"bench: warmup {warm} failed: {ex}", file=sys.stderr)
     warmup_sec = round(time.perf_counter() - t_warm0, 3)
 
     timings: dict[str, float] = {}
@@ -103,6 +119,10 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # failed queries are EXCLUDED from total (a -1 would corrupt the sum);
+    # n_failed in both JSON lines keeps that exclusion loud — without it, a
+    # change that makes a slow query crash would read as a total-time win.
+    n_failed = sum(1 for t in timings.values() if t < 0)
     # Sidecar holds the COMPLETE per-query record (ADVICE r6): the driver
     # captures a capped ~2000-char stdout tail, which cannot hold a
     # 159-query map (BENCH_r08.json parsed null). The sidecar is the
@@ -115,6 +135,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "warmup_sec": warmup_sec,
+            "n_failed": n_failed,
         }
     )
     # SPARK_GRAFT_BENCH_SIDECAR redirects the sidecar (tests / ad-hoc runs).
@@ -129,7 +150,9 @@ def main() -> None:
                 os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
             )
         else:
-            sidecar = f"/tmp/BENCH_FULL_sf{sf}.json"
+            # per-process name: successive/concurrent ad-hoc runs must not
+            # clobber each other's complete per-query record.
+            sidecar = f"/tmp/BENCH_FULL_sf{sf}_{os.getpid()}.json"
     with open(sidecar, "w") as f:
         f.write(full_line + "\n")
     # Stdout line is kept PARSEABLE inside the driver's tail cap (VERDICT
@@ -148,6 +171,7 @@ def main() -> None:
                 "sf": sf,
                 "warmup_sec": warmup_sec,
                 "n_queries": len(timings),
+                "n_failed": n_failed,
                 "queries_full": sidecar,
                 "queries": {k: round(v, 2) for k, v in {**failed, **top}.items()},
             },

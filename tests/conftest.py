@@ -7,7 +7,6 @@ from tp1_distribuidos_mapreduce_spark.session import get_spark
 from tp1_distribuidos_mapreduce_spark.sources.tables import TABLE_NAMES
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -45,8 +44,18 @@ def assert_rows_match_oracle(spark_cols, spark_rows, duck, sql, float_tol=1e-9):
     CONCURRENTLY (Spark's scheduler is thread-safe) and compare serially."""
     def row_key(row):
         # None-safe, type-stable sort key; identical values get identical
-        # keys in both engines so rows pair up correctly.
-        return tuple((v is None, str(v)) for v in row)
+        # keys in both engines so rows pair up correctly. Numerics sort
+        # NUMERICALLY (a str() key would order "10.0" < "9.0" — harmless
+        # while both engines emit identical values, but a last-ulp
+        # divergence could then mispair rows whose string forms flip
+        # order; the numeric key keeps near-equal values adjacent so the
+        # float_tol comparison sees the intended pairing).
+        return tuple(
+            (v is None, "", float(v))
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else (v is None, str(type(v).__name__), str(v))
+            for v in row
+        )
 
     spark_rows = sorted(spark_rows, key=row_key)
     # Engine-wide output policy (verify notes): no NULLs in any query

@@ -97,10 +97,11 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(f"mr-{args.plugin}")
     spark.sparkContext.setLogLevel("ERROR")
     result = run_mapreduce(read_text_corpus(spark, args.input), job)
-    R = job.num_partitions
-    if R is None:  # same resolution rule as run_mapreduce
-        R = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    write_sorted_kv_text(result, args.output, num_partitions=R)
+    from .operators.mapreduce import resolve_num_partitions
+
+    write_sorted_kv_text(
+        result, args.output, num_partitions=resolve_num_partitions(spark, job)
+    )
     print(f"wrote sorted KV output to {args.output}", file=sys.stderr)
 
 

@@ -58,6 +58,19 @@ class MapReduceJob:
     num_partitions: int | None = None
 
 
+def resolve_num_partitions(spark, job: "MapReduceJob") -> int:
+    """The job's R, defaulting to the session's shuffle parallelism — ONE
+    definition shared by run_mapreduce and the CLI ('auto'-safe: managed
+    platforms set spark.sql.shuffle.partitions to a non-integer)."""
+    if job.num_partitions is not None:
+        return job.num_partitions
+    raw = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return int(raw)
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def run_mapreduce(
     corpus: DataFrame,
     job: MapReduceJob,
@@ -112,9 +125,7 @@ def run_mapreduce(
 
         kv = kv.mapInPandas(run_combine, schema=KV_SCHEMA)
 
-    R = job.num_partitions
-    if R is None:
-        R = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    R = resolve_num_partitions(corpus.sparkSession, job)
     reduced = (
         kv.repartition(R, "key")
         .groupBy("key")
