@@ -1966,7 +1966,11 @@ def q_stream_ivm_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reusing keeps the query's from-scratch replay semantics.
     import shutil
 
-    work = f"/tmp/tp1_spark_ivm_q_{tag}"
+    # PER-PROCESS path: a shared content-addressed dir would let a
+    # concurrent session's wipe destroy this one's live state mid-fold
+    # (driver + driver-sim running the same query). Per-pid + wipe keeps
+    # same-process replays bounded AND cross-process runs isolated.
+    work = f"/tmp/tp1_spark_ivm_q_{tag}_{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
     SK.write_stream_ivm(
         stream_events(spark, src, max_files_per_trigger=2),
