@@ -45,20 +45,25 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_salted_join_spreads_hot_keys(spark):
-    events = load_table(spark, SF_SMOKE, "events")
-    types = events.select("event_type").distinct()
-    big_s = events.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in events.columns]), F.lit(4)).cast("int"),
-    )
-    per_subkey = big_s.groupBy("event_type", "__salt").count().collect()
-    # every hot key must actually occupy >1 salt bucket
-    from collections import defaultdict
+    """Exercises the OPERATOR's salt (operators/skew.py:_salt_of), not a
+    local re-implementation: the regression class is a hot key whose rows
+    are BYTE-IDENTICAL across every column — a whole-row hash alone sends
+    them all to one salt and silently defeats the mitigation."""
+    from tp1_distribuidos_mapreduce_spark.operators.skew import _salt_of
 
-    buckets = defaultdict(set)
-    for r in per_subkey:
-        buckets[r.event_type].add(r["__salt"])
-    assert all(len(s) == 4 for s in buckets.values())
+    # 2000 byte-identical rows of one hot key
+    big = spark.range(0, 2000).select(
+        F.lit(7).alias("k"), F.lit("x").alias("payload")
+    )
+    n_salts = (
+        big.withColumn("__s", _salt_of(big, 4)).select("__s").distinct().count()
+    )
+    assert n_salts == 4, "identical hot-key rows must spread over all salts"
+    # and the salted join itself stays correct on that degenerate input
+    small = spark.createDataFrame([(7, "dim")], "k long, d string")
+    out = salted_join(big, small, "k", num_salts=4)
+    assert out.count() == 2000
+    assert out.select("d").distinct().collect()[0][0] == "dim"
 
 
 def test_salted_collect_set_matches_direct(spark):
@@ -198,7 +203,16 @@ def test_disjunctive_predicate_reaches_both_scans(spark):
     plan = plan_of(spark, "disjunctive_brand_revenue")
     lineitem_scan = [l for l in plan.splitlines() if "FileScan" in l and "l_quantity" in l]
     part_scan = [l for l in plan.splitlines() if "FileScan" in l and "p_brand" in l]
-    assert any("l_quantity" in l and "DataFilters" in l for l in lineitem_scan)
+
+    def data_filters_of(line: str) -> str:
+        # the predicate must appear INSIDE the DataFilters bracket —
+        # 'l_quantity' also matches ReadSchema and 'DataFilters:' prints
+        # on every FileScan even when empty, so a bare substring test is
+        # tautological.
+        i = line.find("DataFilters: [")
+        return line[i : line.find("]", i) + 1] if i != -1 else ""
+
+    assert any("l_quantity" in data_filters_of(l) for l in lineitem_scan)
     assert any("Brand#" in l for l in part_scan)
 
 
@@ -210,10 +224,12 @@ def test_large_orders_preaggregates_before_join(spark):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
-    # executedPlan prints top-down: the join consumes the aggregate, so the
-    # aggregate appears BELOW (after) the join node but sum_qty must be
-    # grouped before o_orderkey ever appears in a join key.
-    assert "sum_qty" in plan[:join_pos] or "partial_sum" in plan
+    # executedPlan prints top-down: the join consumes the aggregate, so
+    # sum_qty (the aggregate's OUTPUT) must appear in the join's own
+    # printed attributes (above the join node) — proving the join input
+    # is per-order partials, not raw line items. (An `or "partial_sum" in
+    # plan` arm would be vacuous: any aggregate anywhere matches it.)
+    assert "sum_qty" in plan[:join_pos]
 
 
 @pytest.mark.parametrize(

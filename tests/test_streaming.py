@@ -6,7 +6,6 @@ applyInPandasWithState operator must converge to the batch aggregate.
 
 from __future__ import annotations
 
-import shutil
 import uuid
 
 import pytest
@@ -23,7 +22,6 @@ from tp1_distribuidos_mapreduce_spark.streaming import windows as W
 
 from conftest import SF_SMOKE
 
-EVENTS = f"{SF_SMOKE}/events.parquet"
 
 
 def run_stream(sdf, mode: str):
@@ -37,7 +35,7 @@ def run_stream(sdf, mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate within 120s"
     return sdf.sparkSession.sql(f"SELECT * FROM {name}")
 
 
@@ -116,7 +114,7 @@ def test_watermark_drops_late_event(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     dropped = sum(
         so.get("numRowsDroppedByWatermark", 0)
         for p in q.recentProgress
@@ -207,21 +205,25 @@ def test_stream_dedup_collapses_duplicate_delivery(spark, tmp_path):
     from tp1_distribuidos_mapreduce_spark.streaming import dedup as SD
 
     d = str(tmp_path / "dup_events")
-    ev = batch_events(spark).limit(500)
+    # deterministic subset (NOT limit(): an unordered limit re-evaluates
+    # nondeterministically across the two write jobs below — the same
+    # flake class the IVM parity-split comment documents)
+    ev = batch_events(spark).where(F.col("event_id") % 40 == 0)
+    n_distinct = ev.count()
     ev.write.mode("overwrite").parquet(d)
     ev.write.mode("append").parquet(d)
 
     out = run_stream(SD.dedup_events(stream_events(spark, d)), "append")
     ids = [r.event_id for r in out.select("event_id").collect()]
-    assert len(ids) == 500
-    assert len(set(ids)) == 500
+    assert len(ids) == n_distinct
+    assert len(set(ids)) == n_distinct
 
 
 def test_stream_dedup_batch_and_stream_agree(spark, tmp_path):
     from tp1_distribuidos_mapreduce_spark.streaming import dedup as SD
 
     d = str(tmp_path / "dup_events2")
-    ev = batch_events(spark).limit(300)
+    ev = batch_events(spark).where(F.col("event_id") % 30 == 0)
     ev.write.mode("overwrite").parquet(d)
     ev.write.mode("append").parquet(d)
 
@@ -570,7 +572,7 @@ def test_rowdir_stream_writer_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate"
 
     drain()
     batch = (
@@ -617,7 +619,7 @@ def test_rowdir_stream_writer_exactly_once(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not terminate"
     doubled = spark.read.format("rowdir").load(out).count()
     assert doubled == 2 * len(got)
     with open(os.path.join(out, PDS.ROWDIR_MANIFEST)) as f:
@@ -690,7 +692,7 @@ def test_rowdir_stream_complete_mode_overwrites_per_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
 
     expected = sorted(
         map(
