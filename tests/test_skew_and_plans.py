@@ -303,6 +303,8 @@ NESTED_LOOP_ALLOWED = {
     "hard_negative_mining",        # knn_bruteforce template: broadcast of the
                                    # bounded n_queries frame over one corpus
                                    # scan (label != filter has no equi-key)
+    "event_weekday_chi2",          # single-row broadcast grand-total N over
+                                   # the types×7 contingency cells
 }
 
 

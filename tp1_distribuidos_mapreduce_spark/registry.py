@@ -43,6 +43,20 @@ _ORACLES: dict[str, str] = {}
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
+    # ---- round-11 adjustment: no CORRECTNESS_r10.json was recorded (the
+    # r10 driver correctness pass never ran), so the r10 composition below
+    # — parity pins + r10 additions/changes + the full r6-era backlog — is
+    # STILL the right priority order for r11 and is kept intact. The two
+    # round-11 additions (nation_revenue_trend, event_weekday_chi2 — the
+    # plans/stats.py grouped-OLS + chi-square family) take the slots of
+    # token_stats and skewed_distinct_users, the backlog's lowest-risk
+    # members (pure integer counting, zero float arithmetic, code
+    # untouched since their r6 greens; both stay covered by every pytest
+    # differential and the session driver-sim replay, and go to the front
+    # of the r12 line). The second r11 stats batch (brand_qty_price_corr,
+    # revenue_autocorrelation) likewise takes the slots of dedup_exact
+    # and supplier_activity (pure integer counting, code untouched since
+    # r6, same differential coverage, r12 front of line).
     # ---- round-10 window (exactly 50 names), rotated per VERDICT r9
     # "Next round" #1: with every one of the 159 oracled queries green in
     # union(r6..r9), the objective is FRESHNESS — no oracled query's
@@ -110,7 +124,7 @@ _WINDOW: list[str] = [
     "customer_order_gaps",
     "daily_revenue_moving_avg",
     "dedup_embedding_cosine",
-    "dedup_exact",
+    "revenue_autocorrelation",
     "dedup_ngram_jaccard",
     "events_json_stats",
     "hourly_event_gapfill",
@@ -128,12 +142,12 @@ _WINDOW: list[str] = [
     "returned_item_revenue",
     "rollup_lineitem_flags",
     "sessionize_events",
-    "skewed_distinct_users",
+    "event_weekday_chi2",
     "sql_grouping_sets",
     "sql_revenue_by_region",
     "sql_top_balances_per_nation",
-    "supplier_activity",
-    "token_stats",
+    "brand_qty_price_corr",
+    "nation_revenue_trend",
     "top_customers_per_nation",
     "top_parts_by_revenue",
     "waiting_suppliers",
@@ -2225,3 +2239,45 @@ def q_rolling_28d_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-at-ingest/merge-at-query pattern. Rows-only; error envelope
     vs the exact rolling distinct pinned in tests/test_approx.py."""
     return AX.rolling_hll_active_users(load_table(spark, sf_dir, "events"))
+
+
+from .plans import stats as STT  # noqa: E402
+
+
+@register("nation_revenue_trend", oracle=STT.NATION_REVENUE_TREND_ORACLE)
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend (plans/stats.py): per-nation least-squares
+    slope of daily revenue — exact BIGINT sufficient statistics, one
+    closed-form division, no iteration."""
+    return STT.nation_revenue_trend(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("event_weekday_chi2", oracle=STT.EVENT_WEEKDAY_CHI2_ORACLE)
+def q_event_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type × weekday (plans/stats.py):
+    exact-integer contingency table, canonical-order double fold — the
+    statistic is bit-identical across engines, not merely close."""
+    return STT.event_weekday_chi2(load_table(spark, sf_dir, "events"))
+
+
+@register("brand_qty_price_corr", oracle=STT.BRAND_QTY_PRICE_CORR_ORACLE)
+def q_brand_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation (plans/stats.py): per-brand r between
+    quantity and price — DECIMAL(38,0)/HUGEINT sufficient statistics
+    (squares of cents pass 2^63 at scale), one divide-sqrt-divide chain,
+    bit-identical across engines."""
+    return STT.brand_qty_price_corr(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register("revenue_autocorrelation", oracle=STT.REVENUE_AUTOCORRELATION_ORACLE)
+def q_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue (plans/stats.py): lead()
+    pairing over the post-aggregation calendar frame, consecutive days
+    only; exact decimal sufficient statistics."""
+    return STT.revenue_autocorrelation(load_table(spark, sf_dir, "orders"))
