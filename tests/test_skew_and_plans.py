@@ -305,6 +305,10 @@ NESTED_LOOP_ALLOWED = {
                                    # scan (label != filter has no equi-key)
     "event_weekday_chi2",          # single-row broadcast grand-total N over
                                    # the types×7 contingency cells
+    "ks_returned_price",           # single-row broadcast (n1, n2) totals
+                                   # over the per-price cumulative rows
+    "benford_price_audit",         # single-row broadcast grand total over
+                                   # the 9 digit rows
 }
 
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tp1_distribuidos_mapreduce_spark.plans import stats as STT
@@ -167,3 +169,91 @@ def test_autocorrelation_consecutive_days_only(spark):
     # the fixture calendar has gaps: consecutive-day pairing must drop
     # at least one day, i.e. pairs < days
     assert n < len(daily)
+
+
+def test_ks_statistic_bit_exact_vs_python(spark):
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    row = STT.ks_returned_price(lineitem).collect()[0]
+
+    per_v: dict[int, list[int]] = {}
+    for r in lineitem.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_returnflag") == "R").alias("is_r"),
+    ).collect():
+        c = per_v.setdefault(r["cents"], [0, 0])
+        c[0 if r["is_r"] else 1] += 1
+    n1 = sum(v[0] for v in per_v.values())
+    n2 = sum(v[1] for v in per_v.values())
+    cum1 = cum2 = 0
+    dnum = 0
+    for cents in sorted(per_v):
+        cum1 += per_v[cents][0]
+        cum2 += per_v[cents][1]
+        dnum = max(dnum, abs(cum1 * n2 - cum2 * n1))
+    assert row["n_returned"] == n1 and row["n_other"] == n2
+    assert row["ks_stat"] == float(dnum) / float(n1 * n2)
+    assert 0.0 <= row["ks_stat"] <= 1.0
+
+
+def test_entropy_matches_python_ordered_fold(spark):
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    got = {
+        r["dow"]: (
+            r["n_events"],
+            r["n_types"],
+            r["entropy_bits"],
+            r["norm_entropy"],
+        )
+        for r in STT.event_type_entropy(events).collect()
+    }
+
+    cells: dict[tuple[int, str], int] = {}
+    for r in (
+        events.select(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"), "event_type"
+        )
+        .groupBy("dow", "event_type")
+        .count()
+        .collect()
+    ):
+        cells[(r["dow"], r["event_type"])] = r["count"]
+    for dow in sorted({d for d, _ in cells}):
+        cl = sorted((t, c) for (d, t), c in cells.items() if d == dow)
+        n = sum(c for _, c in cl)
+        h = 0.0  # same left fold, same (event_type) order
+        for _, c in cl:
+            p = c / n
+            h += -(p * math.log(p))
+        n_ev, n_ty, bits, norm = got[dow]
+        assert (n_ev, n_ty) == (n, len(cl))
+        assert bits == pytest.approx(h / math.log(2.0), abs=1e-6)
+        if len(cl) > 1:
+            assert norm == pytest.approx(h / math.log(len(cl)), abs=1e-6)
+            assert 0.0 <= norm <= 1.0
+        else:
+            assert norm == 0.0
+
+
+def test_benford_shares_exact_and_complete(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    rows = STT.benford_price_audit(orders).collect()
+
+    counts: dict[int, int] = {}
+    for r in orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).collect():
+        if r["cents"] > 0:
+            d = int(str(r["cents"])[0])
+            counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    got = {r["digit"]: r for r in rows}
+    assert set(got) == set(counts)
+    for d, n in counts.items():
+        r = got[d]
+        assert r["n_orders"] == n
+        assert r["obs_share"] == n / total  # raw exact-rational division
+        assert r["exp_share"] == math.log10(1.0 + 1.0 / d)
+        assert r["abs_dev"] == abs(n / total - math.log10(1.0 + 1.0 / d))
+    # shares sum to 1 within float error; TPC-H prices are roughly
+    # log-uniform over one decade so every digit appears at this SF
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-9

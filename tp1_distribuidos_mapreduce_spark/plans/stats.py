@@ -20,6 +20,16 @@ continuous tie-safe class the exactness audit documents — with any
 shared CONSTANT (ln 2, Benford's expected shares) injected as the SAME
 Python float literal into both engines' plans so no per-engine libm
 call can split them.
+
+One measured trap governs (a): integer→double casts are NOT correctly
+rounded in every engine once the integer passes 2⁵³ — DuckDB's
+HUGEINT→DOUBLE converts the 64-bit halves separately and double-rounds
+(measured: 66964254148864380930 → ...438e19 instead of the correct
+...4385e19). Every conversion that can exceed 2⁵³ therefore goes
+through the DECIMAL STRING — CAST(x AS VARCHAR) AS DOUBLE /
+Column.cast("string").cast("double") — which both engines parse with a
+correctly-rounded strtod, making the conversion (and everything
+downstream) bit-identical again.
 """
 
 from __future__ import annotations
@@ -276,9 +286,9 @@ def brand_qty_price_corr(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             "p_brand",
             "n_items",
             (
-                num.cast("double")
-                / F.sqrt(F.col("da").cast("double"))
-                / F.sqrt(F.col("db").cast("double"))
+                num.cast("string").cast("double")
+                / F.sqrt(F.col("da").cast("string").cast("double"))
+                / F.sqrt(F.col("db").cast("string").cast("double"))
             ).alias("corr_qty_price"),
         )
         .orderBy("p_brand")
@@ -300,9 +310,9 @@ WITH base AS (
   FROM base GROUP BY p_brand
 )
 SELECT p_brand, n_items,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-         / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+         / sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS corr_qty_price
 FROM s
 WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
 ORDER BY p_brand
@@ -365,9 +375,9 @@ def revenue_autocorrelation(orders: DataFrame) -> DataFrame:
         .select(
             "n_pairs",
             (
-                num.cast("double")
-                / F.sqrt(F.col("da").cast("double"))
-                / F.sqrt(F.col("db").cast("double"))
+                num.cast("string").cast("double")
+                / F.sqrt(F.col("da").cast("string").cast("double"))
+                / F.sqrt(F.col("db").cast("string").cast("double"))
             ).alias("autocorr_lag1"),
         )
     )
@@ -395,9 +405,289 @@ WITH daily AS (
   FROM pairs
 )
 SELECT n_pairs,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-         / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr_lag1
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+         / sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS autocorr_lag1
 FROM s
 WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+"""
+
+
+def ks_returned_price(lineitem: DataFrame) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic comparing the
+    extended-price distribution of RETURNED lines (l_returnflag = 'R')
+    against everything else — "did returns come from a different price
+    population". One row: (n_returned, n_other, ks_stat).
+
+    Shape — the two-phase bucketed cumulative (the weighted-percentile
+    discipline, retail.py): a global ordered window over near-unique
+    prices would be one partition at 100 TB, so instead (1) one shuffle
+    collapses the fact table to per-price-cent counts, (2) per-BUCKET
+    (cents >> 17, ~$1.3k ranges — bounded by the price domain, not the
+    data) totals get the tiny ordered cumulative, (3) the in-bucket
+    cumulative window is PARTITIONED by bucket, and the bucket's prior
+    total joins back as a broadcast. D is then one max aggregate.
+
+    Exactness: the ECDF difference at price v is |C₁(v)·n₂ − C₂(v)·n₁|
+    / (n₁·n₂) — the numerator is exact integer arithmetic (DECIMAL(38,0)
+    here, HUGEINT in the oracle: cumulative-count × count products pass
+    2⁶³ at ~10⁹ rows per side), the max over rows picks the same exact
+    integer in both engines, and ks_stat is ONE correctly-rounded
+    division of identical exact integers — bit-identical. The sup over
+    the full real line is attained at observed points, so evaluating at
+    each distinct price (inclusive cumulative) is the exact D, not an
+    approximation.
+    """
+    per_v = (
+        lineitem.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+                "cents"
+            ),
+            (F.col("l_returnflag") == "R").cast("long").alias("is_r"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("is_r").alias("c1"),
+            F.sum(1 - F.col("is_r")).alias("c2"),
+        )
+        .withColumn("bkt", F.shiftright("cents", 17))
+    )
+    per_bkt = per_v.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    cum_b = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    priors = per_bkt.select(
+        "bkt",
+        (F.sum("b1").over(cum_b) - F.col("b1")).alias("p1"),
+        (F.sum("b2").over(cum_b) - F.col("b2")).alias("p2"),
+    )
+    cum_in = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    cum = (
+        per_v.join(F.broadcast(priors), "bkt")
+        .select(
+            "cents",
+            (F.col("p1") + F.sum("c1").over(cum_in)).alias("cum1"),
+            (F.col("p2") + F.sum("c2").over(cum_in)).alias("cum2"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    d = F.abs(
+        F.col("cum1").cast("decimal(18,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(18,0)") * F.col("n1")
+    )
+    return cum.agg(
+        F.first("n1").alias("n_returned"),
+        F.first("n2").alias("n_other"),
+        (
+            F.max(d).cast("string").cast("double")
+            / (
+                F.first("n1").cast("decimal(18,0)")
+                * F.first("n2").cast("decimal(18,0)")
+            ).cast("string").cast("double")
+        ).alias("ks_stat"),
+    )
+
+
+KS_RETURNED_PRICE_ORACLE = """
+WITH per_v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS c2
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2,
+         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+  FROM per_v
+)
+SELECT CAST(max(n1) AS BIGINT) AS n_returned,
+       CAST(max(n2) AS BIGINT) AS n_other,
+       CAST(CAST(max(abs(CAST(cum1 AS HUGEINT) * n2
+                         - CAST(cum2 AS HUGEINT) * n1)) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(max(n1) AS HUGEINT) * max(n2) AS VARCHAR)
+                AS DOUBLE) AS ks_stat
+FROM cum
+"""
+
+
+# Natural-log-to-bits conversion: the SAME Python float literal is
+# injected into both engines' plans so no per-engine log() call on the
+# constant can split them by an ulp.
+_LN2 = math.log(2.0)
+
+
+def event_type_entropy(events: DataFrame) -> DataFrame:
+    """Shannon entropy of the event-type mix per weekday — "how varied
+    is activity on each day", the information-theoretic companion to
+    event_weekday_chi2. Rows: (dow, n_events, n_types, entropy_bits,
+    norm_entropy) with norm = H / log2(n_types) in [0, 1].
+
+    Shape: one hash aggregate to the (dow, type) contingency cells, a
+    second tiny aggregate per dow collects the sorted cell list —
+    bounded by the type vocabulary, never the data — and the entropy
+    folds inside the row.
+
+    Exactness: p = c/N is one correctly-rounded division of exact
+    BIGINTs; the −p·ln(p) terms then fold in ONE canonical order (cells
+    sorted by event_type, same prepended-zero left fold both engines).
+    ln() itself is the libm-dependent transcendental class, so the
+    result is rounded to 6dp (the documented continuous tie-safe
+    class), and the nats→bits constant is the shared _LN2 literal, NOT
+    a per-engine log(2) call. Degenerate single-type days emit
+    norm_entropy = 0 rather than 0/0.
+    """
+    cells = events.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_dow = cells.groupBy("dow").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sort_array(F.collect_list(F.struct("event_type", "c"))).alias(
+            "cl"
+        ),
+    )
+    p = lambda s: s["c"].cast("double") / F.col("n_events").cast("double")  # noqa: E731
+    h_nats = F.aggregate(
+        F.col("cl"),
+        F.lit(0.0),
+        lambda acc, s: acc - p(s) * F.log(p(s)),
+    )
+    return (
+        per_dow.withColumn("h", h_nats)
+        .select(
+            "dow",
+            "n_events",
+            "n_types",
+            F.round(F.col("h") / F.lit(_LN2), 6).alias("entropy_bits"),
+            F.when(F.col("n_types") > 1, F.round(
+                F.col("h") / F.log(F.col("n_types").cast("double")), 6
+            )).otherwise(F.lit(0.0)).alias("norm_entropy"),
+        )
+        .orderBy("dow")
+    )
+
+
+EVENT_TYPE_ENTROPY_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(date_part('dow', ts) AS INTEGER) AS dow, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT dow, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY dow
+), per_dow AS (
+  SELECT cells.dow,
+         CAST(max(tot.n) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(-(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                  ORDER BY event_type)),
+           (a, b) -> a + b) AS DOUBLE) AS h
+  FROM cells JOIN tot ON cells.dow = tot.dow GROUP BY cells.dow
+)
+SELECT dow, n_events, n_types,
+       round(h / {_LN2!r}, 6) AS entropy_bits,
+       CASE WHEN n_types > 1
+            THEN round(h / ln(CAST(n_types AS DOUBLE)), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM per_dow
+ORDER BY dow
+"""
+
+
+# Benford's law expected first-digit shares, precomputed ONCE in Python
+# and injected as the same float literals into both engines' plans —
+# log10 never runs engine-side.
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_price_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen. Rows per leading digit 1-9: observed count,
+    observed share, Benford's expected share, absolute deviation.
+
+    Shape: one hash aggregate to 9 rows; the grand total broadcasts
+    back as a single-row frame.
+
+    Exactness: the leading digit comes from the DECIMAL STRING of the
+    integral cent amount — substr(cast(cents as string), 1, 1) — never
+    from floor(log10(x)), whose libm variance and boundary behavior at
+    exact powers of ten would split engines. obs_share = n/total is one
+    correctly-rounded division of identical BIGINTs (emitted RAW — a
+    rounding step would be the tie-capable integer-ratio class the
+    exactness audit forbids); exp_share is the shared _BENFORD literal;
+    abs_dev subtracts two bit-identical doubles. All bit-exact, no
+    rounding anywhere.
+    """
+    digits = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .where(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    total = digits.agg(F.sum("n_orders").alias("total"))
+    exp = F.lit(None).cast("double")
+    for d, share in sorted(_BENFORD.items()):
+        exp = F.when(F.col("digit") == d, F.lit(share)).otherwise(exp)
+    obs = F.col("n_orders").cast("double") / F.col("total").cast("double")
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            obs.alias("obs_share"),
+            exp.alias("exp_share"),
+            F.abs(obs - exp).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_case_sql() -> str:
+    arms = "\n         ".join(
+        # CAST: a bare numeric literal parses as DECIMAL in DuckDB
+        # (the r10 decimal-literal trap) — the column must be DOUBLE
+        f"WHEN digit = {d} THEN CAST({share!r} AS DOUBLE)"
+        for d, share in sorted(_BENFORD.items())
+    )
+    return f"CASE {arms} END"
+
+
+BENFORD_PRICE_AUDIT_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM digits
+)
+SELECT digit, n_orders,
+       CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS obs_share,
+       {_benford_case_sql()} AS exp_share,
+       abs(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE)
+           - {_benford_case_sql()}) AS abs_dev
+FROM digits, tot
+ORDER BY digit
 """

@@ -56,7 +56,10 @@ _WINDOW: list[str] = [
     # of the r12 line). The second r11 stats batch (brand_qty_price_corr,
     # revenue_autocorrelation) likewise takes the slots of dedup_exact
     # and supplier_activity (pure integer counting, code untouched since
-    # r6, same differential coverage, r12 front of line).
+    # r6, same differential coverage, r12 front of line); the third
+    # (ks_returned_price, event_type_entropy, benford_price_audit)
+    # those of sessionize_events, priorities_with_big_items and
+    # waiting_suppliers on the same criterion.
     # ---- round-10 window (exactly 50 names), rotated per VERDICT r9
     # "Next round" #1: with every one of the 159 oracled queries green in
     # union(r6..r9), the objective is FRESHNESS — no oracled query's
@@ -134,14 +137,14 @@ _WINDOW: list[str] = [
     "monthly_order_stats",
     "order_price_quantiles",
     "order_value_deciles",
-    "priorities_with_big_items",
+    "event_type_entropy",
     "purchase_asof_last_click",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "returned_item_revenue",
     "rollup_lineitem_flags",
-    "sessionize_events",
+    "ks_returned_price",
     "event_weekday_chi2",
     "sql_grouping_sets",
     "sql_revenue_by_region",
@@ -150,7 +153,7 @@ _WINDOW: list[str] = [
     "nation_revenue_trend",
     "top_customers_per_nation",
     "top_parts_by_revenue",
-    "waiting_suppliers",
+    "benford_price_audit",
     "weekday_order_stats",
 ]
 
@@ -2281,3 +2284,27 @@ def q_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing over the post-aggregation calendar frame, consecutive days
     only; exact decimal sufficient statistics."""
     return STT.revenue_autocorrelation(load_table(spark, sf_dir, "orders"))
+
+
+@register("ks_returned_price", oracle=STT.KS_RETURNED_PRICE_ORACLE)
+def q_ks_returned_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic (plans/stats.py): returned-vs-other
+    price distributions via the two-phase bucketed cumulative — no
+    global single-partition window; DECIMAL/HUGEINT cross-products."""
+    return STT.ks_returned_price(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("event_type_entropy", oracle=STT.EVENT_TYPE_ENTROPY_ORACLE)
+def q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-weekday Shannon entropy of the event-type mix
+    (plans/stats.py): canonical-order fold, shared ln2 literal, 6dp
+    continuous-class rounding."""
+    return STT.event_type_entropy(load_table(spark, sf_dir, "events"))
+
+
+@register("benford_price_audit", oracle=STT.BENFORD_PRICE_AUDIT_ORACLE)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (plans/stats.py): decimal-string digit
+    extraction (no log10), raw exact-rational shares, literal expected
+    values — bit-exact, zero rounding."""
+    return STT.benford_price_audit(load_table(spark, sf_dir, "orders"))
