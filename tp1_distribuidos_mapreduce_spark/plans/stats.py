@@ -60,20 +60,22 @@ def nation_revenue_trend(
     the OLS sufficient statistics n, Σx, Σy, Σxy, Σx². The nation
     dimension broadcasts; the slope is closed-form, no iteration.
 
-    Exactness: x = whole days since 1995-01-01 (BIGINT), y = integral
-    cents (BIGINT), so all five statistics are exact integer sums and
-    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is ONE division of two
-    identical BIGINTs — IEEE-correctly-rounded, bit-identical across
-    engines, no rounding step needed. Headroom: with day indices |x| ≤
-    ~2·10³ and daily cents ≤ ~10¹⁰ even at 100 TB, nΣxy stays ≤ ~10¹⁷
-    < 2⁶³; past that, widen the products to decimal(38,0).
+    Exactness: x = whole days since 1995-01-01, y = integral cents,
+    both carried as DECIMAL(18,0) so every sum and product is exact
+    decimal integer arithmetic up to 10³⁸ (the oracle mirrors with
+    HUGEINT) — the r11 BIGINT formulation's 2⁶³ headroom note is now
+    ENFORCED by the types rather than documented (VERDICT r11 #8).
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is ONE division; both
+    operands convert to double through the DECIMAL STRING (the
+    module-docstring 2⁵³ trap), so the division is correctly rounded
+    over exactly-represented inputs and bit-identical across engines.
 
     Nations whose orders all land on one day have a zero denominator
     (slope undefined) and are excluded rather than emitted as NULL/inf.
     """
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
     x = F.datediff(F.col("o_orderdate"), F.lit(_X_EPOCH).cast("date")).cast(
-        "long"
+        "decimal(18,0)"
     )
     daily = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
@@ -84,20 +86,24 @@ def nation_revenue_trend(
     )
     stats = daily.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("nd"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
         stats.withColumn("den", den)
         .where(F.col("den") != 0)
         .select(
             "n_name",
             "n_days",
-            (num.cast("double") / F.col("den")).alias("slope_cents_per_day"),
+            (
+                num.cast("string").cast("double")
+                / F.col("den").cast("string").cast("double")
+            ).alias("slope_cents_per_day"),
         )
         .orderBy("n_name")
     )
@@ -106,8 +112,8 @@ def nation_revenue_trend(
 NATION_REVENUE_TREND_ORACLE = f"""
 WITH daily AS (
   SELECT n_name,
-         CAST(date_diff('day', DATE '{_X_EPOCH}', o_orderdate) AS BIGINT) AS x,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+         CAST(date_diff('day', DATE '{_X_EPOCH}', o_orderdate) AS HUGEINT) AS x,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS y
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
@@ -115,15 +121,17 @@ WITH daily AS (
 ), stats AS (
   SELECT n_name,
          CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) AS HUGEINT) AS n,
          sum(x) AS sx, sum(y) AS sy,
          sum(x * y) AS sxy, sum(x * x) AS sxx
   FROM daily GROUP BY n_name
 )
 SELECT n_name, n_days,
-       CAST(n_days * sxy - sx * sy AS DOUBLE)
-         / (n_days * sxx - sx * sx) AS slope_cents_per_day
+       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+         AS slope_cents_per_day
 FROM stats
-WHERE n_days * sxx - sx * sx <> 0
+WHERE n * sxx - sx * sx <> 0
 ORDER BY n_name
 """
 
@@ -141,10 +149,13 @@ def event_weekday_chi2(events: DataFrame) -> DataFrame:
     not by the data.
 
     Exactness: each cell's term is (N·o − r·c)²/(N·r·c) with N, o, r, c
-    exact BIGINTs. The difference d = N·o − r·c is exact BIGINT
-    arithmetic (headroom: N·o ≤ ~10¹⁸ needs N·max(o) < 2⁶³ — true below
-    ~3·10⁹ events; past that widen to decimal(38,0)), converted once to
-    double (exact for |d| < 2⁵³); the denominator multiplies the three
+    exact BIGINTs. The difference d = N·o − r·c is computed in
+    DECIMAL(38,0) (oracle: HUGEINT) so it is exact up to 10³⁸ events² —
+    the r11 BIGINT formulation's ~3·10⁹-event 2⁶³ ceiling is now
+    enforced by the types (VERDICT r11 #8) — and converts to double
+    through the DECIMAL STRING (the module-docstring 2⁵³ trap), so the
+    conversion is correctly rounded at any scale; the denominator
+    multiplies the three
     counts AS DOUBLES left-to-right so it cannot overflow at any scale;
     the term is then d·d/den — every float op correctly rounded on
     identical inputs in both engines. The non-associative part —
@@ -154,7 +165,12 @@ def event_weekday_chi2(events: DataFrame) -> DataFrame:
     prepended 0.0 to mirror Spark's init), so the doubles add in one
     canonical order and the statistic is bit-identical, not merely
     close. cramers_v = sqrt(chi2/(N·min(R−1,C−1))) — sqrt and division
-    are single correctly-rounded ops, so determinism survives.
+    are single correctly-rounded ops, so determinism survives. A
+    degenerate table (single event type or single weekday) has
+    min(R−1,C−1) = 0; the engines disagree on double/0 (Spark emits
+    Infinity, DuckDB NULL — ADVICE r11), so that case emits 0.0
+    explicitly in BOTH plans, matching the sibling queries'
+    zero-denominator discipline.
     """
     cells = events.groupBy(
         F.col("event_type"),
@@ -168,7 +184,10 @@ def event_weekday_chi2(events: DataFrame) -> DataFrame:
         .join(F.broadcast(col_tot), "dow")
         .crossJoin(F.broadcast(n_total))
     )
-    d = (F.col("N") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+    d = (
+        F.col("N").cast("decimal(20,0)") * F.col("o")
+        - F.col("r").cast("decimal(20,0)") * F.col("c")
+    ).cast("string").cast("double")
     den = (
         F.col("N").cast("double")
         * F.col("r").cast("double")
@@ -198,9 +217,12 @@ def event_weekday_chi2(events: DataFrame) -> DataFrame:
         "n_cells",
         dof.alias("dof"),
         "chi2",
-        F.sqrt(F.col("chi2") / (F.col("N") * mindim).cast("double")).alias(
-            "cramers_v"
-        ),
+        F.when(
+            mindim > 0,
+            F.sqrt(F.col("chi2") / (F.col("N") * mindim).cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cramers_v"),
     )
 
 
@@ -225,8 +247,10 @@ WITH cells AS (
 ), folded AS (
   SELECT CAST(list_reduce(
            list_prepend(CAST(0.0 AS DOUBLE),
-             list(CAST(N * o - r * c AS DOUBLE)
-                    * CAST(N * o - r * c AS DOUBLE)
+             list(CAST(CAST(CAST(N AS HUGEINT) * o
+                            - CAST(r AS HUGEINT) * c AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(CAST(N AS HUGEINT) * o
+                            - CAST(r AS HUGEINT) * c AS VARCHAR) AS DOUBLE)
                     / (CAST(N AS DOUBLE) * CAST(r AS DOUBLE)
                        * CAST(c AS DOUBLE))
                   ORDER BY event_type, dow)),
@@ -236,8 +260,10 @@ WITH cells AS (
 SELECT d.n_cells,
        (d.n_types - 1) * (d.n_dows - 1) AS dof,
        f.chi2,
-       sqrt(f.chi2 / (CAST(d.N AS DOUBLE) * least(d.n_types - 1, d.n_dows - 1)))
-         AS cramers_v
+       CASE WHEN least(d.n_types - 1, d.n_dows - 1) > 0
+            THEN sqrt(f.chi2 / (CAST(d.N AS DOUBLE)
+                                * least(d.n_types - 1, d.n_dows - 1)))
+            ELSE CAST(0.0 AS DOUBLE) END AS cramers_v
 FROM dims d, folded f
 """
 
@@ -429,8 +455,10 @@ def ks_returned_price(lineitem: DataFrame) -> DataFrame:
     total joins back as a broadcast. D is then one max aggregate.
 
     Exactness: the ECDF difference at price v is |C₁(v)·n₂ − C₂(v)·n₁|
-    / (n₁·n₂) — the numerator is exact integer arithmetic (DECIMAL(38,0)
-    here, HUGEINT in the oracle: cumulative-count × count products pass
+    / (n₁·n₂) — the numerator is exact integer arithmetic (BIGINT counts
+    cast DECIMAL(20,0) — total over any BIGINT, ADVICE r11 — whose
+    products promote to DECIMAL(38,0); HUGEINT in the oracle:
+    cumulative-count × count products pass
     2⁶³ at ~10⁹ rows per side), the max over rows picks the same exact
     integer in both engines, and ks_stat is ONE correctly-rounded
     division of identical exact integers — bit-identical. The sup over
@@ -482,8 +510,8 @@ def ks_returned_price(lineitem: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(tot))
     )
     d = F.abs(
-        F.col("cum1").cast("decimal(18,0)") * F.col("n2")
-        - F.col("cum2").cast("decimal(18,0)") * F.col("n1")
+        F.col("cum1").cast("decimal(20,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(20,0)") * F.col("n1")
     )
     return cum.agg(
         F.first("n1").alias("n_returned"),
@@ -491,8 +519,8 @@ def ks_returned_price(lineitem: DataFrame) -> DataFrame:
         (
             F.max(d).cast("string").cast("double")
             / (
-                F.first("n1").cast("decimal(18,0)")
-                * F.first("n2").cast("decimal(18,0)")
+                F.first("n1").cast("decimal(20,0)")
+                * F.first("n2").cast("decimal(20,0)")
             ).cast("string").cast("double")
         ).alias("ks_stat"),
     )
@@ -598,7 +626,7 @@ WITH cells AS (
   FROM cells JOIN tot ON cells.dow = tot.dow GROUP BY cells.dow
 )
 SELECT dow, n_events, n_types,
-       round(h / {_LN2!r}, 6) AS entropy_bits,
+       round(h / CAST({_LN2!r} AS DOUBLE), 6) AS entropy_bits,
        CASE WHEN n_types > 1
             THEN round(h / ln(CAST(n_types AS DOUBLE)), 6)
             ELSE 0.0 END AS norm_entropy
