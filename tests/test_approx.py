@@ -90,25 +90,22 @@ def test_rolling_hll_within_error_envelope(spark, duck):
     from tp1_distribuidos_mapreduce_spark.plans import approx as AX
     from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
 
+    from tp1_distribuidos_mapreduce_spark import registry
+
     got = {
         str(r["window_end"]): r["approx_users"]
         for r in AX.rolling_hll_active_users(
             load_table(spark, SF_SMOKE, "events")
         ).collect()
     }
+    # anchor: the registered exact twin's own oracle (VERDICT r11 #5) —
+    # the same driver-gated SQL that pins rolling_28d_users_exact, so
+    # the envelope is asserted against an oracle-checked exact answer
+    # with the identical gap-day / max-day-cut convention.
     exact = {
         str(d): n
         for d, n in duck.sql(
-            f"""
-            WITH du AS (
-              SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-              FROM '{SF_SMOKE}/events.parquet'
-            ), days AS (SELECT DISTINCT day FROM du)
-            SELECT w.day AS window_end, count(DISTINCT d.user_id) AS n
-            FROM days w JOIN du d
-              ON d.day <= w.day AND d.day > w.day - INTERVAL 28 DAY
-            GROUP BY w.day
-            """
+            registry.oracle_sql()["rolling_28d_users_exact"]
         ).fetchall()
     }
     assert got.keys() == exact.keys()

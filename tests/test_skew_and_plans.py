@@ -293,6 +293,7 @@ NESTED_LOOP_ALLOWED = {
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate
     "rolling_7d_active_users",     # single-row broadcast max-day aggregate
+    "rolling_28d_users_exact",     # same plan at the sketch's window length
     "rolling_28d_users_hll",       # same single-row max-day cut as its
                                    # exact twin (aligned in r10)
     "source_vocab_overlap",        # source-cardinality sizes cross (< join)

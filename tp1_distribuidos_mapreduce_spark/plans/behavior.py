@@ -349,14 +349,21 @@ def rolling_active_users(events: DataFrame, days: int = ROLLING_WINDOW_DAYS) -> 
     )
 
 
-ROLLING_ACTIVE_USERS_ORACLE = f"""
+def rolling_active_users_oracle(days: int = ROLLING_WINDOW_DAYS) -> str:
+    """Oracle for ``rolling_active_users`` at any window length —
+    parameterized builder (the r9 ADVICE discipline: the oracle derives
+    from the same parameter the plan receives, so a window-length edit
+    can never desynchronize the pair). Same gap-day convention as the
+    plan: every window end from first event day through max observed
+    day, including eventless calendar days."""
+    return f"""
 WITH day_user AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
 ), max_day AS (
   SELECT max(CAST(ts AS DATE)) AS max_day FROM events
 ), contributes AS (
   SELECT CAST(day + to_days(CAST(i AS INTEGER)) AS DATE) AS day, user_id
-  FROM day_user, LATERAL (SELECT unnest(generate_series(0, {ROLLING_WINDOW_DAYS - 1})) AS i)
+  FROM day_user, LATERAL (SELECT unnest(generate_series(0, {days - 1})) AS i)
 )
 SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
 FROM contributes c, max_day m
@@ -364,6 +371,9 @@ WHERE c.day <= m.max_day
 GROUP BY c.day
 ORDER BY c.day
 """
+
+
+ROLLING_ACTIVE_USERS_ORACLE = rolling_active_users_oracle()
 
 
 def user_state_islands(events: DataFrame) -> DataFrame:

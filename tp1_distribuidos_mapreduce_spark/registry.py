@@ -2244,6 +2244,23 @@ def q_rolling_28d_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AX.rolling_hll_active_users(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "rolling_28d_users_exact",
+    oracle=BH.rolling_active_users_oracle(days=AX.ROLLING_HLL_DAYS),
+)
+def q_rolling_28d_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 28-day distinct users (plans/behavior.py at the
+    HLL sketch's window length — VERDICT r11 #5): the oracle-checked
+    anchor for rolling_28d_users_hll's error envelope, same gap-day /
+    max-day-cut convention, so the sketch's accuracy is pinned against
+    a driver-gated exact answer at every sf, not only the 7-day twin's
+    different window. Window length and oracle both derive from
+    ROLLING_HLL_DAYS — the pair cannot silently diverge."""
+    return BH.rolling_active_users(
+        load_table(spark, sf_dir, "events"), days=AX.ROLLING_HLL_DAYS
+    )
+
+
 from .plans import stats as STT  # noqa: E402
 
 
