@@ -108,15 +108,34 @@ def main() -> None:
                 print(f"bench: warmup {warm} failed: {ex}", file=sys.stderr)
     warmup_sec = round(time.perf_counter() - t_warm0, 3)
 
+    # SPARK_GRAFT_BENCH_REPEATS=N (default 1): time each query N times and
+    # record the per-query MEDIAN (BENCH_NOISE.md / VERDICT r11 #7). Two
+    # driver rounds were polluted by machine load (r8 truncation, r11 2.5×
+    # warmup inflation); medians make round-over-round comparisons
+    # defensible when it matters. Single-run default unchanged — the
+    # per-round driver bench stays one pass; repeats are for committed
+    # BENCH_FULL refreshes and regression chases.
+    try:
+        repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+    except ValueError:
+        print("bench: bad SPARK_GRAFT_BENCH_REPEATS; using 1", file=sys.stderr)
+        repeats = 1
+
+    import statistics
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as ex:  # keep the bench line parseable on failure
-            print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
-            timings[name] = -1.0
+        runs: list[float] = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            except Exception as ex:  # keep the bench line parseable on failure
+                print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
+                runs = []
+                break
+        timings[name] = round(statistics.median(runs), 3) if runs else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # failed queries are EXCLUDED from total (a -1 would corrupt the sum);
@@ -136,6 +155,7 @@ def main() -> None:
             "sf": sf,
             "warmup_sec": warmup_sec,
             "n_failed": n_failed,
+            "repeats": repeats,
         }
     )
     # SPARK_GRAFT_BENCH_SIDECAR redirects the sidecar (tests / ad-hoc runs).
@@ -172,6 +192,7 @@ def main() -> None:
                 "warmup_sec": warmup_sec,
                 "n_queries": len(timings),
                 "n_failed": n_failed,
+                "repeats": repeats,
                 "queries_full": sidecar,
                 "queries": {k: round(v, 2) for k, v in {**failed, **top}.items()},
             },

@@ -151,3 +151,52 @@ def test_rolling_hll_negative_ids_and_gap_days(spark):
     assert any(d.isoformat() == "2024-01-02" for d in approx)
     # at these cardinalities the sketch is exact (linear counting regime)
     assert approx == exact
+
+
+def test_kmv_overlap_matches_exact_when_unsaturated(spark):
+    """Below K distinct users per type the bottom-k sketch holds EVERY
+    hash, so the estimate must be exactly the true intersection."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        (r["type_a"], r["type_b"]): r["n_common"]
+        for r in AX.event_user_overlap(ev).collect()
+    }
+    approx = {
+        (r["type_a"], r["type_b"]): r["approx_common"]
+        for r in AX.kmv_event_user_overlap(ev).collect()
+    }
+    assert approx == exact  # sf0.001: every audience < K = 256
+
+
+def test_kmv_overlap_within_envelope_when_saturated(spark):
+    """Saturated regime: 60k users split into two overlapping types.
+    Each cardinality estimate has rsd ≈ 1/√(K−1) ≈ 6.3%; the
+    inclusion-exclusion intersection compounds three estimates, so the
+    envelope is stated against the UNION size (the estimator's natural
+    scale): |est − exact| ≤ 4σ·|A∪B| with σ = √3·rsd ≈ 11%."""
+    from datetime import datetime
+
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+
+    n_a, n_b, n_both = 30_000, 40_000, 10_000
+    rows = []
+    ts = datetime(2024, 1, 1, 12, 0)
+    # A: users [0, 30000); B: users [20000, 60000) → overlap 10000
+    for u in range(0, n_a):
+        rows.append((u, "alpha"))
+    for u in range(n_a - n_both, n_a - n_both + n_b):
+        rows.append((u, "beta"))
+    ev = spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "{}") for i, (u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = AX.kmv_event_user_overlap(ev).collect()
+    assert len(got) == 1
+    est = got[0]["approx_common"]
+    union = n_a + n_b - n_both
+    sigma = (3 ** 0.5) / ((AX.KMV_K - 1) ** 0.5)
+    assert abs(est - n_both) <= 4 * sigma * union, (est, n_both)

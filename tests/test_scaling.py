@@ -131,6 +131,42 @@ def test_graph_queries_scale_linearly(spark):
     assert tri10["n_triangles"] == COPIES * tri1["n_triangles"]
 
 
+def _scaled_lineitem_prices(spark, copies: int = COPIES):
+    """10 verbatim copies of (returnflag, price): row count scales
+    ×copies while both groups' price DISTRIBUTIONS are unchanged — so
+    the KS statistic must be bit-identical at 1× and 10× (the ECDFs are
+    scale-invariant rationals and the final division sees the same
+    exact-integer ratio), which pins the scaled fixture's correctness
+    the way the triangle tallies do for the graph drill."""
+    li = load_table(spark, SF_BENCH, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    copies_df = spark.range(copies).select(F.col("id").alias("cp"))
+    return li.crossJoin(F.broadcast(copies_df)).drop("cp").localCheckpoint(
+        eager=True
+    )
+
+
+def test_stats_ks_scales_linearly(spark):
+    """VERDICT r11 #6: the stats layer's heaviest member —
+    ks_returned_price's per-cent-value bucketed cumulative — joins the
+    drill. The cumulative frame is bounded by the price DOMAIN, not the
+    data, so 10× rows must cost ~1× the cumulative plus a 10× scan."""
+    from tp1_distribuidos_mapreduce_spark.plans import stats as STT
+
+    small = _scaled_lineitem_prices(spark, 1)
+    big = _scaled_lineitem_prices(spark, COPIES)
+    results: list = []
+    _drill("ks_returned_price", STT.ks_returned_price, small, big, results)
+    r1 = STT.ks_returned_price(small).collect()[0]
+    r10 = STT.ks_returned_price(big).collect()[0]
+    assert r10["n_returned"] == COPIES * r1["n_returned"]
+    assert r10["n_other"] == COPIES * r1["n_other"]
+    # verbatim copies: the ECDFs are unchanged, so the statistic is the
+    # SAME exact rational both sides — bit-identical doubles, not close
+    assert r10["ks_stat"] == r1["ks_stat"]
+
+
 def test_dedup_queries_scale_linearly(spark):
     small = _scaled_documents(spark, 1)
     big = _scaled_documents(spark, COPIES)

@@ -294,6 +294,10 @@ NESTED_LOOP_ALLOWED = {
     "numeric_histogram",           # single-row broadcast min/max aggregate
     "rolling_7d_active_users",     # single-row broadcast max-day aggregate
     "rolling_28d_users_exact",     # same plan at the sketch's window length
+    "kaplan_meier_repurchase",     # three 1-row broadcasts: max order
+                                   # date, subject total, factor array
+    "kmv_event_user_overlap",      # types × types sketch-pair cross
+                                   # (tiny, < any join)
     "rolling_28d_users_hll",       # same single-row max-day cut as its
                                    # exact twin (aligned in r10)
     "source_vocab_overlap",        # source-cardinality sizes cross (< join)

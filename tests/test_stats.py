@@ -257,3 +257,191 @@ def test_benford_shares_exact_and_complete(spark):
     # shares sum to 1 within float error; TPC-H prices are roughly
     # log-uniform over one decade so every digit appears at this SF
     assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_welch_bit_exact_vs_python(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = STT.welch_price_ttest(li).collect()
+    assert len(got) == 1
+    g = got[0]
+
+    rows = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).collect()
+    stats = {True: [0, 0, 0], False: [0, 0, 0]}  # n, sy, syy (exact ints)
+    for r in rows:
+        s = stats[r["l_returnflag"] == "R"]
+        s[0] += 1
+        s[1] += r["cents"]
+        s[2] += r["cents"] * r["cents"]
+    (n1, s1, q1), (n2, s2, q2) = stats[True], stats[False]
+    # the SAME double chain the plan evaluates (string-routed exact ints
+    # are plain Python ints here — float() of an int < 2^53*ulp rounds
+    # correctly, like both engines' strtod)
+    var1 = float(n1 * q1 - s1 * s1) / float(n1 * (n1 - 1))
+    var2 = float(n2 * q2 - s2 * s2) / float(n2 * (n2 - 1))
+    se1, se2 = var1 / float(n1), var2 / float(n2)
+    se_sq = se1 + se2
+    mean_diff = float(s1) / float(n1) - float(s2) / float(n2)
+    assert g["n_returned"] == n1 and g["n_other"] == n2
+    assert g["mean_diff_cents"] == mean_diff
+    assert g["welch_t"] == mean_diff / math.sqrt(se_sq)
+    assert g["welch_df"] == (se_sq * se_sq) / (
+        (se1 * se1) / (n1 - 1.0) + (se2 * se2) / (n2 - 1.0)
+    )
+
+
+def test_welch_degenerate_single_group_emits_nothing(spark):
+    li = spark.createDataFrame(
+        [("N", 10.0), ("N", 20.0), ("N", 30.0)],
+        "l_returnflag string, l_extendedprice double",
+    )
+    assert STT.welch_price_ttest(li).count() == 0
+
+
+def test_mannwhitney_bit_exact_vs_python(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = STT.mannwhitney_quantity(li).collect()
+    assert len(got) == 1
+    g = got[0]
+
+    rows = li.select(
+        "l_returnflag", F.round("l_quantity").cast("long").alias("v")
+    ).collect()
+    c1: dict[int, int] = {}
+    c2: dict[int, int] = {}
+    for r in rows:
+        d = c1 if r["l_returnflag"] == "R" else c2
+        d[r["v"]] = d.get(r["v"], 0) + 1
+    vals = sorted(set(c1) | set(c2))
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    two_u1, ties, c2cum = 0, 0, 0
+    for v in vals:
+        a, b = c1.get(v, 0), c2.get(v, 0)
+        two_u1 += 2 * a * c2cum + a * b
+        t = a + b
+        ties += t * t * t - t
+        c2cum += b
+    nd, nn_d = float(n1 + n2), float(n1 * n2)
+    u1 = float(two_u1) / 2.0
+    sigma_sq = nn_d / 12.0 * ((nd + 1.0) - float(ties) / (nd * (nd - 1.0)))
+    assert g["n_returned"] == n1 and g["n_other"] == n2
+    assert g["u_stat"] == u1
+    assert g["z_score"] == (u1 - nn_d / 2.0) / math.sqrt(sigma_sq)
+
+
+def test_mannwhitney_all_tied_emits_nothing(spark):
+    """Every observation identical → σ² = 0 → excluded, not NaN."""
+    li = spark.createDataFrame(
+        [("R", 5.0), ("N", 5.0), ("R", 5.0), ("N", 5.0)],
+        "l_returnflag string, l_quantity double",
+    )
+    assert STT.mannwhitney_quantity(li).count() == 0
+
+
+def test_anova_bit_exact_vs_python(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    got = STT.anova_price_by_priority(orders).collect()
+    assert len(got) == 1
+    g = got[0]
+
+    rows = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).collect()
+    per: dict[str, list[int]] = {}
+    for r in rows:
+        s = per.setdefault(r["o_orderpriority"], [0, 0, 0])
+        s[0] += 1
+        s[1] += r["cents"]
+        s[2] += r["cents"] * r["cents"]
+    k = len(per)
+    n = sum(s[0] for s in per.values())
+    s_tot = sum(s[1] for s in per.values())
+    q_tot = sum(s[2] for s in per.values())
+    # canonical-order fold: ascending group key, left fold from 0.0
+    sum_r = 0.0
+    for gname in sorted(per):
+        ng, sg, _ = per[gname]
+        sum_r = sum_r + float(sg * sg) / float(ng)
+    s2n = float(s_tot * s_tot) / float(n)
+    ssb, ssw, sst = sum_r - s2n, float(q_tot) - sum_r, float(q_tot) - s2n
+    assert g["n_groups"] == k and g["n_rows"] == n
+    assert g["f_stat"] == (ssb / (k - 1.0)) / (ssw / (n - float(k)))
+    assert g["eta_sq"] == ssb / sst
+
+
+def test_anova_single_group_emits_nothing(spark):
+    orders = spark.createDataFrame(
+        [("1-URGENT", 10.0), ("1-URGENT", 20.0)],
+        "o_orderpriority string, o_totalprice double",
+    )
+    assert STT.anova_price_by_priority(orders).count() == 0
+
+
+def test_chi2_degenerate_single_type_emits_zero_cramers_v(spark):
+    """ADVICE r11: a single event type gives min(R−1, C−1) = 0; both
+    plan and oracle must emit cramers_v = 0.0, never double/0."""
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 7, "click", 1.0, "{}"),
+         (2, datetime(2024, 1, 2), 8, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = STT.event_weekday_chi2(ev).collect()
+    assert len(got) == 1
+    assert got[0]["cramers_v"] == 0.0
+    assert got[0]["chi2"] == 0.0
+
+
+def test_kaplan_meier_bit_exact_vs_python(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    got = [
+        (r["t_days"], r["n_risk"], r["n_events"], r["survival"])
+        for r in STT.kaplan_meier_repurchase(orders).collect()
+    ]
+
+    rows = orders.select("o_custkey", "o_orderdate", "o_orderkey").collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"])
+        )
+    max_date = max(r["o_orderdate"] for r in rows)
+    durs: list[tuple[int, int]] = []  # (duration_days, observed)
+    for dates in by_cust.values():
+        dates.sort()
+        for a, b in zip(dates, dates[1:]):
+            durs.append(((b[0] - a[0]).days, 1))
+        durs.append(((max_date - dates[-1][0]).days, 0))
+    per_t: dict[int, list[int]] = {}
+    for dur, obs in durs:
+        s = per_t.setdefault(dur, [0, 0])
+        s[0] += obs
+        s[1] += 1 - obs
+    n_risk = len(durs)
+    want = []
+    surv = 1.0
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        if d > 0:
+            # same canonical chain: one division, one subtract, one multiply
+            surv = surv * (1.0 - float(d) / float(n_risk))
+            want.append((t, n_risk, d, surv))
+        n_risk -= d + c
+    assert got == want
+
+
+def test_kaplan_meier_no_repeat_orders_emits_nothing(spark):
+    """All subjects censored (one order each) → no event times → empty
+    curve, not a NULL/0-division row."""
+    from datetime import date
+
+    orders = spark.createDataFrame(
+        [(1, date(2024, 1, 1), 100), (2, date(2024, 2, 1), 101)],
+        "o_custkey long, o_orderdate date, o_orderkey long",
+    )
+    assert STT.kaplan_meier_repurchase(orders).count() == 0

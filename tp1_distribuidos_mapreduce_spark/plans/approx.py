@@ -360,3 +360,169 @@ def rolling_hll_active_users(
         )
         .orderBy("window_end")
     )
+
+
+KMV_K = 256  # bottom-k sketch size → rsd ≈ 1/√(K−1) ≈ 6.3% per cardinality
+_KMV_MAXH = float(16**15)  # hash domain: 15 md5 hex chars = 60 bits
+
+
+def event_user_overlap(events: DataFrame) -> DataFrame:
+    """EXACT pairwise event-type audience overlap: for every unordered
+    pair of event types, the distinct-user counts of each side, the
+    distinct users who did BOTH, and the Jaccard overlap — the
+    segment-intersection question ("how much do buyers and reviewers
+    overlap") that sketches answer approximately at scale. This is the
+    oracle-checked exact twin of kmv_event_user_overlap, the same
+    pairing the rolling-HLL family uses (exact anchor + sketch).
+
+    Shape: ONE distinct collapses events to (type, user) pairs —
+    bounded by users × types, not events — then a user-keyed self-join
+    expands each user's type set into ordered pairs (fan-out bounded
+    by types²/2 per user, types is a small vocabulary) and one hash
+    aggregate counts; per-type totals join back as a broadcast
+    (type-cardinality frame). Exactness: counts are exact BIGINTs;
+    jaccard is ONE correctly-rounded division of exact integers —
+    bit-identical cross-engine, no rounding.
+    """
+    du = events.select("event_type", "user_id").distinct()
+    per_type = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    na = F.broadcast(
+        per_type.select(
+            F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a")
+        )
+    )
+    nb = F.broadcast(
+        per_type.select(
+            F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b")
+        )
+    )
+    union_n = F.col("n_users_a") + F.col("n_users_b") - F.col("n_common")
+    return (
+        pairs.join(na, "type_a")
+        .join(nb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_a",
+            "n_users_b",
+            "n_common",
+            (F.col("n_common").cast("double") / union_n.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENT_USER_OVERLAP_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), per_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+  FROM du GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM du a JOIN du b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       na.n_users AS n_users_a, nb.n_users AS n_users_b, n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST(na.n_users + nb.n_users - n_common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN per_type na ON na.event_type = type_a
+JOIN per_type nb ON nb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+def _kmv_est(arr):
+    """Cardinality estimate from a bottom-k sketch: exact size while the
+    sketch is unsaturated (it holds EVERY distinct hash), else the
+    order-statistics estimator (K−1)·H/M with M the K-th minimum."""
+    return F.when(
+        F.size(arr) < KMV_K, F.size(arr).cast("double")
+    ).otherwise(
+        F.lit((KMV_K - 1) * _KMV_MAXH)
+        / F.element_at(arr, KMV_K).cast("double")
+    )
+
+
+def kmv_event_user_overlap(events: DataFrame) -> DataFrame:
+    """APPROXIMATE pairwise audience overlap via bottom-k (KMV / theta-
+    style) sketches — the set-operation sketch HLL cannot be: bottom-k
+    sketches support UNION (merge + re-truncate) and therefore
+    INTERSECTION by inclusion-exclusion, which is how "how many users
+    did both X and Y" is answered at 100 TB without a users×types
+    self-join. Rows per unordered type pair: (type_a, type_b,
+    approx_common) — pinned against the exact twin
+    (event_user_overlap) in tests/test_approx.py.
+
+    Shape — genuinely map-side, the HLL-partials pattern: each (type,
+    partition) builds a PARTIAL bottom-K of the 60-bit md5 hash
+    (collect_set bounded by the partition's rows, truncated to K
+    before the shuffle), the per-type merge folds ≤ num-partitions
+    K-arrays (array_distinct + sort + truncate), and pair estimation
+    runs on the types-cardinality sketch table. No global (type, user)
+    distinct, no self-join; duplicates are absorbed because bottom-K
+    of a multiset equals bottom-K of its support. The hash is the
+    JVM-side md5 prefix (conv(substr(md5, 1, 15))) — deterministic,
+    no Python anywhere.
+    """
+    hashed = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    partials = (
+        hashed.groupBy("event_type", F.spark_partition_id().alias("pid"))
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("pk")
+        )
+    )
+    sketches = partials.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("pk")))),
+            1,
+            KMV_K,
+        ).alias("sk")
+    )
+    a = sketches.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("sk_a", "sk_b"))), 1, KMV_K
+    )
+    paired = (
+        a.crossJoin(b)
+        .where(F.col("type_a") < F.col("type_b"))
+        .withColumn("sk_u", merged)
+    )
+    est_common = F.greatest(
+        F.lit(0.0),
+        _kmv_est(F.col("sk_a")) + _kmv_est(F.col("sk_b")) - _kmv_est(F.col("sk_u")),
+    )
+    return (
+        paired.select(
+            "type_a",
+            "type_b",
+            F.round(est_common).cast("long").alias("approx_common"),
+        )
+        .orderBy("type_a", "type_b")
+    )

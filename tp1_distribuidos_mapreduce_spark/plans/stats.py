@@ -719,3 +719,509 @@ SELECT digit, n_orders,
 FROM digits, tot
 ORDER BY digit
 """
+
+
+def welch_price_ttest(lineitem: DataFrame) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test comparing the
+    extended-price MEANS of returned lines (l_returnflag = 'R') against
+    everything else — the parametric companion to ks_returned_price
+    (KS asks "same distribution?", Welch asks "same mean?"). One row:
+    (n_returned, n_other, mean_diff_cents, welch_t, welch_df).
+
+    Shape: ONE conditional hash aggregate over the fact table builds
+    both groups' sufficient statistics (n, Σy, Σy²) in a single pass —
+    map-side partials, no second scan, no join, scale-free.
+
+    Exactness: y = integral cents as DECIMAL(18,0), so n, Σy, Σy² are
+    exact decimal integers (Σy² ≤ ~10²⁶ at 100 TB, far under 10³⁸) and
+    each variance numerator n·Σy² − (Σy)² is exact DECIMAL(38,0)
+    (oracle: HUGEINT). Every float is then a single correctly-rounded
+    op over identical exact inputs — conversions go through the
+    DECIMAL STRING (module docstring 2⁵³ trap) — and the t / dof
+    chains are evaluated as the SAME expression tree in both engines,
+    so the output is bit-identical. Degenerate inputs (a group with
+    n < 2, or zero pooled standard error) are excluded rather than
+    emitted NULL/inf.
+    """
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    ret = F.col("l_returnflag") == "R"
+    zero = F.lit(0).cast("decimal(18,0)")
+    s = lineitem.select(ret.alias("ret"), y.alias("y")).agg(
+        F.sum(F.when(F.col("ret"), 1).otherwise(0)).cast("long").alias("n_returned"),
+        F.sum(F.when(~F.col("ret"), 1).otherwise(0)).cast("long").alias("n_other"),
+        F.sum(F.when(F.col("ret"), 1).otherwise(0)).cast("decimal(18,0)").alias("n1"),
+        F.sum(F.when(~F.col("ret"), 1).otherwise(0)).cast("decimal(18,0)").alias("n2"),
+        F.sum(F.when(F.col("ret"), F.col("y")).otherwise(zero)).alias("s1"),
+        F.sum(F.when(~F.col("ret"), F.col("y")).otherwise(zero)).alias("s2"),
+        F.sum(F.when(F.col("ret"), F.col("y") * F.col("y")).otherwise(zero)).alias("q1"),
+        F.sum(F.when(~F.col("ret"), F.col("y") * F.col("y")).otherwise(zero)).alias("q2"),
+    )
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    # exact decimal variance numerators, one string-routed conversion each
+    va1 = (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast(
+        "string"
+    ).cast("double")
+    va2 = (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")).cast(
+        "string"
+    ).cast("double")
+    d1 = (F.col("n1") * (F.col("n1") - 1)).cast("string").cast("double")
+    d2 = (F.col("n2") * (F.col("n2") - 1)).cast("string").cast("double")
+    n1d, n2d = sd("n1"), sd("n2")
+    var1 = va1 / d1
+    var2 = va2 / d2
+    se1 = var1 / n1d
+    se2 = var2 / n2d
+    se_sq = se1 + se2
+    mean_diff = sd("s1") / n1d - sd("s2") / n2d
+    t_stat = mean_diff / F.sqrt(se_sq)
+    dof = (se_sq * se_sq) / (
+        (se1 * se1) / (n1d - F.lit(1.0)) + (se2 * se2) / (n2d - F.lit(1.0))
+    )
+    return (
+        s.where((F.col("n1") > 1) & (F.col("n2") > 1))
+        .withColumn("se_sq", se_sq)
+        .where(F.col("se_sq") > 0)
+        .select(
+            "n_returned",
+            "n_other",
+            mean_diff.alias("mean_diff_cents"),
+            t_stat.alias("welch_t"),
+            dof.alias("welch_df"),
+        )
+    )
+
+
+WELCH_PRICE_TTEST_ORACLE = """
+WITH s AS (
+  SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+         sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  ELSE 0 END) AS s1,
+         sum(CASE WHEN l_returnflag <> 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  ELSE 0 END) AS s2,
+         sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  ELSE 0 END) AS q1,
+         sum(CASE WHEN l_returnflag <> 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  ELSE 0 END) AS q2
+  FROM lineitem
+), d AS (
+  SELECT n_returned, n_other,
+         CAST(CAST(n1 AS VARCHAR) AS DOUBLE) AS n1d,
+         CAST(CAST(n2 AS VARCHAR) AS DOUBLE) AS n2d,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+         CAST(CAST(n1 * q1 - s1 * s1 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n1 * (n1 - 1) AS VARCHAR) AS DOUBLE) AS var1,
+         CAST(CAST(n2 * q2 - s2 * s2 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n2 * (n2 - 1) AS VARCHAR) AS DOUBLE) AS var2
+  FROM s
+  WHERE n1 > 1 AND n2 > 1
+), e AS (
+  SELECT n_returned, n_other, n1d, n2d,
+         s1d / n1d - s2d / n2d AS mean_diff,
+         var1 / n1d AS se1, var2 / n2d AS se2,
+         var1 / n1d + var2 / n2d AS se_sq
+  FROM d
+)
+SELECT n_returned, n_other,
+       mean_diff AS mean_diff_cents,
+       mean_diff / sqrt(se_sq) AS welch_t,
+       (se_sq * se_sq)
+         / ((se1 * se1) / (n1d - 1.0) + (se2 * se2) / (n2d - 1.0)) AS welch_df
+FROM e
+WHERE se_sq > 0
+"""
+
+
+def mannwhitney_quantity(lineitem: DataFrame) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test comparing the QUANTITY
+    distributions of returned vs non-returned lines — the
+    nonparametric location test that needs no normality assumption (the
+    third member of the two-sample family: KS = shape, Welch = mean,
+    U = stochastic dominance). One row: (n_returned, n_other, u_stat,
+    z_score) with the normal approximation's tie-corrected z.
+
+    Shape: ONE hash aggregate collapses the fact table to per-quantity
+    (c1, c2) counts — l_quantity is a small integral domain (1..50 on
+    TPC-H), so everything after the first aggregate runs on ≤ domain
+    rows. The strictly-less cumulative is an ordered window over that
+    domain-bounded frame (same boundedness argument as
+    ks_returned_price's per-bucket cumulative; here the whole domain is
+    tiny), then one final aggregate folds U.
+
+    Exactness: U is computed from VALUE counts, never per-row ranks:
+    2·U₁ = Σ_v [2·c₁(v)·C₂(<v) + c₁(v)·c₂(v)] — the midrank ×½ scaled
+    away so every term is exact DECIMAL(38,0) (oracle HUGEINT), summed
+    exactly; u_stat = 2U₁/2 divides by a power of two (exact in
+    binary). The tie-corrected σ² and z then form the SAME
+    correctly-rounded double chain in both engines over
+    string-converted exact integers — bit-identical. Degenerate inputs
+    (either group empty, or all values tied — σ = 0) are excluded.
+    """
+    ret = F.col("l_returnflag") == "R"
+    counts = (
+        lineitem.select(
+            F.round("l_quantity").cast("long").alias("v"), ret.alias("ret")
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("ret"), 1).otherwise(0))
+            .cast("decimal(18,0)")
+            .alias("c1"),
+            F.sum(F.when(~F.col("ret"), 1).otherwise(0))
+            .cast("decimal(18,0)")
+            .alias("c2"),
+        )
+    )
+    # strictly-less cumulative of the OTHER group: window over the
+    # value domain (≤ ~50 rows), bounded by the domain, not the data
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn(
+        "c2lt", F.coalesce(F.sum("c2").over(w), F.lit(0).cast("decimal(28,0)"))
+    )
+    t = F.col("c1") + F.col("c2")
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.lit(2).cast("decimal(18,0)") * F.col("c1") * F.col("c2lt")
+            + F.col("c1") * F.col("c2")
+        ).alias("two_u1"),
+        F.sum(t * t * t - t).alias("ties"),
+    )
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    n1d = sd("n1")
+    n2d = sd("n2")
+    nd = (F.col("n1") + F.col("n2")).cast("string").cast("double")
+    nn_d = (F.col("n1") * F.col("n2")).cast("string").cast("double")
+    u1 = sd("two_u1") / F.lit(2.0)
+    mean_u = nn_d / F.lit(2.0)
+    sigma_sq = (
+        nn_d
+        / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - sd("ties") / (nd * (nd - F.lit(1.0))))
+    )
+    return (
+        agg.where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .withColumn("sigma_sq", sigma_sq)
+        .where(F.col("sigma_sq") > 0)
+        .select(
+            F.col("n1").cast("long").alias("n_returned"),
+            F.col("n2").cast("long").alias("n_other"),
+            u1.alias("u_stat"),
+            ((u1 - mean_u) / F.sqrt(F.col("sigma_sq"))).alias("z_score"),
+        )
+    )
+
+
+MANNWHITNEY_QUANTITY_ORACLE = """
+WITH counts AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS c2
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT c1, c2,
+         coalesce(sum(c2) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                  CAST(0 AS HUGEINT)) AS c2lt
+  FROM counts
+), agg AS (
+  SELECT sum(c1) AS n1, sum(c2) AS n2,
+         sum(2 * c1 * c2lt + c1 * c2) AS two_u1,
+         sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS ties
+  FROM cum
+), d AS (
+  SELECT CAST(n1 AS BIGINT) AS n_returned,
+         CAST(n2 AS BIGINT) AS n_other,
+         CAST(CAST(n1 AS VARCHAR) AS DOUBLE) AS n1d,
+         CAST(CAST(n2 AS VARCHAR) AS DOUBLE) AS n2d,
+         CAST(CAST(n1 + n2 AS VARCHAR) AS DOUBLE) AS nd,
+         CAST(CAST(n1 * n2 AS VARCHAR) AS DOUBLE) AS nn_d,
+         CAST(CAST(two_u1 AS VARCHAR) AS DOUBLE) / 2.0 AS u1,
+         CAST(CAST(ties AS VARCHAR) AS DOUBLE) AS ties_d
+  FROM agg
+  WHERE n1 > 0 AND n2 > 0
+), e AS (
+  SELECT n_returned, n_other, u1, nn_d,
+         nn_d / 12.0 * ((nd + 1.0) - ties_d / (nd * (nd - 1.0))) AS sigma_sq
+  FROM d
+)
+SELECT n_returned, n_other,
+       u1 AS u_stat,
+       (u1 - nn_d / 2.0) / sqrt(sigma_sq) AS z_score
+FROM e
+WHERE sigma_sq > 0
+"""
+
+
+def anova_price_by_priority(orders: DataFrame) -> DataFrame:
+    """One-way ANOVA of order totals across order priorities — "does
+    priority class shift the money at all", the k-group generalization
+    of the two-sample tests. One row: (n_groups, n_rows, f_stat,
+    eta_sq) with η² = SSB/SST the effect size.
+
+    Shape: one hash aggregate to per-priority sufficient statistics
+    (k ≤ 5 rows), then a single tiny aggregate folds the between-group
+    sum of squares — the fact table collapses before any model math,
+    the chi²/OLS discipline.
+
+    Exactness: per-group n_g, Σy, Σy² are exact decimal integers
+    (cents), so each group's s_g² and the totals N, S, Q are exact
+    DECIMAL(38,0)/HUGEINT. The only non-associative float reduction —
+    Σ_g s_g²/n_g — folds over the k-row group list in ONE canonical
+    order (sorted by priority, prepended 0.0, left fold) in both
+    engines; every other float op is a single correctly-rounded
+    division/subtraction over identical string-converted exact
+    integers, and F / η² form the SAME expression tree both sides —
+    bit-identical. Degenerate inputs (k < 2, N ≤ k, or zero
+    within-group variance) are excluded rather than emitted NULL/inf.
+    """
+    y = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
+    per_g = (
+        orders.select(F.col("o_orderpriority").alias("g"), y.alias("y"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(18,0)").alias("ng"),
+            F.sum("y").alias("sg"),
+            F.sum(F.col("y") * F.col("y")).alias("qg"),
+        )
+    )
+    # per-group ratio term s_g²/n_g: exact decimal square, one
+    # string-routed conversion, one correctly-rounded division
+    r_term = (
+        (F.col("sg") * F.col("sg")).cast("string").cast("double")
+        / F.col("ng").cast("string").cast("double")
+    )
+    folded = per_g.select("g", "ng", "sg", "qg", r_term.alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("g", "r"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["r"],
+        ).alias("sum_r"),
+    )
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    s2n = (F.col("s") * F.col("s")).cast("string").cast("double") / sd("n")
+    ssb = F.col("sum_r") - s2n
+    ssw = sd("q") - F.col("sum_r")
+    sst = sd("q") - s2n
+    kd = F.col("n_groups").cast("double")
+    nd = sd("n")
+    return (
+        folded.where((F.col("n_groups") > 1) & (F.col("n") > F.col("n_groups")))
+        .withColumn("ssw", ssw)
+        .where(F.col("ssw") > 0)
+        .select(
+            "n_groups",
+            F.col("n").cast("long").alias("n_rows"),
+            (
+                (ssb / (kd - F.lit(1.0)))
+                / (F.col("ssw") / (nd - kd))
+            ).alias("f_stat"),
+            (ssb / sst).alias("eta_sq"),
+        )
+    )
+
+
+ANOVA_PRICE_BY_PRIORITY_ORACLE = """
+WITH per_g AS (
+  SELECT o_orderpriority AS g,
+         CAST(count(*) AS HUGEINT) AS ng,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS sg,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS HUGEINT)) AS qg
+  FROM orders GROUP BY 1
+), folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         sum(ng) AS n, sum(sg) AS s, sum(qg) AS q,
+         CAST(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(CAST(sg * sg AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(ng AS VARCHAR) AS DOUBLE)
+                  ORDER BY g)),
+           (a, b) -> a + b) AS DOUBLE) AS sum_r
+  FROM per_g
+), d AS (
+  SELECT n_groups,
+         CAST(n AS BIGINT) AS n_rows,
+         CAST(n_groups AS DOUBLE) AS kd,
+         CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd,
+         CAST(CAST(q AS VARCHAR) AS DOUBLE) AS qd,
+         CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS s2n,
+         sum_r
+  FROM folded
+  WHERE n_groups > 1 AND n > n_groups
+)
+SELECT n_groups, n_rows,
+       ((sum_r - s2n) / (kd - 1.0)) / ((qd - sum_r) / (nd - kd)) AS f_stat,
+       (sum_r - s2n) / (qd - s2n) AS eta_sq
+FROM d
+WHERE qd - sum_r > 0
+"""
+
+
+def kaplan_meier_repurchase(orders: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-repeat-purchase — "what
+    fraction of customers have NOT reordered within t days", estimated
+    correctly under right censoring (a customer's open-ended wait since
+    their last order is a censored observation, not an event; dropping
+    censored subjects — the naive mistake — biases survival low). Rows
+    per event time t (days): (t_days, n_risk, n_events, survival) with
+    survival = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ), the standard product-limit
+    estimator emitted at event times only.
+
+    Shape: one window per customer pairs consecutive orders into gap
+    durations (events) plus one censored tail gap to the dataset's max
+    order date (broadcast 1-row aggregate); one hash aggregate
+    collapses all durations to per-day (d, c) counts — the frame is
+    bounded by the DAY DOMAIN (~2.4k on TPC-H dates), never the
+    customer count; the risk-set cumulative and the product-limit
+    prefix fold then run on that domain-bounded frame. The prefix fold
+    evaluates O(steps²) multiply-lambdas (≤ ~6M at full domain) —
+    JVM-side, domain-bounded, constant in the fact-table row count.
+
+    Exactness: nᵢ (at-risk) and dᵢ (events) are exact BIGINT window
+    sums; each factor 1 − dᵢ/nᵢ is one correctly-rounded division and
+    subtraction of exact integers; survival folds the factors in ONE
+    canonical order (ascending event time, prepended 1.0, left fold —
+    Spark F.aggregate over the sorted struct array, DuckDB list_reduce
+    over list(... ORDER BY t)) so every prefix product is the same
+    correctly-rounded multiply chain in both engines — bit-identical,
+    no rounding step. Censored-only times contribute risk-set
+    attrition but no output row (dᵢ = 0 emits nothing, the KM step
+    convention), so no factor and no tie surface.
+    """
+    max_day = orders.agg(F.max("o_orderdate").alias("max_date"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    paired = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("next_date"),
+    )
+    events = paired.where(F.col("next_date").isNotNull()).select(
+        F.datediff("next_date", "o_orderdate").cast("long").alias("dur"),
+        F.lit(1).alias("observed"),
+    )
+    censored = (
+        paired.where(F.col("next_date").isNull())
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            F.datediff("max_date", "o_orderdate").cast("long").alias("dur"),
+            F.lit(0).alias("observed"),
+        )
+    )
+    per_t = (
+        events.unionByName(censored)
+        .groupBy("dur")
+        .agg(
+            F.sum(F.col("observed")).cast("long").alias("d"),
+            F.sum(1 - F.col("observed")).cast("long").alias("c"),
+        )
+    )
+    # risk set: subjects whose duration >= t — total minus everything
+    # that left strictly before t. Window over the day-domain-bounded
+    # frame (same boundedness argument as ks_returned_price).
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    total = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "left_before",
+            F.coalesce(F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0)),
+        )
+        .withColumn("n_risk", F.col("n_total") - F.col("left_before"))
+    )
+    steps = (
+        risk.where(F.col("d") > 0)
+        .select(
+            "dur",
+            "n_risk",
+            "d",
+            (
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ).alias("factor"),
+        )
+    )
+    wpos = Window.orderBy("dur")
+    indexed = steps.withColumn("pos", F.row_number().over(wpos))
+    arr = indexed.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "factor"))).alias("fs")
+    )
+    return (
+        indexed.crossJoin(F.broadcast(arr))
+        .select(
+            F.col("dur").alias("t_days"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.aggregate(
+                F.slice(F.col("fs"), F.lit(1), F.col("pos")),
+                F.lit(1.0),
+                lambda acc, x: acc * x["factor"],
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+KAPLAN_MEIER_REPURCHASE_ORACLE = """
+WITH paired AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+           AS next_date
+  FROM orders
+), max_day AS (
+  SELECT max(o_orderdate) AS max_date FROM orders
+), durs AS (
+  SELECT CAST(date_diff('day', o_orderdate, next_date) AS BIGINT) AS dur,
+         1 AS observed
+  FROM paired WHERE next_date IS NOT NULL
+  UNION ALL
+  SELECT CAST(date_diff('day', o_orderdate, m.max_date) AS BIGINT) AS dur,
+         0 AS observed
+  FROM paired, max_day m WHERE next_date IS NULL
+), per_t AS (
+  SELECT dur,
+         CAST(sum(observed) AS BIGINT) AS d,
+         CAST(sum(1 - observed) AS BIGINT) AS c
+  FROM durs GROUP BY dur
+), tot AS (
+  SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM per_t
+), risk AS (
+  SELECT per_t.*,
+         CAST(t.n_total
+              - coalesce(sum(d + c) OVER (ORDER BY dur
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND 1 PRECEDING),
+                         0) AS BIGINT) AS n_risk
+  FROM per_t, tot t
+), steps AS (
+  SELECT dur, n_risk, d,
+         1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor,
+         CAST(row_number() OVER (ORDER BY dur) AS INTEGER) AS pos
+  FROM risk WHERE d > 0
+), arr AS (
+  SELECT list(factor ORDER BY dur) AS fs FROM steps
+)
+SELECT dur AS t_days, n_risk, d AS n_events,
+       CAST(list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE), fs[1:pos]),
+         (a, b) -> a * b) AS DOUBLE) AS survival
+FROM steps, arr
+ORDER BY t_days
+"""

@@ -43,6 +43,106 @@ _ORACLES: dict[str, str] = {}
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
+    # ---- round-12 window (exactly 50 names), rotated per VERDICT r11
+    # "Next round" #1. With every oracled query green in
+    # union(r6..r9, r11), the drivers are (a) CODE-CHANGED re-proof and
+    # (b) the freshness invariant (no oracled query's newest green row
+    # older than 3 recorded rounds). Composition, in order:
+    # 1) the 5 reference-parity pins (always);
+    # 2) the 7 queries whose newest driver row predates their current
+    #    code: sessionize_events + max_concurrent_sessions (µs-exact
+    #    gap predicates + event_id tiebreak, a78ed61) and
+    #    fuzzy_part_match (Levenshtein CSE fix) changed in r11 AFTER
+    #    the r11 window was composed; nation_revenue_trend,
+    #    event_weekday_chi2, ks_returned_price, event_type_entropy
+    #    changed THIS round (decimal-headroom enforcement +
+    #    degenerate-table guards + entropy-oracle literal cast,
+    #    02ab641) so their r11 greens predate the code;
+    # 3) the 6 round-12 additions (new-query-gets-a-row):
+    #    rolling_28d_users_exact (the HLL sketch's oracle-checked exact
+    #    anchor), the stats two-sample/k-group family
+    #    welch_price_ttest / mannwhitney_quantity /
+    #    anova_price_by_priority, the Kaplan-Meier survival curve
+    #    kaplan_meier_repurchase, and event_user_overlap (the KMV
+    #    sketch's exact twin); the last two take the slots of
+    #    bitmap_distinct_users and event_gap_detection, tier 5's
+    #    lowest-risk members (pure integer bitmap popcounts / integer
+    #    lag thresholds, code untouched since r7, differential-covered,
+    #    r13 front of line with the 6 deferred);
+    # 4) the 9 remaining r6-era stale rows — the displaced-members
+    #    backlog VERDICT r11 put first in line (token_stats,
+    #    skewed_distinct_users, dedup_exact, supplier_activity,
+    #    priorities_with_big_items, waiting_suppliers,
+    #    brand_type_vocabulary, customer_set_ops, order_priority_pivot;
+    #    sessionize_events, the tenth, is already in tier 2);
+    # 5) 23 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
+    #    r9, r11 — at the invariant's boundary), biased toward
+    #    higher-risk shapes: money/float arithmetic, layout/pruning,
+    #    streaming, text kernels. The 6 deferred members below (plus
+    #    the 2 displaced by tier 3's last two additions) are the
+    #    lowest-risk pure-integer shapes, code untouched since r7,
+    #    every one differential-covered at sf0.001 each pytest run and
+    #    sf0.01 each driver-sim replay, and first in line for r13:
+    #    large_quantity_orders, user_event_totals,
+    #    supplier_part_variety, latest_event_per_user,
+    #    tumbling_event_counts, stratified_sample.
+    "wc",
+    "wc_textfiles",
+    "ii",
+    "mr_wc",
+    "mr_ii",
+    # tier 2: code changed after their newest driver row
+    "sessionize_events",
+    "max_concurrent_sessions",
+    "fuzzy_part_match",
+    "nation_revenue_trend",
+    "event_weekday_chi2",
+    "ks_returned_price",
+    "event_type_entropy",
+    # tier 3: round-12 additions
+    "rolling_28d_users_exact",
+    "welch_price_ttest",
+    "mannwhitney_quantity",
+    "anova_price_by_priority",
+    "kaplan_meier_repurchase",
+    "event_user_overlap",
+    # tier 4: the r6-era displaced-members backlog
+    "token_stats",
+    "skewed_distinct_users",
+    "dedup_exact",
+    "supplier_activity",
+    "priorities_with_big_items",
+    "waiting_suppliers",
+    "brand_type_vocabulary",
+    "customer_set_ops",
+    "order_priority_pivot",
+    # tier 5: r7-era freshness rotation (23 of 31)
+    "bm25_top_terms",
+    "chunk_documents",
+    "click_purchase_attribution",
+    "disjunctive_brand_revenue",
+    "language_id",
+    "merge_upsert_orders",
+    "partitioned_pruned_daily",
+    "parts_above_brand_avg",
+    "phrase_search",
+    "positional_index",
+    "promo_revenue_by_month",
+    "repetition_stats",
+    "sentence_stats",
+    "session_window_stats",
+    "shared_span_pairs",
+    "sliding_event_stats",
+    "stream_dedup_counts",
+    "stream_static_enrichment",
+    "text_quality",
+    "tfidf_top_terms",
+    "train_val_test_split",
+    "value_outliers",
+    "zorder_pruned_scan",
+]
+
+_WINDOW_R10: list[str] = [
     # ---- round-11 adjustment: no CORRECTNESS_r10.json was recorded (the
     # r10 driver correctness pass never ran), so the r10 composition below
     # — parity pins + r10 additions/changes + the full r6-era backlog — is
@@ -2325,3 +2425,58 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction (no log10), raw exact-rational shares, literal expected
     values — bit-exact, zero rounding."""
     return STT.benford_price_audit(load_table(spark, sf_dir, "orders"))
+
+
+@register("welch_price_ttest", oracle=STT.WELCH_PRICE_TTEST_ORACLE)
+def q_welch_price_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test, returned vs other line prices
+    (plans/stats.py): ONE conditional hash aggregate builds both
+    groups' exact decimal sufficient statistics; t and dof are a
+    shared correctly-rounded double chain — bit-exact."""
+    return STT.welch_price_ttest(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("mannwhitney_quantity", oracle=STT.MANNWHITNEY_QUANTITY_ORACLE)
+def q_mannwhitney_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U over line quantities, returned vs other
+    (plans/stats.py): U from exact value-level counts (2·U stays
+    integer — no midranks), tie-corrected z; the cumulative window is
+    bounded by the quantity domain, never the data."""
+    return STT.mannwhitney_quantity(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("anova_price_by_priority", oracle=STT.ANOVA_PRICE_BY_PRIORITY_ORACLE)
+def q_anova_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order totals across priorities
+    (plans/stats.py): exact per-group decimal statistics, canonical-
+    order fold of the k ratio terms, closed-form F and eta-squared —
+    bit-exact."""
+    return STT.anova_price_by_priority(load_table(spark, sf_dir, "orders"))
+
+
+@register("kaplan_meier_repurchase", oracle=STT.KAPLAN_MEIER_REPURCHASE_ORACLE)
+def q_kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-repeat-purchase survival curve under right
+    censoring (plans/stats.py): day-domain-bounded risk-set cumulative,
+    canonical-order product-limit prefix fold — bit-exact vs the
+    WITH-window + list_reduce oracle."""
+    return STT.kaplan_meier_repurchase(load_table(spark, sf_dir, "orders"))
+
+
+@register("event_user_overlap", oracle=AX.EVENT_USER_OVERLAP_ORACLE)
+def q_event_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise event-type audience overlap (plans/approx.py):
+    (type, user) distinct then a user-keyed pair expansion bounded by
+    types² per user; the oracle-checked exact twin of the KMV sketch
+    version."""
+    return AX.event_user_overlap(load_table(spark, sf_dir, "events"))
+
+
+@register("kmv_event_user_overlap")
+def q_kmv_event_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV/theta-style) sketch audience overlap
+    (plans/approx.py): per-(type, partition) partial bottom-K of a
+    60-bit md5 hash, K-array merges, inclusion-exclusion intersection —
+    the set-operation sketch HLL cannot be. Rows-only; error envelope
+    vs the exact twin pinned in tests/test_approx.py."""
+    return AX.kmv_event_user_overlap(load_table(spark, sf_dir, "events"))
