@@ -167,6 +167,36 @@ def test_stats_ks_scales_linearly(spark):
     assert r10["ks_stat"] == r1["ks_stat"]
 
 
+def _scaled_events(spark, copies: int = COPIES):
+    """10 verbatim copies of (event_type, user_id, ts): the row count
+    scales ×copies while the DISTINCT (type, user) set — and therefore
+    the exact overlap output — is unchanged, so the drill pins output
+    identity alongside the slope (the KS drill's convention)."""
+    ev = load_table(spark, SF_BENCH, "events").select(
+        "event_type", "user_id", "ts"
+    )
+    copies_df = spark.range(copies).select(F.col("id").alias("cp"))
+    return ev.crossJoin(F.broadcast(copies_df)).drop("cp").localCheckpoint(
+        eager=True
+    )
+
+
+def test_overlap_join_scales_linearly(spark):
+    """event_user_overlap's user-keyed pair expansion is the round-12
+    addition with a join fan-out — the drill proves the distinct-first
+    collapse keeps it linear in raw rows (the pair work is bounded by
+    users × types², unchanged at 10×)."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+
+    small = _scaled_events(spark, 1)
+    big = _scaled_events(spark, COPIES)
+    results: list = []
+    _drill("event_user_overlap", AX.event_user_overlap, small, big, results)
+    r1 = sorted(tuple(r) for r in AX.event_user_overlap(small).collect())
+    r10 = sorted(tuple(r) for r in AX.event_user_overlap(big).collect())
+    assert r1 == r10  # verbatim copies: distinct (type, user) unchanged
+
+
 def test_dedup_queries_scale_linearly(spark):
     small = _scaled_documents(spark, 1)
     big = _scaled_documents(spark, COPIES)

@@ -296,6 +296,8 @@ NESTED_LOOP_ALLOWED = {
     "rolling_28d_users_exact",     # same plan at the sketch's window length
     "kaplan_meier_repurchase",     # three 1-row broadcasts: max order
                                    # date, subject total, factor array
+    "theil_sen_revenue_trend",     # three 1-row broadcasts: pair count,
+                                   # median slope, day count
     "kmv_event_user_overlap",      # types × types sketch-pair cross
                                    # (tiny, < any join)
     "rolling_28d_users_hll",       # same single-row max-day cut as its

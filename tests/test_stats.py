@@ -445,3 +445,33 @@ def test_kaplan_meier_no_repeat_orders_emits_nothing(spark):
         "o_custkey long, o_orderdate date, o_orderkey long",
     )
     assert STT.kaplan_meier_repurchase(orders).count() == 0
+
+
+def test_theil_sen_bit_exact_vs_python(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    got = STT.theil_sen_revenue_trend(orders).collect()
+    assert len(got) == 1
+    g = got[0]
+
+    rows = orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lit(STT._X_EPOCH).cast("date")
+        ).alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).collect()
+    daily: dict[int, int] = {}
+    for r in rows:
+        daily[r["x"]] = daily.get(r["x"], 0) + r["cents"]
+    pts = sorted(daily.items())
+    slopes = [
+        float(y2 - y1) / float(x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+    ]
+    slopes.sort()
+    m = slopes[(len(slopes) + 1) // 2 - 1]  # lower median (1-based ceil(n/2))
+    resid = sorted(float(y) - m * float(x) for x, y in pts)
+    b = resid[(len(resid) + 1) // 2 - 1]
+    assert g["n_days"] == len(pts) and g["n_pairs"] == len(slopes)
+    assert g["slope_cents_per_day"] == m
+    assert g["intercept_cents"] == b

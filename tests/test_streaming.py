@@ -705,3 +705,62 @@ def test_rowdir_stream_complete_mode_overwrites_per_batch(spark, tmp_path):
     )
     got = sorted(map(tuple, spark.read.format("rowdir").load(out).collect()))
     assert got == expected  # appended stale states would duplicate keys
+
+
+def test_stream_hll_sketches_equal_batch_build_exactly(spark, tmp_path):
+    """write_stream_hll_sketches folded across multiple micro-batches
+    must produce rolling estimates IDENTICAL to the one-shot batch
+    rolling_hll_active_users (register max-merge is associative,
+    commutative, idempotent — micro-batch boundaries cannot change a
+    single register), and a rerun with the same checkpoint is a no-op."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "hll_src")
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    ev = batch_events(spark)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    SK.write_stream_hll_sketches(stream_events(spark, src, max_files=1), state, ckpt)
+    got = {
+        str(r["window_end"]): r["approx_users"]
+        for r in SK.read_hll_rolling(spark, state).collect()
+    }
+    want = {
+        str(r["window_end"]): r["approx_users"]
+        for r in AX.rolling_hll_active_users(ev).collect()
+    }
+    assert got == want
+
+    SK.write_stream_hll_sketches(stream_events(spark, src, max_files=1), state, ckpt)
+    got2 = {
+        str(r["window_end"]): r["approx_users"]
+        for r in SK.read_hll_rolling(spark, state).collect()
+    }
+    assert got2 == want
+
+
+def test_stream_hll_replayed_batch_fenced_and_harmless(spark, tmp_path):
+    """Injected at-least-once replay through the production fold: the
+    batch-id fence skips it, and the state is byte-identical registers
+    either way (max-merge idempotence — the belt under the fence)."""
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    state = str(tmp_path / "hll_state2")
+    ev = batch_events(spark).where(F.col("event_id") < 40)
+
+    SK._hll_fold(ev, 0, state)
+    after_first = sorted(
+        (str(r["day"]), tuple(r["regs"]))
+        for r in spark.read.parquet(f"{state}/v0").collect()
+    )
+    SK._hll_fold(ev, 0, state)  # replayed epoch — fenced no-op
+    ptr = SK._read_ivm_pointer(state)
+    assert ptr == {"dir": "v0", "batch_id": 0}
+    after_replay = sorted(
+        (str(r["day"]), tuple(r["regs"]))
+        for r in spark.read.parquet(f"{state}/v0").collect()
+    )
+    assert after_replay == after_first

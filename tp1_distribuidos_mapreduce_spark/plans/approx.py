@@ -276,54 +276,39 @@ def _hll_partial_mapper():
     return build
 
 
-def rolling_hll_active_users(
-    events: DataFrame, days: int = ROLLING_HLL_DAYS
-) -> DataFrame:
-    """Rolling ``days``-day distinct users per day via MERGEABLE
-    HyperLogLog sketches — the pre-aggregated-sketch-table pattern: the
-    raw stream is scanned ONCE to build one m-register sketch per day
-    (day-cardinality, fixed 1 KB each), and every rolling window is
-    answered by register-wise max-merge of its ≤``days`` daily sketches
-    — never by rescanning or re-deduplicating raw events. This is how
-    interactive rolling-distinct dashboards run at 100 TB: sketch at
-    ingest, merge at query time; the exact twin
-    (rolling_7d_active_users) rescans day-user pairs per window.
-
-    Rows-only by design (register contents are engine-internal);
-    tests/test_approx.py pins the estimate against the exact rolling
-    distinct within HLL's error envelope. Merging and estimation are
-    pure Catalyst (zip_with/aggregate over the tiny register arrays);
-    Python appears only in the one Arrow-batched sketch build per day.
-    """
+def daily_hll_sketches(events: DataFrame) -> DataFrame:
+    """The sketch TABLE build: one m-register HLL per observed day from
+    a single Arrow-batched pass over (day, user) rows — partial
+    registers per (day, partition), per-day register-max reduce. This
+    is the piece a streaming ingest folds incrementally
+    (streaming/sinks.py write_stream_hll_sketches): register max-merge
+    is associative, commutative, and IDEMPOTENT, so daily sketches
+    built from any partitioning of the stream — including replayed
+    micro-batches — are bit-identical to the one-shot build."""
     zero = F.array_repeat(F.lit(0), HLL_M)
     zipmax = lambda acc, x: F.zip_with(  # noqa: E731
         acc, x, lambda a, b: F.greatest(a, b)
     )
-    # PARTIAL sketches per (day, partition) — no day's user list ever
-    # lands in one row (the collect_list-per-day form would put an
-    # entire day's distinct users into a single reducer row, the exact
-    # thing a mergeable sketch exists to avoid); the per-day reduce then
-    # folds ≤ num-partitions fixed 1 KB arrays.
-    # NO global distinct: HLL register folding (per-bucket max) is
-    # idempotent under duplicate user ids, so the sketch build stays
-    # genuinely MAP-SIDE — a .distinct() here would pay the exact
-    # events-cardinality (day, user) shuffle the exact twin pays and the
-    # mergeable sketch exists to avoid. The kernel dedupes locally per
-    # batch to cut redundant blake2b hashing; cross-partition duplicates
-    # cost only a re-fold into the same register.
-    partials = (
-        events.select(F.to_date("ts").alias("day"), "user_id")
-        .mapInPandas(_hll_partial_mapper(), "day date, regs array<int>")
-    )
-    daily = partials.groupBy("day").agg(
+    partials = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).mapInPandas(_hll_partial_mapper(), "day date, regs array<int>")
+    return partials.groupBy("day").agg(
         F.aggregate(F.collect_list("regs"), zero, zipmax).alias("regs")
     )
-    # each day's sketch contributes to the `days` windows ending on
-    # day..day+days-1; window ends past the observed maximum are cut by
-    # a broadcast 1-row max-day aggregate — the exact twin's convention
-    # (rolling_active_users emits eventless gap days too, so a semi-join
-    # on observed days would silently diverge the pair on gapped data)
-    max_day = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+
+
+def rolling_estimates_from_sketches(
+    daily: DataFrame, max_day: DataFrame, days: int = ROLLING_HLL_DAYS
+) -> DataFrame:
+    """Rolling-window estimation over a prebuilt daily-sketch table:
+    register-wise max-merge of each window's ≤``days`` sketches in pure
+    Catalyst, then the HLL estimator with linear-counting correction.
+    ``max_day`` is a 1-row (max_day DATE) frame giving the window-end
+    cutoff (the exact twin's gap-day convention)."""
+    zero = F.array_repeat(F.lit(0), HLL_M)
+    zipmax = lambda acc, x: F.zip_with(  # noqa: E731
+        acc, x, lambda a, b: F.greatest(a, b)
+    )
     contrib = (
         daily.select(
             F.explode(
@@ -349,16 +334,49 @@ def rolling_hll_active_users(
     )
     n_zero = F.size(F.filter(F.col("regs"), lambda r: r == 0))
     raw_est = F.lit(HLL_ALPHA * HLL_M * HLL_M) / sum_inv
-    # small-range (linear counting) correction below 2.5m with empty regs
     est = F.when(
         (raw_est <= 2.5 * HLL_M) & (n_zero > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero.cast("double")),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / n_zero.cast("double")),
     ).otherwise(raw_est)
     return (
         merged.select(
             "window_end", F.round(est).cast("long").alias("approx_users")
         )
         .orderBy("window_end")
+    )
+
+
+def rolling_hll_active_users(
+    events: DataFrame, days: int = ROLLING_HLL_DAYS
+) -> DataFrame:
+    """Rolling ``days``-day distinct users per day via MERGEABLE
+    HyperLogLog sketches — the pre-aggregated-sketch-table pattern: the
+    raw stream is scanned ONCE to build one m-register sketch per day
+    (day-cardinality, fixed 1 KB each), and every rolling window is
+    answered by register-wise max-merge of its ≤``days`` daily sketches
+    — never by rescanning or re-deduplicating raw events. This is how
+    interactive rolling-distinct dashboards run at 100 TB: sketch at
+    ingest, merge at query time; the exact twin
+    (rolling_7d_active_users) rescans day-user pairs per window.
+
+    Rows-only by design (register contents are engine-internal);
+    tests/test_approx.py pins the estimate against the exact rolling
+    distinct within HLL's error envelope. Merging and estimation are
+    pure Catalyst (zip_with/aggregate over the tiny register arrays);
+    Python appears only in the one Arrow-batched sketch build per day.
+    Composition (r12 refactor, shared with the streaming ingest):
+    daily_hll_sketches builds the PARTIAL-then-reduced sketch table —
+    no day's user list ever lands in one row, NO global distinct
+    (register folding is idempotent under duplicates, so the build
+    stays genuinely map-side) — and rolling_estimates_from_sketches
+    merges/estimates per window with the max-day cut (the exact twin's
+    gap-day convention: eventless calendar days between observed days
+    are still window ends).
+    """
+    max_day = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    return rolling_estimates_from_sketches(
+        daily_hll_sketches(events), max_day, days
     )
 
 

@@ -1225,3 +1225,117 @@ SELECT dur AS t_days, n_risk, d AS n_events,
 FROM steps, arr
 ORDER BY t_days
 """
+
+
+def theil_sen_revenue_trend(orders: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue — the median of
+    all pairwise day-to-day slopes, the estimator that shrugs off the
+    outlier days that pull nation_revenue_trend's OLS line. One row:
+    (n_days, n_pairs, slope_cents_per_day, intercept_cents).
+
+    Shape: the fact table collapses to (day, cents) ONCE (the only
+    data-sized pass), then the pairwise slope set is a self-join of
+    the day-domain-bounded daily frame — ≤ calendar² pairs (~3M on
+    TPC-H dates), constant in the fact-table row count, embarrassingly
+    parallel. The median is selected, not interpolated (below), via
+    one ordered window over the pair frame — bounded by calendar²,
+    never by data.
+
+    Exactness: each slope (y₂−y₁)/(x₂−x₁) is ONE correctly-rounded
+    division of exact BIGINT differences — identical doubles both
+    engines. The median is the LOWER MEDIAN (element ⌈n/2⌉ of the
+    sorted multiset): selecting an actual element is deterministic
+    under ties and avoids interpolation entirely — Spark's percentile()
+    interpolates as lower + (higher−lower)·f (three roundings) while
+    other engines use (1−f)·lower + f·higher, which can differ by an
+    ulp; element selection cannot. The intercept is the lower median
+    of the per-day residuals y − m·x (each one multiply + subtract on
+    identical doubles, then the same selection) — the standard
+    Theil-Sen intercept, bit-identical cross-engine.
+    """
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit(_X_EPOCH).cast("date")
+            ).cast("long").alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    d1 = daily.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    d2 = daily.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = (
+        d1.join(d2, F.col("x1") < F.col("x2"))
+        .select(
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope")
+        )
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    n_pairs = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    med = (
+        ranked.crossJoin(F.broadcast(n_pairs))
+        .where(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("slope", "n_pairs")
+    )
+    resid = (
+        daily.crossJoin(F.broadcast(med))
+        .select(
+            "slope",
+            "n_pairs",
+            (
+                F.col("y").cast("double")
+                - F.col("slope") * F.col("x").cast("double")
+            ).alias("r"),
+        )
+    )
+    wr = Window.orderBy("r")
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        resid.withColumn("rr", F.row_number().over(wr))
+        .crossJoin(F.broadcast(n_days))
+        .where(F.col("rr") == F.floor((F.col("n_days") + 1) / 2))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.col("slope").alias("slope_cents_per_day"),
+            F.col("r").alias("intercept_cents"),
+        )
+    )
+
+
+THEIL_SEN_REVENUE_TREND_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '{_X_EPOCH}', o_orderdate) AS BIGINT)
+           AS x,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT CAST(d2.y - d1.y AS DOUBLE) / CAST(d2.x - d1.x AS DOUBLE) AS slope
+  FROM daily d1 JOIN daily d2 ON d1.x < d2.x
+), ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+         count(*) OVER () AS n_pairs
+  FROM slopes
+), med AS (
+  SELECT slope, CAST(n_pairs AS BIGINT) AS n_pairs
+  FROM ranked WHERE rn = (n_pairs + 1) // 2
+), resid AS (
+  SELECT m.slope, m.n_pairs,
+         CAST(d.y AS DOUBLE) - m.slope * CAST(d.x AS DOUBLE) AS r
+  FROM daily d, med m
+), rranked AS (
+  SELECT slope, n_pairs, r,
+         row_number() OVER (ORDER BY r) AS rr,
+         count(*) OVER () AS n_days
+  FROM resid
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, n_pairs,
+       slope AS slope_cents_per_day,
+       r AS intercept_cents
+FROM rranked WHERE rr = (n_days + 1) // 2
+"""

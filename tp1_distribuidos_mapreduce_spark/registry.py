@@ -58,24 +58,26 @@ _WINDOW: list[str] = [
     #    changed THIS round (decimal-headroom enforcement +
     #    degenerate-table guards + entropy-oracle literal cast,
     #    02ab641) so their r11 greens predate the code;
-    # 3) the 6 round-12 additions (new-query-gets-a-row):
+    # 3) the 7 round-12 additions (new-query-gets-a-row):
     #    rolling_28d_users_exact (the HLL sketch's oracle-checked exact
     #    anchor), the stats two-sample/k-group family
     #    welch_price_ttest / mannwhitney_quantity /
     #    anova_price_by_priority, the Kaplan-Meier survival curve
-    #    kaplan_meier_repurchase, and event_user_overlap (the KMV
-    #    sketch's exact twin); the last two take the slots of
-    #    bitmap_distinct_users and event_gap_detection, tier 5's
-    #    lowest-risk members (pure integer bitmap popcounts / integer
-    #    lag thresholds, code untouched since r7, differential-covered,
-    #    r13 front of line with the 6 deferred);
+    #    kaplan_meier_repurchase, the Theil-Sen robust trend
+    #    theil_sen_revenue_trend, and event_user_overlap (the KMV
+    #    sketch's exact twin); the last three take the slots of
+    #    bitmap_distinct_users, event_gap_detection and language_id,
+    #    tier 5's lowest-risk members (pure integer bitmap popcounts /
+    #    integer lag thresholds / deterministic string classification,
+    #    code untouched since r7, differential-covered, r13 front of
+    #    line with the 6 deferred);
     # 4) the 9 remaining r6-era stale rows — the displaced-members
     #    backlog VERDICT r11 put first in line (token_stats,
     #    skewed_distinct_users, dedup_exact, supplier_activity,
     #    priorities_with_big_items, waiting_suppliers,
     #    brand_type_vocabulary, customer_set_ops, order_priority_pivot;
     #    sessionize_events, the tenth, is already in tier 2);
-    # 5) 23 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
+    # 5) 22 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
     #    r9, r11 — at the invariant's boundary), biased toward
     #    higher-risk shapes: money/float arithmetic, layout/pruning,
     #    streaming, text kernels. The 6 deferred members below (plus
@@ -105,6 +107,7 @@ _WINDOW: list[str] = [
     "mannwhitney_quantity",
     "anova_price_by_priority",
     "kaplan_meier_repurchase",
+    "theil_sen_revenue_trend",
     "event_user_overlap",
     # tier 4: the r6-era displaced-members backlog
     "token_stats",
@@ -116,12 +119,11 @@ _WINDOW: list[str] = [
     "brand_type_vocabulary",
     "customer_set_ops",
     "order_priority_pivot",
-    # tier 5: r7-era freshness rotation (23 of 31)
+    # tier 5: r7-era freshness rotation (22 of 31)
     "bm25_top_terms",
     "chunk_documents",
     "click_purchase_attribution",
     "disjunctive_brand_revenue",
-    "language_id",
     "merge_upsert_orders",
     "partitioned_pruned_daily",
     "parts_above_brand_avg",
@@ -2454,6 +2456,14 @@ def q_anova_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return STT.anova_price_by_priority(load_table(spark, sf_dir, "orders"))
 
 
+@register("theil_sen_revenue_trend", oracle=STT.THEIL_SEN_REVENUE_TREND_ORACLE)
+def q_theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend (plans/stats.py): median of
+    calendar²-bounded pairwise slopes, selected (lower median) rather
+    than interpolated so the result is bit-exact cross-engine."""
+    return STT.theil_sen_revenue_trend(load_table(spark, sf_dir, "orders"))
+
+
 @register("kaplan_meier_repurchase", oracle=STT.KAPLAN_MEIER_REPURCHASE_ORACLE)
 def q_kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-repeat-purchase survival curve under right
@@ -2480,3 +2490,41 @@ def q_kmv_event_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the set-operation sketch HLL cannot be. Rows-only; error envelope
     vs the exact twin pinned in tests/test_approx.py."""
     return AX.kmv_event_user_overlap(load_table(spark, sf_dir, "events"))
+
+
+@register("stream_hll_rolling_28d")
+def q_stream_hll_rolling_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch-at-ingest end-to-end (streaming/sinks.py
+    write_stream_hll_sketches): an availableNow drain folds each
+    micro-batch into a persisted per-day HLL register table (versioned
+    dirs + atomic pointer + batch-id fence, the IVM sink's commit), and
+    the returned rolling 28-day estimates — read from the SKETCH table,
+    never the raw events — equal the one-shot batch
+    rolling_28d_users_hll EXACTLY (register max-merge is associative,
+    commutative, idempotent; pinned across a 3-batch replay in
+    tests/test_streaming.py). Rows-only (sketch); the exact anchor is
+    rolling_28d_users_exact's driver row."""
+    import os
+    import shutil
+
+    from .sources.artifacts import build_once
+    from .sources.tables import fixture_cache_tag, stream_events
+    from .streaming import sinks as SK
+
+    tag = fixture_cache_tag(sf_dir, "events", "stream-src-v1")
+    src = f"/tmp/tp1_spark_stream_events_{tag}"
+    build_once(
+        src,
+        lambda: load_table(spark, sf_dir, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src),
+    )
+    work = f"/tmp/tp1_spark_hll_q_{tag}_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    SK.write_stream_hll_sketches(
+        stream_events(spark, src, max_files_per_trigger=2),
+        f"{work}/state",
+        f"{work}/ckpt",
+    )
+    return SK.read_hll_rolling(spark, f"{work}/state")

@@ -257,3 +257,116 @@ def read_ivm_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def write_stream_hll_sketches(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming SKETCH-AT-INGEST: fold each micro-batch of events into
+    a persisted per-day HyperLogLog register table — the streaming half
+    of the mergeable-sketch pattern (plans/approx.py). At 100 TB the
+    sketch table is built exactly like this: the firehose is folded
+    into fixed-1KB daily registers as it lands, and rolling-distinct
+    dashboards read the tiny sketch table (read_hll_rolling), never the
+    raw events.
+
+    Per batch: the batch delta becomes per-day partial registers (the
+    same Arrow-batched kernel as the batch build), then a day-keyed
+    full-outer register-max merge with the current state — the combine
+    join is sketch-table-cardinality (days), the only data-sized work
+    is the delta's own pass. Commit is the IVM sink's versioned-dir +
+    atomic pointer swap with the same batch-id replay fence.
+
+    Exactness of the composition: register max-merge is associative,
+    commutative, and IDEMPOTENT, so the final sketch table is
+    BIT-IDENTICAL to the one-shot batch build regardless of micro-batch
+    boundaries — and unlike the additive IVM fold, even a hypothetical
+    double-fold could not corrupt it (max(a, a) = a); the fence is
+    still kept so the pointer's batch_id stays truthful. Pinned in
+    tests/test_streaming.py: a 3-batch replay's rolling estimates equal
+    rolling_hll_active_users over the same events exactly.
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _hll_fold(batch_df, batch_id, state_path)
+
+    (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _hll_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One idempotent sketch fold: fence, register-max merge, atomic
+    versioned commit. Module-level so tests can drive injected replays
+    through the exact production path (the IVM sink's convention)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..plans.approx import HLL_M, daily_hll_sketches
+
+    spark = batch_df.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    committed = _read_ivm_pointer(state_path)
+    if committed is not None and batch_id <= committed["batch_id"]:
+        return  # replayed epoch — already folded (and max-merge is
+        # idempotent anyway; the fence keeps the pointer truthful)
+    delta = daily_hll_sketches(batch_df)
+    if committed is not None:
+        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        b = cur.select(F.col("day").alias("b_day"), F.col("regs").alias("b_regs"))
+        d = delta.select(
+            F.col("day").alias("d_day"), F.col("regs").alias("d_regs")
+        )
+        zero = F.array_repeat(F.lit(0), HLL_M)
+        merged = b.join(
+            d, b["b_day"] == d["d_day"], "full_outer"
+        ).select(
+            F.coalesce(b["b_day"], d["d_day"]).alias("day"),
+            F.zip_with(
+                F.coalesce("b_regs", zero),
+                F.coalesce("d_regs", zero),
+                lambda x, y: F.greatest(x, y),
+            ).alias("regs"),
+        )
+    else:
+        merged = delta
+    new_dir = f"v{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _commit_ivm_pointer(state_path, new_dir, batch_id)
+    keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
+    for d in os.listdir(state_path):
+        if d.startswith("v") and d not in keep:
+            shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
+
+
+def read_hll_rolling(
+    spark: SparkSession, state_path: str, days: int | None = None
+) -> DataFrame:
+    """Rolling-distinct estimates from the PERSISTED sketch table: the
+    dashboard read path — merges ≤``days`` 1KB register rows per window
+    and never touches raw events. The max-day cut comes from the sketch
+    table itself (every event day has a sketch row, so this equals the
+    batch build's event-derived max day)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.approx import ROLLING_HLL_DAYS, rolling_estimates_from_sketches
+
+    committed = _read_ivm_pointer(state_path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed sketch state under {state_path}")
+    daily = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+    max_day = daily.agg(F.max("day").alias("max_day"))
+    return rolling_estimates_from_sketches(
+        daily, max_day, days if days is not None else ROLLING_HLL_DAYS
+    )
