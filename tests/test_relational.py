@@ -47,7 +47,7 @@ def oracle_results(spark, request):
         except Exception as ex:  # surfaced by the owning param test
             return (None, None, ex)
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=16) as pool:
         return dict(zip(names, pool.map(run, names)))
 
 
@@ -137,6 +137,6 @@ def test_rows_only_queries_are_deterministic(spark):
         except Exception as ex:
             return f"{name}: {type(ex).__name__}: {str(ex)[:120]}"
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=16) as pool:
         problems = [p for p in pool.map(run_twice, ROWS_ONLY_NAMES) if p]
     assert not problems, problems

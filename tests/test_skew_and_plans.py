@@ -302,6 +302,8 @@ NESTED_LOOP_ALLOWED = {
                                    # (tiny, < any join)
     "rolling_28d_users_hll",       # same single-row max-day cut as its
                                    # exact twin (aligned in r10)
+    "stream_hll_rolling_28d",      # the same single-row max-day cut,
+                                   # read from the persisted sketch table
     "source_vocab_overlap",        # source-cardinality sizes cross (< join)
     "triangle_count",              # three 1-row tallies cross-joined into
                                    # the single output row
