@@ -181,6 +181,55 @@ def _scaled_events(spark, copies: int = COPIES):
     )
 
 
+def _scaled_orders(spark, copies: int = COPIES):
+    """10 verbatim copies of (o_orderdate, o_totalprice): the daily
+    collapse yields the SAME day frame with every daily total ×copies,
+    so Theil-Sen's pairwise-slope stage — the quadratic-LOOKING shape —
+    does identical work at 1× and 10×, and the slope scales exactly
+    ×copies (every pairwise (Δy×10)/Δx) while the day/pair counts are
+    unchanged. Only the first collapse scans more rows."""
+    o = load_table(spark, SF_BENCH, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    copies_df = spark.range(copies).select(F.col("id").alias("cp"))
+    return o.crossJoin(F.broadcast(copies_df)).drop("cp").localCheckpoint(
+        eager=True
+    )
+
+
+def test_theil_sen_scales_linearly(spark):
+    """The round-12 stats member with a self-join: the drill proves the
+    day-domain collapse keeps the pairwise stage constant in raw rows."""
+    from tp1_distribuidos_mapreduce_spark.plans import stats as STT
+
+    small = _scaled_orders(spark, 1)
+    big = _scaled_orders(spark, COPIES)
+    results: list = []
+    _drill(
+        "theil_sen_revenue_trend",
+        STT.theil_sen_revenue_trend,
+        small,
+        big,
+        results,
+    )
+    r1 = STT.theil_sen_revenue_trend(small).collect()[0]
+    r10 = STT.theil_sen_revenue_trend(big).collect()[0]
+    assert r10["n_days"] == r1["n_days"]
+    assert r10["n_pairs"] == r1["n_pairs"]
+    # daily cents all ×copies → ×copies is monotone on the exact
+    # rational slopes, so the SAME pair is selected as the median both
+    # sides; fl(10·r) vs 10·fl(r) differ by at most an ulp or two
+    # (double rounding on the ×10), so the pin is a 1e-12-tight isclose,
+    # not equality.
+    import math
+
+    assert math.isclose(
+        r10["slope_cents_per_day"],
+        COPIES * r1["slope_cents_per_day"],
+        rel_tol=1e-12,
+    )
+
+
 def test_overlap_join_scales_linearly(spark):
     """event_user_overlap's user-keyed pair expansion is the round-12
     addition with a join fan-out — the drill proves the distinct-first
