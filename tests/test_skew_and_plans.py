@@ -298,6 +298,8 @@ NESTED_LOOP_ALLOWED = {
                                    # date, subject total, factor array
     "theil_sen_revenue_trend",     # three 1-row broadcasts: pair count,
                                    # median slope, day count
+    "event_weekday_mutual_info",   # three 1-row broadcasts: N total and
+                                   # the two marginal-entropy scalars
     "kmv_event_user_overlap",      # types × types sketch-pair cross
                                    # (tiny, < any join)
     "rolling_28d_users_hll",       # same single-row max-day cut as its

@@ -475,3 +475,20 @@ def test_theil_sen_bit_exact_vs_python(spark):
     assert g["n_days"] == len(pts) and g["n_pairs"] == len(slopes)
     assert g["slope_cents_per_day"] == m
     assert g["intercept_cents"] == b
+
+
+def test_mutual_info_degenerate_single_type_emits_zero_norm(spark):
+    """Single event type → H(type) = 0 → norm_mi emits 0.0 (never 0/0),
+    and MI itself is exactly 0 bits (p(x,y) = p(x)p(y) cell-by-cell)."""
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 7, "click", 1.0, "{}"),
+         (2, datetime(2024, 1, 2), 8, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = STT.event_weekday_mutual_info(ev).collect()
+    assert len(got) == 1
+    assert got[0]["mi_bits"] == 0.0
+    assert got[0]["norm_mi"] == 0.0

@@ -1339,3 +1339,170 @@ SELECT CAST(n_days AS BIGINT) AS n_days, n_pairs,
        r AS intercept_cents
 FROM rranked WHERE rr = (n_days + 1) // 2
 """
+
+
+def event_weekday_mutual_info(events: DataFrame) -> DataFrame:
+    """Mutual information between event type and weekday — "how many
+    bits does knowing the weekday tell you about what users do",
+    completing the information-theoretic pair with event_weekday_chi2
+    (chi² asks "dependent at all?", MI measures HOW dependent in bits)
+    and event_type_entropy (the marginal). One row: (n_cells, n_events,
+    mi_bits, norm_mi) with norm = I/min(H(type), H(dow)) in [0, 1].
+
+    Shape: identical to chi² — one hash aggregate to the types×7
+    contingency cells, broadcast margins, and the Σ p·ln(N·o/(r·c))
+    fold runs on the cell-vocabulary-bounded frame.
+
+    Exactness: the log argument N·o/(r·c) is ONE correctly-rounded
+    division of exact DECIMAL(38,0)/HUGEINT products (string-routed —
+    the module-docstring 2⁵³ trap), p = o/N one division of exact
+    BIGINTs, and the p·ln(...) terms fold in ONE canonical order
+    (cells sorted by type then dow, prepended 0.0). ln() is the
+    libm transcendental class, so mi_bits/norm_mi round to 6dp and
+    the nats→bits constant is the shared _LN2 literal. The marginal
+    entropies in the denominator use the same canonical fold over the
+    sorted margin lists; a degenerate table (single type OR single
+    weekday) has min-entropy 0 and emits norm_mi = 0.0 explicitly in
+    both engines (the chi² cramers_v discipline).
+    """
+    cells = events.groupBy(
+        F.col("event_type"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    row_tot = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    col_tot = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    n_total = cells.agg(F.sum("o").alias("N"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(n_total))
+    )
+    p = F.col("o").cast("double") / F.col("N").cast("double")
+    ratio = (
+        (F.col("N").cast("decimal(20,0)") * F.col("o"))
+        .cast("string")
+        .cast("double")
+        / (F.col("r").cast("decimal(20,0)") * F.col("c"))
+        .cast("string")
+        .cast("double")
+    )
+    folded = (
+        joined.select(
+            "event_type", "dow", (p * F.log(ratio)).alias("term"), "N", "r", "c"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.first("N").alias("n_events"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("event_type", "dow", "term"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("mi_nats"),
+        )
+    )
+    # marginal entropies: attach N to each margin row first, then fold
+    # in canonical (key-sorted) order
+    hx = (
+        row_tot.crossJoin(F.broadcast(n_total))
+        .select(
+            "event_type",
+            (
+                -(F.col("r").cast("double") / F.col("N").cast("double"))
+                * F.log(F.col("r").cast("double") / F.col("N").cast("double"))
+            ).alias("t"),
+        )
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("event_type", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("h_type")
+        )
+    )
+    hy = (
+        col_tot.crossJoin(F.broadcast(n_total))
+        .select(
+            "dow",
+            (
+                -(F.col("c").cast("double") / F.col("N").cast("double"))
+                * F.log(F.col("c").cast("double") / F.col("N").cast("double"))
+            ).alias("t"),
+        )
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("dow", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("h_dow")
+        )
+    )
+    hmin = F.least(F.col("h_type"), F.col("h_dow"))
+    return (
+        folded.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n_cells",
+            "n_events",
+            F.round(F.col("mi_nats") / F.lit(_LN2), 6).alias("mi_bits"),
+            F.when(
+                hmin > 0, F.round(F.col("mi_nats") / hmin, 6)
+            ).otherwise(F.lit(0.0)).alias("norm_mi"),
+        )
+    )
+
+
+EVENT_WEEKDAY_MUTUAL_INFO_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(date_part('dow', ts) AS INTEGER) AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, date_part('dow', ts)
+), tot AS (
+  SELECT cells.*,
+         sum(o) OVER (PARTITION BY event_type) AS r,
+         sum(o) OVER (PARTITION BY dow) AS c,
+         sum(o) OVER () AS N
+  FROM cells
+), folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(max(N) AS BIGINT) AS n_events,
+         CAST(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(o AS DOUBLE) / CAST(N AS DOUBLE))
+                    * ln(CAST(CAST(CAST(N AS HUGEINT) * o AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(CAST(r AS HUGEINT) * c AS VARCHAR) AS DOUBLE))
+                  ORDER BY event_type, dow)),
+           (a, b) -> a + b) AS DOUBLE) AS mi_nats
+  FROM tot
+), margins_x AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY event_type
+), margins_y AS (
+  SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY dow
+), nn AS (
+  SELECT CAST(sum(o) AS BIGINT) AS N FROM cells
+), hx AS (
+  SELECT CAST(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(-(CAST(r AS DOUBLE) / CAST(N AS DOUBLE))
+                   * ln(CAST(r AS DOUBLE) / CAST(N AS DOUBLE))
+                  ORDER BY event_type)),
+           (a, b) -> a + b) AS DOUBLE) AS h_type
+  FROM margins_x, nn
+), hy AS (
+  SELECT CAST(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(-(CAST(c AS DOUBLE) / CAST(N AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(N AS DOUBLE))
+                  ORDER BY dow)),
+           (a, b) -> a + b) AS DOUBLE) AS h_dow
+  FROM margins_y, nn
+)
+SELECT f.n_cells, f.n_events,
+       round(f.mi_nats / CAST({_LN2!r} AS DOUBLE), 6) AS mi_bits,
+       CASE WHEN least(x.h_type, y.h_dow) > 0
+            THEN round(f.mi_nats / least(x.h_type, y.h_dow), 6)
+            ELSE 0.0 END AS norm_mi
+FROM folded f, hx x, hy y
+"""

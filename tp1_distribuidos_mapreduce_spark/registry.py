@@ -58,26 +58,28 @@ _WINDOW: list[str] = [
     #    changed THIS round (decimal-headroom enforcement +
     #    degenerate-table guards + entropy-oracle literal cast,
     #    02ab641) so their r11 greens predate the code;
-    # 3) the 7 round-12 additions (new-query-gets-a-row):
+    # 3) the 8 round-12 additions (new-query-gets-a-row):
     #    rolling_28d_users_exact (the HLL sketch's oracle-checked exact
     #    anchor), the stats two-sample/k-group family
     #    welch_price_ttest / mannwhitney_quantity /
     #    anova_price_by_priority, the Kaplan-Meier survival curve
     #    kaplan_meier_repurchase, the Theil-Sen robust trend
-    #    theil_sen_revenue_trend, and event_user_overlap (the KMV
-    #    sketch's exact twin); the last three take the slots of
-    #    bitmap_distinct_users, event_gap_detection and language_id,
-    #    tier 5's lowest-risk members (pure integer bitmap popcounts /
-    #    integer lag thresholds / deterministic string classification,
-    #    code untouched since r7, differential-covered, r13 front of
-    #    line with the 6 deferred);
+    #    theil_sen_revenue_trend, the mutual-information companion
+    #    event_weekday_mutual_info, and event_user_overlap (the KMV
+    #    sketch's exact twin); the last four take the slots of
+    #    bitmap_distinct_users, event_gap_detection, language_id and
+    #    sentence_stats, tier 5's lowest-risk members (pure integer
+    #    bitmap popcounts / integer lag thresholds / deterministic
+    #    string classification / integer sentence counts, code
+    #    untouched since r7, differential-covered, r13 front of line
+    #    with the 6 deferred);
     # 4) the 9 remaining r6-era stale rows — the displaced-members
     #    backlog VERDICT r11 put first in line (token_stats,
     #    skewed_distinct_users, dedup_exact, supplier_activity,
     #    priorities_with_big_items, waiting_suppliers,
     #    brand_type_vocabulary, customer_set_ops, order_priority_pivot;
     #    sessionize_events, the tenth, is already in tier 2);
-    # 5) 22 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
+    # 5) 21 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
     #    r9, r11 — at the invariant's boundary), biased toward
     #    higher-risk shapes: money/float arithmetic, layout/pruning,
     #    streaming, text kernels. The 6 deferred members below (plus
@@ -108,6 +110,7 @@ _WINDOW: list[str] = [
     "anova_price_by_priority",
     "kaplan_meier_repurchase",
     "theil_sen_revenue_trend",
+    "event_weekday_mutual_info",
     "event_user_overlap",
     # tier 4: the r6-era displaced-members backlog
     "token_stats",
@@ -119,7 +122,7 @@ _WINDOW: list[str] = [
     "brand_type_vocabulary",
     "customer_set_ops",
     "order_priority_pivot",
-    # tier 5: r7-era freshness rotation (22 of 31)
+    # tier 5: r7-era freshness rotation (21 of 31)
     "bm25_top_terms",
     "chunk_documents",
     "click_purchase_attribution",
@@ -131,7 +134,6 @@ _WINDOW: list[str] = [
     "positional_index",
     "promo_revenue_by_month",
     "repetition_stats",
-    "sentence_stats",
     "session_window_stats",
     "shared_span_pairs",
     "sliding_event_stats",
@@ -2454,6 +2456,17 @@ def q_anova_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     order fold of the k ratio terms, closed-form F and eta-squared —
     bit-exact."""
     return STT.anova_price_by_priority(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "event_weekday_mutual_info", oracle=STT.EVENT_WEEKDAY_MUTUAL_INFO_ORACLE
+)
+def q_event_weekday_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information type×weekday in bits (plans/stats.py):
+    cell-bounded contingency frame, exact decimal N·o/(r·c) ratios,
+    canonical-order folds for the MI and both marginal entropies —
+    bit-exact at 6dp."""
+    return STT.event_weekday_mutual_info(load_table(spark, sf_dir, "events"))
 
 
 @register("theil_sen_revenue_trend", oracle=STT.THEIL_SEN_REVENUE_TREND_ORACLE)
