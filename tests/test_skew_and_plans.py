@@ -300,6 +300,7 @@ NESTED_LOOP_ALLOWED = {
                                    # median slope, day count
     "event_weekday_mutual_info",   # three 1-row broadcasts: N total and
                                    # the two marginal-entropy scalars
+    "weekday_seasonality_index",   # 1-row broadcast overall-total frame
     "kmv_event_user_overlap",      # types × types sketch-pair cross
                                    # (tiny, < any join)
     "rolling_28d_users_hll",       # same single-row max-day cut as its

@@ -1506,3 +1506,185 @@ SELECT f.n_cells, f.n_events,
             ELSE 0.0 END AS norm_mi
 FROM folded f, hx x, hy y
 """
+
+
+def nation_trend_significance(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation OLS trend WITH inference: slope, R², and the
+    slope's t-statistic — "is this nation's growth real or noise",
+    the significance companion to nation_revenue_trend (same daily
+    collapse, same sufficient statistics plus Σy²). Rows per nation:
+    (n_name, n_days, slope_cents_per_day, r_squared, t_stat).
+
+    Shape: identical to nation_revenue_trend — the fact table
+    collapses to (nation, day) cents once; one tiny aggregate per
+    nation builds n, Σx, Σy, Σxy, Σx², Σy².
+
+    Exactness: num = nΣxy−ΣxΣy, den = nΣx²−(Σx)², deny = nΣy²−(Σy)²
+    are exact DECIMAL(38,0)/HUGEINT. r = num/√den/√deny is the proven
+    Pearson chain (brand_qty_price_corr); r² = r·r one multiply;
+    t = r·√((n−2)/(1−r²)) extends it with four more single
+    correctly-rounded ops on identical doubles — bit-identical both
+    engines. den·deny−num² would pass 10³⁸, so perfect fits are
+    excluded via the COMPUTED double guard r² < 1 (identical r both
+    sides → identical guard decision); degenerate nations (n ≤ 2 or
+    zero variance on either axis) are excluded like the sibling.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
+    x = F.datediff(F.col("o_orderdate"), F.lit(_X_EPOCH).cast("date")).cast(
+        "decimal(18,0)"
+    )
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", x.alias("x"))
+        .agg(F.sum(cents).alias("y"))
+        .select("n_name", "x", F.col("y").cast("decimal(18,0)").alias("y"))
+    )
+    s = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    sd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    r = sd(num) / F.sqrt(sd(den)) / F.sqrt(sd(deny))
+    r2 = r * r
+    t = r * F.sqrt(
+        (F.col("n_days").cast("double") - F.lit(2.0)) / (F.lit(1.0) - r2)
+    )
+    return (
+        s.where((F.col("n_days") > 2) & (den != 0) & (deny != 0))
+        .withColumn("r2", r2)
+        .where(F.col("r2") < 1.0)
+        .select(
+            "n_name",
+            "n_days",
+            (sd(num) / sd(den)).alias("slope_cents_per_day"),
+            F.col("r2").alias("r_squared"),
+            t.alias("t_stat"),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_TREND_SIGNIFICANCE_ORACLE = f"""
+WITH daily AS (
+  SELECT n_name,
+         CAST(date_diff('day', DATE '{_X_EPOCH}', o_orderdate) AS HUGEINT) AS x,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, 2
+), s AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM daily GROUP BY n_name
+), d AS (
+  SELECT n_name, n_days,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS numd,
+         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS dend,
+         CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS denyd
+  FROM s
+  WHERE n_days > 2 AND n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+), e AS (
+  SELECT n_name, n_days, numd, dend,
+         (numd / sqrt(dend) / sqrt(denyd))
+           * (numd / sqrt(dend) / sqrt(denyd)) AS r2,
+         numd / sqrt(dend) / sqrt(denyd) AS r
+  FROM d
+)
+SELECT n_name, n_days,
+       numd / dend AS slope_cents_per_day,
+       r2 AS r_squared,
+       r * sqrt((CAST(n_days AS DOUBLE) - 2.0) / (1.0 - r2)) AS t_stat
+FROM e
+WHERE r2 < 1.0
+ORDER BY n_name
+"""
+
+
+def weekday_seasonality_index(orders: DataFrame) -> DataFrame:
+    """Multiplicative weekday seasonal index of order revenue — the
+    classical decomposition's seasonal component: mean daily revenue on
+    each weekday relative to the overall mean daily revenue (1.0 = no
+    seasonality; 1.2 = that weekday runs 20% hot). Rows per dow:
+    (dow, n_days, day_cents_total, seasonal_index).
+
+    Shape: the fact table collapses to (day, cents) once (the only
+    data-sized pass), weekday aggregation runs on the calendar-bounded
+    daily frame, and the overall totals broadcast back as one row.
+
+    Exactness: index = (S_w/n_w)/(S/n) is algebraically (S_w·n)/(n_w·S)
+    — both sides exact DECIMAL(38,0)/HUGEINT products (≤ ~10²² even at
+    100 TB), so the index is ONE correctly-rounded division of exact
+    integers, bit-identical cross-engine with no mean-of-means float
+    chain at all.
+    """
+    daily = (
+        orders.select(
+            F.col("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("decimal(18,0)").alias("y"))
+    )
+    per_dow = daily.groupBy(
+        (F.dayofweek("day") - 1).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("nw"),
+        F.sum("y").alias("sw"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("y").alias("s"),
+    )
+    num = (F.col("sw") * F.col("n")).cast("string").cast("double")
+    den = (F.col("nw") * F.col("s")).cast("string").cast("double")
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .where(F.col("s") != 0)
+        .select(
+            "dow",
+            "n_days",
+            F.col("sw").cast("long").alias("day_cents_total"),
+            (num / den).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+WEEKDAY_SEASONALITY_INDEX_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS y
+  FROM orders GROUP BY 1
+), per_dow AS (
+  SELECT CAST(date_part('dow', day) AS INTEGER) AS dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) AS HUGEINT) AS nw,
+         sum(y) AS sw
+  FROM daily GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(y) AS s FROM daily
+)
+SELECT dow, n_days,
+       CAST(sw AS BIGINT) AS day_cents_total,
+       CAST(CAST(sw * n AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(nw * s AS VARCHAR) AS DOUBLE) AS seasonal_index
+FROM per_dow, tot
+WHERE s <> 0
+ORDER BY dow
+"""

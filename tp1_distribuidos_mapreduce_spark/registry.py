@@ -58,28 +58,33 @@ _WINDOW: list[str] = [
     #    changed THIS round (decimal-headroom enforcement +
     #    degenerate-table guards + entropy-oracle literal cast,
     #    02ab641) so their r11 greens predate the code;
-    # 3) the 8 round-12 additions (new-query-gets-a-row):
+    # 3) the 10 round-12 additions (new-query-gets-a-row):
     #    rolling_28d_users_exact (the HLL sketch's oracle-checked exact
     #    anchor), the stats two-sample/k-group family
     #    welch_price_ttest / mannwhitney_quantity /
     #    anova_price_by_priority, the Kaplan-Meier survival curve
     #    kaplan_meier_repurchase, the Theil-Sen robust trend
     #    theil_sen_revenue_trend, the mutual-information companion
-    #    event_weekday_mutual_info, and event_user_overlap (the KMV
-    #    sketch's exact twin); the last four take the slots of
-    #    bitmap_distinct_users, event_gap_detection, language_id and
-    #    sentence_stats, tier 5's lowest-risk members (pure integer
-    #    bitmap popcounts / integer lag thresholds / deterministic
-    #    string classification / integer sentence counts, code
-    #    untouched since r7, differential-covered, r13 front of line
-    #    with the 6 deferred);
+    #    event_weekday_mutual_info, the trend-inference and seasonal
+    #    members nation_trend_significance / weekday_seasonality_index,
+    #    and event_user_overlap (the KMV sketch's exact twin); the last
+    #    six take the slots of bitmap_distinct_users,
+    #    event_gap_detection, language_id, sentence_stats,
+    #    positional_index and phrase_search, tier 5's lowest-risk
+    #    members (pure integer bitmap popcounts / integer lag
+    #    thresholds / deterministic string classification / integer
+    #    sentence counts / integer token-position arrays —
+    #    phrase_search's sequence-reversal guard is additionally
+    #    pytest-pinned, tests/test_curation_ops.py), code untouched
+    #    since r7, differential-covered, r13 front of line with the 6
+    #    deferred);
     # 4) the 9 remaining r6-era stale rows — the displaced-members
     #    backlog VERDICT r11 put first in line (token_stats,
     #    skewed_distinct_users, dedup_exact, supplier_activity,
     #    priorities_with_big_items, waiting_suppliers,
     #    brand_type_vocabulary, customer_set_ops, order_priority_pivot;
     #    sessionize_events, the tenth, is already in tier 2);
-    # 5) 21 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
+    # 5) 19 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
     #    r9, r11 — at the invariant's boundary), biased toward
     #    higher-risk shapes: money/float arithmetic, layout/pruning,
     #    streaming, text kernels. The 6 deferred members below (plus
@@ -111,6 +116,8 @@ _WINDOW: list[str] = [
     "kaplan_meier_repurchase",
     "theil_sen_revenue_trend",
     "event_weekday_mutual_info",
+    "nation_trend_significance",
+    "weekday_seasonality_index",
     "event_user_overlap",
     # tier 4: the r6-era displaced-members backlog
     "token_stats",
@@ -122,7 +129,7 @@ _WINDOW: list[str] = [
     "brand_type_vocabulary",
     "customer_set_ops",
     "order_priority_pivot",
-    # tier 5: r7-era freshness rotation (21 of 31)
+    # tier 5: r7-era freshness rotation (19 of 31)
     "bm25_top_terms",
     "chunk_documents",
     "click_purchase_attribution",
@@ -130,8 +137,6 @@ _WINDOW: list[str] = [
     "merge_upsert_orders",
     "partitioned_pruned_daily",
     "parts_above_brand_avg",
-    "phrase_search",
-    "positional_index",
     "promo_revenue_by_month",
     "repetition_stats",
     "session_window_stats",
@@ -2467,6 +2472,30 @@ def q_event_weekday_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical-order folds for the MI and both marginal entropies —
     bit-exact at 6dp."""
     return STT.event_weekday_mutual_info(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "nation_trend_significance", oracle=STT.NATION_TREND_SIGNIFICANCE_ORACLE
+)
+def q_nation_trend_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend with inference (plans/stats.py): slope, R²
+    and the slope t-statistic from exact decimal sufficient statistics
+    via the proven Pearson divide-sqrt chain — bit-exact."""
+    return STT.nation_trend_significance(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "weekday_seasonality_index", oracle=STT.WEEKDAY_SEASONALITY_INDEX_ORACLE
+)
+def q_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative weekday seasonal index (plans/stats.py):
+    (S_w·n)/(n_w·S) — one correctly-rounded division of exact decimal
+    products, no mean-of-means float chain — bit-exact."""
+    return STT.weekday_seasonality_index(load_table(spark, sf_dir, "orders"))
 
 
 @register("theil_sen_revenue_trend", oracle=STT.THEIL_SEN_REVENUE_TREND_ORACLE)
