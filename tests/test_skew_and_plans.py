@@ -303,6 +303,8 @@ NESTED_LOOP_ALLOWED = {
     "weekday_seasonality_index",   # 1-row broadcast overall-total frame
     "kmv_event_user_overlap",      # types × types sketch-pair cross
                                    # (tiny, < any join)
+    "stream_kmv_overlap",          # same types × types sketch-pair
+                                   # cross, read from persisted state
     "rolling_28d_users_hll",       # same single-row max-day cut as its
                                    # exact twin (aligned in r10)
     "stream_hll_rolling_28d",      # the same single-row max-day cut,

@@ -764,3 +764,50 @@ def test_stream_hll_replayed_batch_fenced_and_harmless(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/v0").collect()
     )
     assert after_replay == after_first
+
+
+def test_stream_kmv_sketches_equal_batch_build_exactly(spark, tmp_path):
+    """write_stream_kmv_sketches folded across micro-batches must yield
+    overlap estimates IDENTICAL to the one-shot batch
+    kmv_event_user_overlap (bottom-K union-truncate is associative,
+    commutative, idempotent), and a same-checkpoint rerun is a no-op."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "kmv_src")
+    state = str(tmp_path / "kmv_state")
+    ckpt = str(tmp_path / "kmv_ckpt")
+
+    ev = batch_events(spark)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    SK.write_stream_kmv_sketches(stream_events(spark, src, max_files=1), state, ckpt)
+    got = sorted(tuple(r) for r in SK.read_kmv_overlap(spark, state).collect())
+    want = sorted(tuple(r) for r in AX.kmv_event_user_overlap(ev).collect())
+    assert got == want
+
+    SK.write_stream_kmv_sketches(stream_events(spark, src, max_files=1), state, ckpt)
+    got2 = sorted(tuple(r) for r in SK.read_kmv_overlap(spark, state).collect())
+    assert got2 == want
+
+
+def test_stream_kmv_replayed_batch_fenced_and_harmless(spark, tmp_path):
+    """Injected at-least-once replay through the production fold: fenced,
+    and the sketch arrays are byte-identical either way."""
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    state = str(tmp_path / "kmv_state2")
+    ev = batch_events(spark).where(F.col("event_id") < 40)
+
+    SK._kmv_fold(ev, 0, state)
+    first = sorted(
+        (r["event_type"], tuple(r["sk"]))
+        for r in spark.read.parquet(f"{state}/v0").collect()
+    )
+    SK._kmv_fold(ev, 0, state)
+    assert SK._read_ivm_pointer(state) == {"dir": "v0", "batch_id": 0}
+    again = sorted(
+        (r["event_type"], tuple(r["sk"]))
+        for r in spark.read.parquet(f"{state}/v0").collect()
+    )
+    assert again == first

@@ -499,6 +499,17 @@ def kmv_event_user_overlap(events: DataFrame) -> DataFrame:
     JVM-side md5 prefix (conv(substr(md5, 1, 15))) — deterministic,
     no Python anywhere.
     """
+    return overlap_from_kmv_sketches(kmv_type_sketches(events))
+
+
+def kmv_type_sketches(events: DataFrame) -> DataFrame:
+    """The KMV sketch-TABLE build: one bottom-K hash array per event
+    type — partial bottom-K per (type, partition), K-array merge per
+    type. Like the HLL daily build, bottom-K union-then-truncate is
+    associative, commutative, and IDEMPOTENT, so sketches built from
+    any partitioning of the stream — including replayed micro-batches
+    (streaming/sinks.py write_stream_kmv_sketches) — are bit-identical
+    to the one-shot build."""
     hashed = events.select(
         "event_type",
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
@@ -511,13 +522,19 @@ def kmv_event_user_overlap(events: DataFrame) -> DataFrame:
             F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("pk")
         )
     )
-    sketches = partials.groupBy("event_type").agg(
+    return partials.groupBy("event_type").agg(
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("pk")))),
             1,
             KMV_K,
         ).alias("sk")
     )
+
+
+def overlap_from_kmv_sketches(sketches: DataFrame) -> DataFrame:
+    """Pairwise intersection estimates over a prebuilt (event_type, sk)
+    sketch table: K-array union merge per pair, inclusion-exclusion —
+    runs on the types-cardinality frame, never the raw events."""
     a = sketches.select(
         F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
     )

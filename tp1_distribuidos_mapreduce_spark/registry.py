@@ -2570,3 +2570,40 @@ def q_stream_hll_rolling_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/ckpt",
     )
     return SK.read_hll_rolling(spark, f"{work}/state")
+
+
+@register("stream_kmv_overlap")
+def q_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bottom-K sketch-at-ingest end-to-end (streaming/
+    sinks.py write_stream_kmv_sketches): per-microbatch union-truncate
+    folds into a persisted per-type sketch table (versioned dirs +
+    pointer + batch-id fence), and the returned overlap estimates —
+    read from the SKETCH table — equal the one-shot batch
+    kmv_event_user_overlap EXACTLY (bottom-K merge is associative,
+    commutative, idempotent; pinned across a multi-batch replay in
+    tests/test_streaming.py). Rows-only (sketch); the exact anchor is
+    event_user_overlap's driver row."""
+    import os
+    import shutil
+
+    from .sources.artifacts import build_once
+    from .sources.tables import fixture_cache_tag, stream_events
+    from .streaming import sinks as SK
+
+    tag = fixture_cache_tag(sf_dir, "events", "stream-src-v1")
+    src = f"/tmp/tp1_spark_stream_events_{tag}"
+    build_once(
+        src,
+        lambda: load_table(spark, sf_dir, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src),
+    )
+    work = f"/tmp/tp1_spark_kmv_q_{tag}_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    SK.write_stream_kmv_sketches(
+        stream_events(spark, src, max_files_per_trigger=2),
+        f"{work}/state",
+        f"{work}/ckpt",
+    )
+    return SK.read_kmv_overlap(spark, f"{work}/state")

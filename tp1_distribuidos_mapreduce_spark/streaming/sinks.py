@@ -370,3 +370,105 @@ def read_hll_rolling(
     return rolling_estimates_from_sketches(
         daily, max_day, days if days is not None else ROLLING_HLL_DAYS
     )
+
+
+def write_stream_kmv_sketches(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming KMV sketch-at-ingest: fold each micro-batch of events
+    into a persisted per-type bottom-K hash table — the set-operation
+    half of the sketch-ingest pair (write_stream_hll_sketches is the
+    rolling-distinct half). Audience-overlap dashboards then read the
+    types-cardinality sketch table (read_kmv_overlap), never the raw
+    events.
+
+    Per batch: the delta's per-type bottom-K arrays (plans/approx.py
+    kmv_type_sketches — the same kernel as the batch build) merge into
+    the current state with a type-keyed full-outer union-truncate; the
+    commit is the IVM sink's versioned-dir + atomic pointer + batch-id
+    fence. Bottom-K union-then-truncate is associative, commutative,
+    and IDEMPOTENT, so the folded sketch table is BIT-IDENTICAL to the
+    one-shot batch build across any micro-batch boundaries or replays
+    (pinned in tests/test_streaming.py).
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _kmv_fold(batch_df, batch_id, state_path)
+
+    (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _kmv_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One idempotent bottom-K fold: fence, union-truncate merge,
+    atomic versioned commit (the _hll_fold/_ivm_fold convention)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..plans.approx import KMV_K, kmv_type_sketches
+
+    spark = batch_df.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    committed = _read_ivm_pointer(state_path)
+    if committed is not None and batch_id <= committed["batch_id"]:
+        return  # replayed epoch — fenced (and the merge is idempotent)
+    delta = kmv_type_sketches(batch_df)
+    if committed is not None:
+        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        b = cur.select(
+            F.col("event_type").alias("b_t"), F.col("sk").alias("b_sk")
+        )
+        d = delta.select(
+            F.col("event_type").alias("d_t"), F.col("sk").alias("d_sk")
+        )
+        empty = F.array().cast("array<long>")
+        merged = b.join(d, b["b_t"] == d["d_t"], "full_outer").select(
+            F.coalesce(b["b_t"], d["d_t"]).alias("event_type"),
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce("b_sk", empty),
+                            F.coalesce("d_sk", empty),
+                        )
+                    )
+                ),
+                1,
+                KMV_K,
+            ).alias("sk"),
+        )
+    else:
+        merged = delta
+    new_dir = f"v{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _commit_ivm_pointer(state_path, new_dir, batch_id)
+    keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
+    for d in os.listdir(state_path):
+        if d.startswith("v") and d not in keep:
+            shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
+
+
+def read_kmv_overlap(spark: SparkSession, state_path: str) -> DataFrame:
+    """Pairwise audience-overlap estimates from the PERSISTED bottom-K
+    sketch table — the dashboard read path (types-cardinality frame,
+    raw events never touched)."""
+    import os
+
+    from ..plans.approx import overlap_from_kmv_sketches
+
+    committed = _read_ivm_pointer(state_path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed sketch state under {state_path}")
+    return overlap_from_kmv_sketches(
+        spark.read.parquet(os.path.join(state_path, committed["dir"]))
+    )
