@@ -296,7 +296,10 @@ NESTED_LOOP_ALLOWED = {
     "rolling_28d_users_exact",     # same plan at the sketch's window length
     "kaplan_meier_repurchase",     # three 1-row broadcasts: max order
                                    # date, subject total, factor array
-    "theil_sen_revenue_trend",     # three 1-row broadcasts: pair count,
+    "theil_sen_revenue_trend",     # calendar-bounded pairwise day-frame
+                                   # cross (~2.4k×2.4k max, constant in
+                                   # fact rows — drill slope 0.6) plus
+                                   # three 1-row broadcasts: pair count,
                                    # median slope, day count
     "event_weekday_mutual_info",   # three 1-row broadcasts: N total and
                                    # the two marginal-entropy scalars
@@ -361,3 +364,23 @@ def test_registry_wide_plan_audit(spark):
         if "CartesianProduct" in plan:
             violations.append(f"{name}: cartesian product")
     assert not violations, f"{violations}\n{triage}"
+
+
+def test_stats_single_pass_scans_prune_columns(spark):
+    """The round-12 two-sample members must collapse in ONE pruned pass:
+    welch reads exactly (returnflag, extendedprice), mannwhitney exactly
+    (returnflag, quantity) — a scan that drags the full 16-column
+    lineitem row through a 100 TB aggregate would dominate the query."""
+    plan = plan_of(spark, "welch_price_ttest")
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans and all(
+        "l_extendedprice" in l and "l_returnflag" in l and "l_quantity" not in l
+        and "l_orderkey" not in l
+        for l in scans
+    ), scans
+    plan2 = plan_of(spark, "mannwhitney_quantity")
+    scans2 = [l for l in plan2.splitlines() if "ReadSchema" in l]
+    assert scans2 and all(
+        "l_quantity" in l and "l_returnflag" in l and "l_extendedprice" not in l
+        for l in scans2
+    ), scans2
