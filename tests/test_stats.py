@@ -492,3 +492,53 @@ def test_mutual_info_degenerate_single_type_emits_zero_norm(spark):
     assert len(got) == 1
     assert got[0]["mi_bits"] == 0.0
     assert got[0]["norm_mi"] == 0.0
+
+
+def test_spearman_bit_exact_vs_python_and_degenerate(spark):
+    """Midrank Spearman re-derived in plain Python over value-domain
+    midranks via the SAME exact-integer sufficient statistics and
+    double chain, compared with ==; plus the constant-variable guard."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = STT.quantity_price_spearman(li).collect()
+    assert len(got) == 1
+    g = got[0]
+
+    rows = li.select(
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    ).collect()
+    from collections import Counter
+
+    cx = Counter(r["x"] for r in rows)
+    cy = Counter(r["y"] for r in rows)
+
+    def twice_midranks(c):
+        out, cum = {}, 0
+        for v in sorted(c):
+            out[v] = 2 * cum + c[v] + 1  # exact int: 2 * midrank
+            cum += c[v]
+        return out
+
+    a = twice_midranks(cx)
+    b = twice_midranks(cy)
+    n = len(rows)
+    swa = sum(a[r["x"]] for r in rows)
+    swb = sum(b[r["y"]] for r in rows)
+    swab = sum(a[r["x"]] * b[r["y"]] for r in rows)
+    swaa = sum(a[r["x"]] * a[r["x"]] for r in rows)
+    swbb = sum(b[r["y"]] * b[r["y"]] for r in rows)
+    import math
+
+    num = n * swab - swa * swb
+    da = n * swaa - swa * swa
+    db = n * swbb - swb * swb
+    want = float(num) / math.sqrt(float(da)) / math.sqrt(float(db))
+    assert g["n_rows"] == n
+    assert g["spearman_rho"] == want
+
+    # constant quantity → zero rank variance → excluded, not NaN
+    const = spark.createDataFrame(
+        [(5.0, 10.0), (5.0, 20.0), (5.0, 30.0)],
+        "l_quantity double, l_extendedprice double",
+    )
+    assert STT.quantity_price_spearman(const).count() == 0

@@ -1688,3 +1688,149 @@ FROM per_dow, tot
 WHERE s <> 0
 ORDER BY dow
 """
+
+
+def quantity_price_spearman(lineitem: DataFrame) -> DataFrame:
+    """Spearman rank correlation between line quantity and extended
+    price — the nonparametric companion to brand_qty_price_corr's
+    Pearson: monotone association, robust to the price distribution's
+    shape. One row: (n_rows, spearman_rho), computed EXACTLY under
+    ties via midranks — never by ranking individual rows.
+
+    Shape: the fact table collapses ONCE to (quantity, price-cent)
+    cells; midranks then come from VALUE-DOMAIN rank maps — the
+    quantity map is a ≤ ~50-row window, the price map reuses
+    ks_returned_price's bucketed cumulative (per-bucket windows +
+    broadcast bucket priors, bounded by the cent domain, never the
+    data) — and the weighted Pearson over cells needs one more hash
+    aggregate. No global row-level sort/rank anywhere: ranking N rows
+    at 100 TB is exactly the single-partition window this formulation
+    exists to avoid.
+
+    Exactness: with d_v ties at value v and C(<v) strictly-less counts,
+    the midrank is C(<v) + (d_v+1)/2, so 2·midrank = 2C(<v) + d_v + 1
+    is an exact integer: Spearman ρ = Pearson over (2R_x, 2R_y)
+    (scale-invariance) keeps every sufficient statistic an exact
+    DECIMAL(38,0)/HUGEINT sum of cell-count-weighted integer products,
+    and ρ is the proven divide-sqrt-divide chain over string-routed
+    exact integers — bit-identical cross-engine. Headroom: the closing
+    cross products (N·Σw·a·b ≈ 4N⁴) stay under 10³⁸ through ~10⁹ rows
+    — the practical ceiling of this single-table statistic; past that
+    the same rank-domain collapse stands but the two closing products
+    need hi/lo split accumulation. Degenerate inputs (either variable
+    constant → zero rank variance) are excluded rather than NULL/NaN.
+    """
+    cells = (
+        lineitem.select(
+            F.round("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # quantity rank map: the domain is tiny (integral 1..~50)
+    xtot = cells.groupBy("x").agg(F.sum("n").alias("dx"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    xmap = xtot.select(
+        "x",
+        (2 * F.coalesce(F.sum("dx").over(wx), F.lit(0)) + F.col("dx") + 1)
+        .cast("decimal(20,0)")
+        .alias("a"),
+    )
+    # price rank map: bucketed cumulative over the cent domain (the
+    # ks_returned_price discipline — no global single-partition window)
+    ytot = (
+        cells.groupBy("y")
+        .agg(F.sum("n").alias("dy"))
+        .withColumn("bkt", F.shiftright("y", 17))
+    )
+    per_bkt = ytot.groupBy("bkt").agg(F.sum("dy").alias("bd"))
+    cum_b = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    priors = per_bkt.select(
+        "bkt", (F.sum("bd").over(cum_b) - F.col("bd")).alias("py")
+    )
+    cum_in = (
+        Window.partitionBy("bkt")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ymap = (
+        ytot.join(F.broadcast(priors), "bkt")
+        .select(
+            "y",
+            (
+                2 * (F.col("py") + F.sum("dy").over(cum_in) - F.col("dy"))
+                + F.col("dy")
+                + 1
+            )
+            .cast("decimal(20,0)")
+            .alias("b"),
+        )
+    )
+    joined = cells.join(F.broadcast(xmap), "x").join(ymap, "y")
+    w = F.col("n").cast("decimal(18,0)")
+    s = joined.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(w).alias("nw"),
+        F.sum(w * F.col("a")).alias("swa"),
+        F.sum(w * F.col("b")).alias("swb"),
+        F.sum(w * F.col("a") * F.col("b")).alias("swab"),
+        F.sum(w * F.col("a") * F.col("a")).alias("swaa"),
+        F.sum(w * F.col("b") * F.col("b")).alias("swbb"),
+    )
+    num = F.col("nw") * F.col("swab") - F.col("swa") * F.col("swb")
+    da = F.col("nw") * F.col("swaa") - F.col("swa") * F.col("swa")
+    db = F.col("nw") * F.col("swbb") - F.col("swb") * F.col("swb")
+    return (
+        s.withColumn("da", da)
+        .withColumn("db", db)
+        .where((F.col("da") != 0) & (F.col("db") != 0))
+        .select(
+            "n_rows",
+            (
+                num.cast("string").cast("double")
+                / F.sqrt(F.col("da").cast("string").cast("double"))
+                / F.sqrt(F.col("db").cast("string").cast("double"))
+            ).alias("spearman_rho"),
+        )
+    )
+
+
+QUANTITY_PRICE_SPEARMAN_ORACLE = """
+WITH cells AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+), xmap AS (
+  SELECT x,
+         CAST(2 * coalesce(sum(dx) OVER (ORDER BY x
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND 1 PRECEDING), 0)
+              + dx + 1 AS HUGEINT) AS a
+  FROM (SELECT x, sum(n) AS dx FROM cells GROUP BY x) t
+), ymap AS (
+  SELECT y,
+         CAST(2 * (sum(dy) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - dy)
+              + dy + 1 AS HUGEINT) AS b
+  FROM (SELECT y, sum(n) AS dy FROM cells GROUP BY y) t
+), s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(n) AS HUGEINT) AS nw,
+         sum(CAST(n AS HUGEINT) * a) AS swa,
+         sum(CAST(n AS HUGEINT) * b) AS swb,
+         sum(CAST(n AS HUGEINT) * a * b) AS swab,
+         sum(CAST(n AS HUGEINT) * a * a) AS swaa,
+         sum(CAST(n AS HUGEINT) * b * b) AS swbb
+  FROM cells JOIN xmap USING (x) JOIN ymap USING (y)
+)
+SELECT n_rows,
+       CAST(CAST(nw * swab - swa * swb AS VARCHAR) AS DOUBLE)
+         / sqrt(CAST(CAST(nw * swaa - swa * swa AS VARCHAR) AS DOUBLE))
+         / sqrt(CAST(CAST(nw * swbb - swb * swb AS VARCHAR) AS DOUBLE))
+         AS spearman_rho
+FROM s
+WHERE nw * swaa - swa * swa <> 0 AND nw * swbb - swb * swb <> 0
+"""
