@@ -304,6 +304,7 @@ NESTED_LOOP_ALLOWED = {
     "event_weekday_mutual_info",   # three 1-row broadcasts: N total and
                                    # the two marginal-entropy scalars
     "weekday_seasonality_index",   # 1-row broadcast overall-total frame
+    "k_anonymity_census",          # 1-row broadcast row-total frame
     "kmv_event_user_overlap",      # types × types sketch-pair cross
                                    # (tiny, < any join)
     "stream_kmv_overlap",          # same types × types sketch-pair

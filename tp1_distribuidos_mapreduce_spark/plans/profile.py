@@ -384,3 +384,78 @@ FROM events e JOIN stats s USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+
+def k_anonymity_census(customer: DataFrame) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers — the
+    privacy check a training-data pipeline runs before release: for the
+    quasi-identifier tuple (nation, market segment, account-balance
+    kilo-bucket), how many records sit in equivalence classes of size
+    k — a k=1 row is a unique, re-identifiable combination. Rows per
+    k-band: (k_band, n_classes, n_rows, pct_rows) for bands
+    'k=1' / 'k=2-4' / 'k=5-9' / 'k>=10'.
+
+    Shape: one hash aggregate to equivalence classes (bounded by the
+    quasi-identifier domain), a second tiny aggregate over class sizes,
+    and a broadcast 1-row total for the share. Exactness: pure integer
+    counting; pct_rows is one correctly-rounded division of exact
+    BIGINTs (emitted raw — the tie-capable-ratio round is forbidden) —
+    bit-identical cross-engine.
+
+    Spark's int cast TRUNCATES while DuckDB's ROUNDS (verify notes), so
+    the kilo-bucket uses explicit floor() on both sides.
+    """
+    classes = (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_k"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    band = (
+        F.when(F.col("k") == 1, F.lit("k=1"))
+        .when(F.col("k") <= 4, F.lit("k=2-4"))
+        .when(F.col("k") <= 9, F.lit("k=5-9"))
+        .otherwise(F.lit("k>=10"))
+    )
+    per_band = classes.groupBy(band.alias("k_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
+    total = per_band.agg(F.sum("n_rows").alias("total"))
+    return (
+        per_band.crossJoin(F.broadcast(total))
+        .select(
+            "k_band",
+            "n_classes",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("total").cast("double"))
+            .alias("pct_rows"),
+        )
+        .orderBy("k_band")
+    )
+
+
+K_ANONYMITY_CENSUS_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+         CAST(count(*) AS BIGINT) AS k
+  FROM customer GROUP BY 1, 2, 3
+), per_band AS (
+  SELECT CASE WHEN k = 1 THEN 'k=1'
+              WHEN k <= 4 THEN 'k=2-4'
+              WHEN k <= 9 THEN 'k=5-9'
+              ELSE 'k>=10' END AS k_band,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(k) AS BIGINT) AS n_rows
+  FROM classes GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM per_band
+)
+SELECT k_band, n_classes, n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS pct_rows
+FROM per_band, tot
+ORDER BY k_band
+"""

@@ -58,7 +58,7 @@ _WINDOW: list[str] = [
     #    changed THIS round (decimal-headroom enforcement +
     #    degenerate-table guards + entropy-oracle literal cast,
     #    02ab641) so their r11 greens predate the code;
-    # 3) the 11 round-12 additions (new-query-gets-a-row):
+    # 3) the 12 round-12 additions (new-query-gets-a-row):
     #    rolling_28d_users_exact (the HLL sketch's oracle-checked exact
     #    anchor), the stats two-sample/k-group family
     #    welch_price_ttest / mannwhitney_quantity /
@@ -67,25 +67,26 @@ _WINDOW: list[str] = [
     #    theil_sen_revenue_trend, the mutual-information companion
     #    event_weekday_mutual_info, the trend-inference and seasonal
     #    members nation_trend_significance / weekday_seasonality_index,
-    #    the midrank Spearman quantity_price_spearman, and
-    #    event_user_overlap (the KMV sketch's exact twin); the last
-    #    seven take the slots of bitmap_distinct_users,
-    #    event_gap_detection, language_id, sentence_stats,
-    #    positional_index, phrase_search and chunk_documents, tier 5's
-    #    lowest-risk members (pure integer bitmap popcounts / integer
-    #    lag thresholds / deterministic string classification / integer
-    #    sentence counts / integer token-position arithmetic —
-    #    phrase_search's sequence-reversal guard and chunk_documents'
-    #    boundary geometry are additionally pytest-pinned), code
-    #    untouched since r7, differential-covered, r13 front of line
-    #    with the 6 deferred);
+    #    the midrank Spearman quantity_price_spearman, the k-anonymity
+    #    privacy audit k_anonymity_census, and event_user_overlap (the
+    #    KMV sketch's exact twin); the last eight take the slots of
+    #    bitmap_distinct_users, event_gap_detection, language_id,
+    #    sentence_stats, positional_index, phrase_search,
+    #    chunk_documents and train_val_test_split, tier 5's lowest-risk
+    #    members (pure integer bitmap popcounts / integer lag
+    #    thresholds / deterministic string classification / integer
+    #    sentence counts / integer token-position arithmetic / the
+    #    digit-identical md5 split recipe — phrase_search's
+    #    sequence-reversal guard and chunk_documents' boundary geometry
+    #    are additionally pytest-pinned), code untouched since r7,
+    #    differential-covered, r13 front of line with the 6 deferred);
     # 4) the 9 remaining r6-era stale rows — the displaced-members
     #    backlog VERDICT r11 put first in line (token_stats,
     #    skewed_distinct_users, dedup_exact, supplier_activity,
     #    priorities_with_big_items, waiting_suppliers,
     #    brand_type_vocabulary, customer_set_ops, order_priority_pivot;
     #    sessionize_events, the tenth, is already in tier 2);
-    # 5) 18 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
+    # 5) 17 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
     #    r9, r11 — at the invariant's boundary), biased toward
     #    higher-risk shapes: money/float arithmetic, layout/pruning,
     #    streaming, text kernels. The 6 deferred members below (plus
@@ -118,6 +119,7 @@ _WINDOW: list[str] = [
     "theil_sen_revenue_trend",
     "event_weekday_mutual_info",
     "quantity_price_spearman",
+    "k_anonymity_census",
     "nation_trend_significance",
     "weekday_seasonality_index",
     "event_user_overlap",
@@ -131,7 +133,7 @@ _WINDOW: list[str] = [
     "brand_type_vocabulary",
     "customer_set_ops",
     "order_priority_pivot",
-    # tier 5: r7-era freshness rotation (18 of 31)
+    # tier 5: r7-era freshness rotation (17 of 31)
     "bm25_top_terms",
     "click_purchase_attribution",
     "disjunctive_brand_revenue",
@@ -147,7 +149,6 @@ _WINDOW: list[str] = [
     "stream_static_enrichment",
     "text_quality",
     "tfidf_top_terms",
-    "train_val_test_split",
     "value_outliers",
     "zorder_pruned_scan",
 ]
@@ -2497,6 +2498,16 @@ def q_weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (S_w·n)/(n_w·S) — one correctly-rounded division of exact decimal
     products, no mean-of-means float chain — bit-exact."""
     return STT.weekday_seasonality_index(load_table(spark, sf_dir, "orders"))
+
+
+@register("k_anonymity_census", oracle=PF.K_ANONYMITY_CENSUS_ORACLE)
+def q_k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit over customer quasi-identifiers
+    (plans/profile.py): equivalence-class size bands, pure integer
+    counting, explicit floor() bucketing both engines (int-cast
+    truncate-vs-round trap) — the pre-release re-identification check
+    a training-data pipeline runs."""
+    return PF.k_anonymity_census(load_table(spark, sf_dir, "customer"))
 
 
 @register(
