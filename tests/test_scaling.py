@@ -246,6 +246,49 @@ def test_overlap_join_scales_linearly(spark):
     assert r1 == r10  # verbatim copies: distinct (type, user) unchanged
 
 
+def _scaled_lineitem_qty_prices(spark, copies: int = COPIES):
+    """10 verbatim copies of (quantity, price): every tie group scales
+    ×copies, so each 2·midrank transforms AFFINELY (2R' = 10·(2R) − 9
+    for 10 copies) and Spearman ρ — affine-invariant in both rank
+    vectors — must be unchanged up to float-chain noise."""
+    li = load_table(spark, SF_BENCH, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    copies_df = spark.range(copies).select(F.col("id").alias("cp"))
+    return li.crossJoin(F.broadcast(copies_df)).drop("cp").localCheckpoint(
+        eager=True
+    )
+
+
+def test_spearman_scales_linearly(spark):
+    """quantity_price_spearman's y-rank map is the round-12 shape with a
+    value-domain shuffle: the drill proves the rank-domain collapse
+    keeps it linear (the rank maps are the same size at 1× and 10×;
+    only the first cell collapse and the weighted aggregate scan more)."""
+    import math
+
+    from tp1_distribuidos_mapreduce_spark.plans import stats as STT
+
+    small = _scaled_lineitem_qty_prices(spark, 1)
+    big = _scaled_lineitem_qty_prices(spark, COPIES)
+    results: list = []
+    _drill(
+        "quantity_price_spearman",
+        STT.quantity_price_spearman,
+        small,
+        big,
+        results,
+    )
+    r1 = STT.quantity_price_spearman(small).collect()[0]
+    r10 = STT.quantity_price_spearman(big).collect()[0]
+    assert r10["n_rows"] == COPIES * r1["n_rows"]
+    # affine rank transform → mathematically identical rho; the float
+    # chains see different integers, so the pin is a tight isclose
+    assert math.isclose(
+        r10["spearman_rho"], r1["spearman_rho"], rel_tol=1e-9, abs_tol=1e-12
+    )
+
+
 def test_dedup_queries_scale_linearly(spark):
     small = _scaled_documents(spark, 1)
     big = _scaled_documents(spark, COPIES)
