@@ -125,6 +125,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # A failed repeat does NOT discard earlier good timings (a
+        # transient flake on pass 3/3 would lose two real measurements);
+        # the query is marked failed only when ZERO repeats succeed.
+        # median_low so the recorded value is always a wall time some
+        # run actually measured (plain median of an even count is the
+        # mean of two runs — a synthetic number). (ADVICE r12)
         runs: list[float] = []
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -133,9 +139,7 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             except Exception as ex:  # keep the bench line parseable on failure
                 print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
-                runs = []
-                break
-        timings[name] = round(statistics.median(runs), 3) if runs else -1.0
+        timings[name] = round(statistics.median_low(runs), 3) if runs else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # failed queries are EXCLUDED from total (a -1 would corrupt the sum);

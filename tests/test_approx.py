@@ -155,7 +155,11 @@ def test_rolling_hll_negative_ids_and_gap_days(spark):
 
 def test_kmv_overlap_matches_exact_when_unsaturated(spark):
     """Below K distinct users per type the bottom-k sketch holds EVERY
-    hash, so the estimate must be exactly the true intersection."""
+    hash, so the estimate must be exactly the true intersection. Both
+    twins enumerate EVERY unordered type pair (disjoint audiences emit
+    n_common = 0 rows) — the shared row-set convention from ADVICE r12,
+    so this dict-equality pin no longer depends on the fixture having
+    no disjoint audiences."""
     from tp1_distribuidos_mapreduce_spark.plans import approx as AX
     from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
 

@@ -307,6 +307,10 @@ NESTED_LOOP_ALLOWED = {
     "k_anonymity_census",          # 1-row broadcast row-total frame
     "kmv_event_user_overlap",      # types × types sketch-pair cross
                                    # (tiny, < any join)
+    "event_user_overlap",          # same types × types pair universe
+                                   # (broadcast cross of the per-type
+                                   # cardinality frame) so the exact twin
+                                   # emits disjoint pairs too (ADVICE r12)
     "stream_kmv_overlap",          # same types × types sketch-pair
                                    # cross, read from persisted state
     "rolling_28d_users_hll",       # same single-row max-day cut as its

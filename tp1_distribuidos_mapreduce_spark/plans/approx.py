@@ -401,6 +401,15 @@ def event_user_overlap(events: DataFrame) -> DataFrame:
     (type-cardinality frame). Exactness: counts are exact BIGINTs;
     jaccard is ONE correctly-rounded division of exact integers —
     bit-identical cross-engine, no rounding.
+
+    Row-set convention (shared with the KMV sketch twin): EVERY
+    unordered type pair gets a row, including pairs whose audiences
+    are disjoint (n_common = 0, jaccard = 0.0). The pair universe is
+    the types-cardinality cross of the per-type frame — tiny — with
+    the user-join counts LEFT-joined in; without this, the twins'
+    row sets diverge on any data where two types share no users and
+    the sketch-vs-exact pin (tests/test_approx.py) silently depends
+    on the fixture having no disjoint audiences (ADVICE r12).
     """
     du = events.select("event_type", "user_id").distinct()
     per_type = du.groupBy("event_type").agg(
@@ -408,27 +417,28 @@ def event_user_overlap(events: DataFrame) -> DataFrame:
     )
     a = du.select(F.col("event_type").alias("type_a"), "user_id")
     b = du.select(F.col("event_type").alias("type_b"), "user_id")
-    pairs = (
+    common = (
         a.join(b, "user_id")
         .where(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    na = F.broadcast(
-        per_type.select(
-            F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a")
-        )
+    na = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a")
     )
-    nb = F.broadcast(
-        per_type.select(
-            F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b")
-        )
+    nb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b")
+    )
+    pairs = (
+        F.broadcast(na)
+        .crossJoin(F.broadcast(nb))
+        .where(F.col("type_a") < F.col("type_b"))
+        .join(common, ["type_a", "type_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
     )
     union_n = F.col("n_users_a") + F.col("n_users_b") - F.col("n_common")
     return (
-        pairs.join(na, "type_a")
-        .join(nb, "type_b")
-        .select(
+        pairs.select(
             "type_a",
             "type_b",
             "n_users_a",
@@ -448,20 +458,28 @@ WITH du AS (
 ), per_type AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
   FROM du GROUP BY event_type
-), pairs AS (
+), common AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b,
          CAST(count(*) AS BIGINT) AS n_common
   FROM du a JOIN du b ON a.user_id = b.user_id
   WHERE a.event_type < b.event_type
   GROUP BY 1, 2
+), pairs AS (
+  -- every unordered type pair, disjoint audiences included (n_common 0):
+  -- the row-set convention shared with the KMV sketch twin (ADVICE r12)
+  SELECT na.event_type AS type_a, nb.event_type AS type_b,
+         na.n_users AS n_users_a, nb.n_users AS n_users_b,
+         coalesce(c.n_common, 0) AS n_common
+  FROM per_type na
+  CROSS JOIN per_type nb
+  LEFT JOIN common c
+    ON c.type_a = na.event_type AND c.type_b = nb.event_type
+  WHERE na.event_type < nb.event_type
 )
-SELECT type_a, type_b,
-       na.n_users AS n_users_a, nb.n_users AS n_users_b, n_common,
+SELECT type_a, type_b, n_users_a, n_users_b, n_common,
        CAST(n_common AS DOUBLE)
-         / CAST(na.n_users + nb.n_users - n_common AS DOUBLE) AS jaccard
+         / CAST(n_users_a + n_users_b - n_common AS DOUBLE) AS jaccard
 FROM pairs
-JOIN per_type na ON na.event_type = type_a
-JOIN per_type nb ON nb.event_type = type_b
 ORDER BY type_a, type_b
 """
 

@@ -10,6 +10,7 @@ value-hashing, so names must line up exactly.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +33,13 @@ from .functions.tokenize import TOKEN_SPLIT_REGEX as _TOK  # noqa: E402
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+
+# Monotonic per-process generation counter for the streaming sketch
+# queries' work dirs (q_stream_hll_rolling_28d / q_stream_kmv_overlap):
+# they return LAZY DataFrames over the state dir, so each invocation
+# gets a fresh dir instead of rmtree'ing one a prior unmaterialized
+# result may still read (ADVICE r12).
+_STREAM_Q_SEQ = itertools.count()
 
 # The driver's correctness harness checks only the FIRST 50 entries of
 # ``queries()`` (CORRECTNESS_r01 contained exactly registration entries
@@ -2585,7 +2593,12 @@ def q_stream_hll_rolling_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(src),
     )
-    work = f"/tmp/tp1_spark_hll_q_{tag}_{os.getpid()}"
+    # per-invocation suffix: the returned DataFrame is LAZY over the
+    # state dir, so a re-invocation must never rmtree a dir an earlier
+    # still-unmaterialized result reads from (ADVICE r12). Dirs are a
+    # few KB of sketch state; generations are bounded by invocations
+    # per process.
+    work = f"/tmp/tp1_spark_hll_q_{tag}_{os.getpid()}_g{next(_STREAM_Q_SEQ)}"
     shutil.rmtree(work, ignore_errors=True)
     SK.write_stream_hll_sketches(
         stream_events(spark, src, max_files_per_trigger=2),
@@ -2622,7 +2635,9 @@ def q_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(src),
     )
-    work = f"/tmp/tp1_spark_kmv_q_{tag}_{os.getpid()}"
+    # per-invocation suffix — same lazy-DataFrame reasoning as the HLL
+    # streaming query above (ADVICE r12).
+    work = f"/tmp/tp1_spark_kmv_q_{tag}_{os.getpid()}_g{next(_STREAM_Q_SEQ)}"
     shutil.rmtree(work, ignore_errors=True)
     SK.write_stream_kmv_sketches(
         stream_events(spark, src, max_files_per_trigger=2),
