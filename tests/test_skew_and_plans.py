@@ -299,8 +299,11 @@ NESTED_LOOP_ALLOWED = {
     "theil_sen_revenue_trend",     # calendar-bounded pairwise day-frame
                                    # cross (~2.4k×2.4k max, constant in
                                    # fact rows — drill slope 0.6) plus
-                                   # three 1-row broadcasts: pair count,
-                                   # median slope, day count
+                                   # 1-row broadcasts: the two medians'
+                                   # grid extents/rank targets and the
+                                   # median-slope frame (r13: medians
+                                   # now bucket-selected, no full-frame
+                                   # single-task sort)
     "event_weekday_mutual_info",   # three 1-row broadcasts: N total and
                                    # the two marginal-entropy scalars
     "weekday_seasonality_index",   # 1-row broadcast overall-total frame

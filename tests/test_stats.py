@@ -542,3 +542,24 @@ def test_spearman_bit_exact_vs_python_and_degenerate(spark):
         "l_quantity double, l_extendedprice double",
     )
     assert STT.quantity_price_spearman(const).count() == 0
+
+
+def test_spearman_headroom_guard_fails_loud(spark, monkeypatch):
+    """The documented ~10⁹-row DECIMAL(38,0) ceiling is ENFORCED
+    (VERDICT r12 #4): past it the closing 4N⁴ products would overflow
+    and silently NULL out in non-ANSI mode, so the plan raises instead.
+    Lowering the module ceiling must turn a green run into a loud
+    USER_RAISED_EXCEPTION on both engines."""
+    import duckdb
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    monkeypatch.setattr(STT, "SPEARMAN_MAX_ROWS", 10)
+    with pytest.raises(Exception, match="headroom ceiling"):
+        STT.quantity_price_spearman(li).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'"
+    )
+    lowered = STT.QUANTITY_PRICE_SPEARMAN_ORACLE.replace("1000000000", "10")
+    with pytest.raises(Exception, match="headroom ceiling"):
+        con.sql(lowered).fetchall()
