@@ -334,6 +334,10 @@ NESTED_LOOP_ALLOWED = {
                                    # over the per-price cumulative rows
     "benford_price_audit",         # single-row broadcast grand total over
                                    # the 9 digit rows
+    "winsorized_mean_price",       # 1-row broadcasts: grand total and the
+                                   # two selected cut elements (r13)
+    "iqr_price_fences",            # same shape: 1-row total + the two
+                                   # selected quartile elements (r13)
 }
 
 
@@ -392,3 +396,80 @@ def test_stats_single_pass_scans_prune_columns(spark):
         "l_quantity" in l and "l_returnflag" in l and "l_extendedprice" not in l
         for l in scans2
     ), scans2
+
+
+# --------------------------------------------------------------------------- #
+# r13 refresh triage: the 14 r7-era members rotated back into the driver
+# window (VERDICT r12 #1/#7). Each entry re-reviews the member's plan, not
+# just its row: the scan must prune to exactly the columns the operator
+# needs (a 100 TB scan that drags unused text/props columns would dominate),
+# and the per-member comment names the risk that was re-checked. The
+# risk-specific FUNCTIONAL pins stay where they live: phrase_search's
+# sequence-reversal guard (short docs must match nothing — the Spark
+# sequence(a,b) reverses, never empties) in tests/test_lm.py, and
+# chunk_documents' boundary geometry (full coverage, overlap stride, short
+# final chunk) in tests/test_curation_ops.py.
+# --------------------------------------------------------------------------- #
+
+# query -> (must appear in every scan line, must NOT appear in any scan line)
+R7_REFRESH_SCAN_PINS = {
+    # integer threshold filter; must never read price/date columns it
+    # doesn't aggregate
+    "large_quantity_orders": (["l_quantity"], ["l_extendedprice", "l_shipdate"]),
+    # per-user value sum: 2 of 6 event columns
+    "user_event_totals": (["user_id", "value"], ["props", "event_type"]),
+    # distinct-count join: never reads quantities
+    "supplier_part_variety": ([], ["l_quantity", "l_extendedprice"]),
+    # packed-BIGINT argmax: everything except the wide props blob
+    "latest_event_per_user": (["ts", "user_id"], ["props"]),
+    # tumbling windows: no user/props columns
+    "tumbling_event_counts": (["ts", "event_type"], ["props", "user_id"]),
+    # md5-bucket stratification: the KEY property — the sample gate runs
+    # on (doc_id, lang, source) and never touches the text blob
+    "stratified_sample": (["lang", "source"], ["text"]),
+    # bitmap popcounts: 2 of 6 columns
+    "bitmap_distinct_users": (["user_id", "event_type"], ["value", "props"]),
+    # integer lag thresholds: no type/props
+    "event_gap_detection": (["ts", "user_id"], ["event_type", "props"]),
+    # n-gram language id needs text but not source/lang (it PREDICTS lang)
+    "language_id": (["text"], ["source", "n_chars"]),
+    # UDTF surface demo (PYTHON_ALLOWED): text only
+    "sentence_stats": (["text"], ["source", "lang"]),
+    # token-position arithmetic: text only
+    "positional_index": (["text"], ["lang", "n_chars"]),
+    # sequence-guarded n-gram match: text + source, never the lang column
+    "phrase_search": (["text"], ["lang", "n_chars"]),
+    # boundary geometry: text only, and the empty-doc filter must be
+    # PUSHED (asserted separately below)
+    "chunk_documents": (["text"], ["source", "lang"]),
+    # deterministic md5 split: doc_id ONLY — the whole point is that the
+    # split assignment never reads document bodies
+    "train_val_test_split": (["doc_id"], ["text", "lang", "source"]),
+}
+
+
+def test_r7_refresh_scans_prune_columns(spark):
+    bad = []
+    for name, (need, forbid) in R7_REFRESH_SCAN_PINS.items():
+        plan = plan_of(spark, name)
+        scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+        if not scans:
+            bad.append(f"{name}: no FileScan in plan")
+            continue
+        for col in need:
+            if not any(col in l for l in scans):
+                bad.append(f"{name}: scan missing required column {col}")
+        for col in forbid:
+            if any(col in l for l in scans):
+                bad.append(f"{name}: scan reads unneeded column {col}")
+    assert not bad, bad
+
+
+def test_chunk_documents_pushes_empty_doc_filter(spark):
+    """The r7 boundary-geometry review, plan side: the empty-document
+    guard (size(split(trim(text))) > 0) must reach the scan as a data
+    filter — at 100 TB the blank-doc drop belongs in the reader, not a
+    post-scan filter stage."""
+    plan = plan_of(spark, "chunk_documents")
+    scan = [l for l in plan.splitlines() if "DataFilters" in l]
+    assert scan and any("size(split" in l for l in scan), scan

@@ -1940,3 +1940,592 @@ SELECT n_rows,
 FROM s
 WHERE nw * swaa - swa * swa <> 0 AND nw * swbb - swb * swb <> 0
 """
+
+
+def wilson_ci_return_rate(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Per-nation return rate with a Wilson-score 95% confidence
+    interval — the binomial-proportion member of the stats layer (a
+    plain p̂ ± z·se interval misbehaves at small n / extreme p; Wilson
+    is the standard fix). Rows: (n_name, n_lines, n_returned,
+    return_rate, wilson_lo, wilson_hi).
+
+    Shape: the fact table collapses to per-nation (n, r) in ONE
+    conditional hash aggregate after the key chain (orders → customer
+    shuffle-or-broadcast as the optimizer sizes them, nation always
+    broadcast); the interval math runs on the ≤ 25-nation frame.
+
+    Exactness: n and r are exact BIGINTs; p̂ = r/n is ONE
+    correctly-rounded division; the Wilson center/half-width chains
+    are the SAME expression tree in both engines over those doubles
+    (z enters as CAST(1.96 AS DOUBLE) to dodge the decimal-literal
+    trap), and the bounds round at 6dp — sqrt-based continuous
+    measures, the tie-safe class.
+    """
+    ok = orders.select("o_orderkey", "o_custkey")
+    ck = customer.select("c_custkey", "c_nationkey")
+    nm = nation.select("n_nationkey", "n_name")
+    per_nation = (
+        lineitem.select("l_orderkey", (F.col("l_returnflag") == "R").alias("ret"))
+        .join(ok, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(ck, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nm), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("ret"), 1).otherwise(0)).cast("long").alias("n_returned"),
+        )
+    )
+    nf = F.col("n_lines").cast("double")
+    p = F.col("n_returned").cast("double") / nf
+    z = F.lit(1.96)
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / nf
+    center = (p + z2 / (F.lit(2.0) * nf)) / denom
+    half = (
+        z
+        * F.sqrt(
+            (p * (F.lit(1.0) - p)) / nf + z2 / (F.lit(4.0) * nf * nf)
+        )
+        / denom
+    )
+    return per_nation.select(
+        "n_name",
+        "n_lines",
+        "n_returned",
+        p.alias("return_rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("n_name")
+
+
+WILSON_CI_RETURN_RATE_ORACLE = """
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+), d AS (
+  SELECT n_name, n_lines, n_returned,
+         CAST(n_lines AS DOUBLE) AS nf,
+         CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p,
+         CAST(1.96 AS DOUBLE) AS z,
+         CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+  FROM per_nation
+), w AS (
+  SELECT n_name, n_lines, n_returned, p,
+         (p + z2 / (2.0 * nf)) / (1.0 + z2 / nf) AS center,
+         z * sqrt((p * (1.0 - p)) / nf + z2 / (4.0 * nf * nf))
+           / (1.0 + z2 / nf) AS half
+  FROM d
+)
+SELECT n_name, n_lines, n_returned, p AS return_rate,
+       round(center - half, 6) AS wilson_lo,
+       round(center + half, 6) AS wilson_hi
+FROM w
+ORDER BY n_name
+"""
+
+
+def cohens_d_returned_price(lineitem: DataFrame) -> DataFrame:
+    """Cohen's d effect size between returned (l_returnflag = 'R') and
+    kept extended prices — the practical-significance companion to
+    welch_price_ttest (t answers "is the difference real?", d answers
+    "is it big?"). One row: (n_returned, n_other, mean_diff_cents,
+    cohens_d) with the pooled-SD denominator.
+
+    Shape: identical to Welch — ONE conditional hash aggregate builds
+    both groups' (n, Σy, Σy²) in a single pruned pass; map-side
+    partials; the closing math runs on one row.
+
+    Exactness: the welch_price_ttest discipline verbatim — integral
+    cents as DECIMAL(18,0), exact DECIMAL(38,0)/HUGEINT variance
+    numerators n·Σy² − (Σy)², string-routed double conversions, and
+    the pooled-variance chain evaluated as the SAME expression tree in
+    both engines: bit-identical, no rounding step. Degenerate inputs
+    (a group with n < 2, zero pooled variance) are excluded rather
+    than emitted NULL/inf.
+    """
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    ret = F.col("l_returnflag") == "R"
+    zero = F.lit(0).cast("decimal(18,0)")
+    s = lineitem.select(ret.alias("ret"), y.alias("y")).agg(
+        F.sum(F.when(F.col("ret"), 1).otherwise(0)).cast("long").alias("n_returned"),
+        F.sum(F.when(~F.col("ret"), 1).otherwise(0)).cast("long").alias("n_other"),
+        F.sum(F.when(F.col("ret"), 1).otherwise(0)).cast("decimal(18,0)").alias("n1"),
+        F.sum(F.when(~F.col("ret"), 1).otherwise(0)).cast("decimal(18,0)").alias("n2"),
+        F.sum(F.when(F.col("ret"), F.col("y")).otherwise(zero)).alias("s1"),
+        F.sum(F.when(~F.col("ret"), F.col("y")).otherwise(zero)).alias("s2"),
+        F.sum(F.when(F.col("ret"), F.col("y") * F.col("y")).otherwise(zero)).alias("q1"),
+        F.sum(F.when(~F.col("ret"), F.col("y") * F.col("y")).otherwise(zero)).alias("q2"),
+    )
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    va1 = (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast(
+        "string"
+    ).cast("double")
+    va2 = (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")).cast(
+        "string"
+    ).cast("double")
+    d1 = (F.col("n1") * (F.col("n1") - 1)).cast("string").cast("double")
+    d2 = (F.col("n2") * (F.col("n2") - 1)).cast("string").cast("double")
+    n1d, n2d = sd("n1"), sd("n2")
+    var1 = va1 / d1
+    var2 = va2 / d2
+    mean_diff = sd("s1") / n1d - sd("s2") / n2d
+    pooled = (
+        (n1d - F.lit(1.0)) * var1 + (n2d - F.lit(1.0)) * var2
+    ) / (n1d + n2d - F.lit(2.0))
+    return (
+        s.where((F.col("n1") > 1) & (F.col("n2") > 1))
+        .withColumn("pooled", pooled)
+        .where(F.col("pooled") > 0)
+        .select(
+            "n_returned",
+            "n_other",
+            mean_diff.alias("mean_diff_cents"),
+            (mean_diff / F.sqrt(F.col("pooled"))).alias("cohens_d"),
+        )
+    )
+
+
+COHENS_D_RETURNED_PRICE_ORACLE = """
+WITH s AS (
+  SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+         sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  ELSE 0 END) AS s1,
+         sum(CASE WHEN l_returnflag <> 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  ELSE 0 END) AS s2,
+         sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  ELSE 0 END) AS q1,
+         sum(CASE WHEN l_returnflag <> 'R'
+                  THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  ELSE 0 END) AS q2
+  FROM lineitem
+), d AS (
+  SELECT n_returned, n_other,
+         CAST(CAST(n1 AS VARCHAR) AS DOUBLE) AS n1d,
+         CAST(CAST(n2 AS VARCHAR) AS DOUBLE) AS n2d,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+         CAST(CAST(n1 * q1 - s1 * s1 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n1 * (n1 - 1) AS VARCHAR) AS DOUBLE) AS var1,
+         CAST(CAST(n2 * q2 - s2 * s2 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n2 * (n2 - 1) AS VARCHAR) AS DOUBLE) AS var2
+  FROM s
+  WHERE n1 > 1 AND n2 > 1
+), p AS (
+  SELECT n_returned, n_other,
+         s1d / n1d - s2d / n2d AS mean_diff,
+         ((n1d - 1.0) * var1 + (n2d - 1.0) * var2)
+           / (n1d + n2d - 2.0) AS pooled
+  FROM d
+)
+SELECT n_returned, n_other,
+       mean_diff AS mean_diff_cents,
+       mean_diff / sqrt(pooled) AS cohens_d
+FROM p
+WHERE pooled > 0
+"""
+
+
+def median_order_value_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation lower-median order value — the grouped companion of
+    theil_sen's element-selected medians: a robust per-segment center
+    the mean-based rollups can't give. Rows: (n_name, n_orders,
+    median_value).
+
+    Shape: the fact table collapses ONCE to (nation, cent) cells —
+    bounded by nations × the cent domain, never the order count — and
+    the median element comes from cumulative windows PARTITIONED BY
+    NATION over those cells (parallel across nations, each partition
+    bounded by the value domain) plus a broadcast per-nation total.
+    No global sort, no per-row rank.
+
+    Exactness: the element at rank ⌈n/2⌉ is SELECTED, never
+    interpolated (the theil_sen discipline — cross-engine
+    interpolation differs by an ulp); median_value = cents/100.0 is
+    value-on-the-grid, the tie-safe class.
+    """
+    cells = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = cells.groupBy("n_name").agg(F.sum("cnt").alias("n_orders"))
+    wn = Window.partitionBy("n_name").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cells.withColumn(
+        "prior", F.coalesce(F.sum("cnt").over(wn), F.lit(0))
+    ).join(F.broadcast(totals), "n_name")
+    k = F.floor((F.col("n_orders") + 1) / 2)
+    return (
+        cum.where((F.col("prior") < k) & (k <= F.col("prior") + F.col("cnt")))
+        .select(
+            "n_name",
+            "n_orders",
+            (F.col("c") / 100.0).alias("median_value"),
+        )
+        .orderBy("n_name")
+    )
+
+
+MEDIAN_ORDER_VALUE_BY_NATION_ORACLE = """
+WITH cells AS (
+  SELECT n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT n_name, c, cnt,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY n_name ORDER BY c
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0)
+              AS BIGINT) AS prior,
+         CAST(sum(cnt) OVER (PARTITION BY n_name) AS BIGINT) AS n_orders
+  FROM cells
+)
+SELECT n_name, n_orders, CAST(c AS DOUBLE) / 100.0 AS median_value
+FROM cum
+WHERE prior < (n_orders + 1) // 2
+  AND (n_orders + 1) // 2 <= prior + cnt
+ORDER BY n_name
+"""
+
+
+def winsorized_mean_price(lineitem: DataFrame) -> DataFrame:
+    """5%/95%-winsorized mean of the extended price — the robust-mean
+    companion to trimmed_mean_price (trimming DROPS the tails,
+    winsorizing CLAMPS them to the cut elements, the estimator used
+    when tail mass must still count). One row: (n_rows, winsor_lo,
+    winsor_hi, winsorized_mean_cents).
+
+    Shape: the fact table collapses ONCE to cent cells; both cut
+    elements are SELECTED from the ks_returned_price-style bucketed
+    cumulative (per-bucket priors + within-bucket windows, bounded by
+    the cent domain); the clamped sum is one more hash aggregate over
+    the cells with the two cuts as a 1-row broadcast. No global sort,
+    no per-row rank.
+
+    Exactness: cut ranks are pure integer arithmetic (⌈0.05n⌉ =
+    (5n+99) div 100, ⌈0.95n⌉ = (95n+99) div 100 — both engines
+    identical); the clamped sum Σ cnt·clamp(c, lo, hi) is an exact
+    DECIMAL(38,0)/HUGEINT; the mean is ONE string-routed division.
+    The cut values themselves are grid cents (lo/100.0 exact).
+    """
+    cells = (
+        lineitem.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("bkt", F.shiftright("c", 17))
+    )
+    per_bkt = cells.groupBy("bkt").agg(F.sum("cnt").alias("bd"))
+    cum_b = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    priors = per_bkt.select(
+        "bkt", (F.sum("bd").over(cum_b) - F.col("bd")).alias("pb")
+    )
+    cum_in = (
+        Window.partitionBy("bkt")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.join(F.broadcast(priors), "bkt").withColumn(
+        "prior", F.col("pb") + F.sum("cnt").over(cum_in) - F.col("cnt")
+    )
+    tot = cells.agg(F.sum("cnt").alias("n_rows"))
+    ranked = cum.crossJoin(F.broadcast(tot))
+    kl = F.expr("(5 * n_rows + 99) div 100")
+    kh = F.expr("(95 * n_rows + 99) div 100")
+    lo = ranked.where(
+        (F.col("prior") < kl) & (kl <= F.col("prior") + F.col("cnt"))
+    ).select(F.col("c").alias("lo"))
+    hi = ranked.where(
+        (F.col("prior") < kh) & (kh <= F.col("prior") + F.col("cnt"))
+    ).select(F.col("c").alias("hi"))
+    cuts = F.broadcast(lo.crossJoin(hi))
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("c")))
+    s = (
+        cells.crossJoin(cuts)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(
+                F.col("cnt").cast("decimal(18,0)")
+                * clamped.cast("decimal(18,0)")
+            ).alias("ws"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    return s.select(
+        "n_rows",
+        (F.col("lo") / 100.0).alias("winsor_lo"),
+        (F.col("hi") / 100.0).alias("winsor_hi"),
+        (
+            F.col("ws").cast("string").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("winsorized_mean_cents"),
+    )
+
+
+WINSORIZED_MEAN_PRICE_ORACLE = """
+WITH cells AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT c, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0)
+              AS BIGINT) AS prior,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_rows
+  FROM cells
+), lo AS (
+  SELECT c AS lo FROM cum
+  WHERE prior < (5 * n_rows + 99) // 100
+    AND (5 * n_rows + 99) // 100 <= prior + cnt
+), hi AS (
+  SELECT c AS hi FROM cum
+  WHERE prior < (95 * n_rows + 99) // 100
+    AND (95 * n_rows + 99) // 100 <= prior + cnt
+), s AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         sum(CAST(cnt AS HUGEINT)
+             * CAST(greatest(lo, least(hi, c)) AS HUGEINT)) AS ws,
+         max(lo) AS lo, max(hi) AS hi
+  FROM cells, lo, hi
+)
+SELECT n_rows,
+       CAST(lo AS DOUBLE) / 100.0 AS winsor_lo,
+       CAST(hi AS DOUBLE) / 100.0 AS winsor_hi,
+       CAST(CAST(ws AS VARCHAR) AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         AS winsorized_mean_cents
+FROM s
+"""
+
+
+def geomean_price_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand geometric mean of the extended price — the
+    multiplicative-average member of the stats layer (the right center
+    for ratio-scale prices spanning magnitudes; the arithmetic mean is
+    dominated by the tail). Rows: (p_brand, n_lines, geomean_cents).
+
+    Shape: part is a broadcast (key → brand) dimension; the fact table
+    collapses ONCE to (brand, cent) cells — bounded by brands × the
+    cent domain — and the log-sum folds inside the per-brand row over
+    the sorted cell list (the event_type_entropy discipline).
+
+    Exactness: Σ cnt·ln(c) is a float fold, so it runs in ONE
+    canonical order (cells sorted by cent, prepended-0.0 left fold —
+    identical both engines); ln/exp are the libm transcendental class,
+    so the result rounds at 6dp (the documented continuous tie-safe
+    class). Cents are ≥ 1 (prices are positive), so ln is total.
+    """
+    cells = (
+        lineitem.select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per_brand = cells.groupBy("p_brand").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sort_array(F.collect_list(F.struct("c", "cnt"))).alias("cl"),
+    )
+    ls = F.aggregate(
+        F.col("cl"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["cnt"].cast("double") * F.log(s["c"].cast("double")),
+    )
+    return (
+        per_brand.withColumn("ls", ls)
+        .select(
+            "p_brand",
+            "n_lines",
+            F.round(
+                F.exp(F.col("ls") / F.col("n_lines").cast("double")), 6
+            ).alias("geomean_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+GEOMEAN_PRICE_BY_BRAND_ORACLE = """
+WITH cells AS (
+  SELECT p_brand, CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), per_brand AS (
+  SELECT p_brand,
+         CAST(sum(cnt) AS BIGINT) AS n_lines,
+         CAST(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(cnt AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY c)),
+           (a, b) -> a + b) AS DOUBLE) AS ls
+  FROM cells GROUP BY p_brand
+)
+SELECT p_brand, n_lines,
+       round(exp(ls / CAST(n_lines AS DOUBLE)), 6) AS geomean_cents
+FROM per_brand
+ORDER BY p_brand
+"""
+
+
+def iqr_price_fences(lineitem: DataFrame) -> DataFrame:
+    """Tukey boxplot census of the extended price: element-selected
+    quartiles, the IQR, and the count of rows outside the 1.5·IQR
+    fences — the quantile-based outlier member (value_outliers uses
+    stddev, mad_outliers the MAD; Tukey fences are the boxplot
+    convention). One row: (n_rows, q1_value, q3_value, iqr_value,
+    n_below, n_above).
+
+    Shape: ONE collapse to cent cells, the ks-style bucketed cumulative
+    selects both quartile elements (per-bucket priors + within-bucket
+    windows — bounded by the cent domain), and the fence counts are one
+    more hash aggregate over the cells with the two cuts as a 1-row
+    broadcast. No global sort, no per-row rank.
+
+    Exactness: quartile ranks are pure integer arithmetic (⌈n/4⌉ =
+    (25n+99) div 100, ⌈3n/4⌉ = (75n+99) div 100); the 1.5·IQR fences
+    are compared in DOUBLED units (2c vs 2q1−3·iqr — exact BIGINTs, no
+    halves), so the outlier counts are exact integer comparisons; the
+    emitted values are grid cents/100.0. Nothing can tie or drift.
+    """
+    cells = (
+        lineitem.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("bkt", F.shiftright("c", 17))
+    )
+    per_bkt = cells.groupBy("bkt").agg(F.sum("cnt").alias("bd"))
+    cum_b = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    priors = per_bkt.select(
+        "bkt", (F.sum("bd").over(cum_b) - F.col("bd")).alias("pb")
+    )
+    cum_in = (
+        Window.partitionBy("bkt")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.join(F.broadcast(priors), "bkt").withColumn(
+        "prior", F.col("pb") + F.sum("cnt").over(cum_in) - F.col("cnt")
+    )
+    tot = cells.agg(F.sum("cnt").alias("n_rows"))
+    ranked = cum.crossJoin(F.broadcast(tot))
+    k1 = F.expr("(25 * n_rows + 99) div 100")
+    k3 = F.expr("(75 * n_rows + 99) div 100")
+    q1 = ranked.where(
+        (F.col("prior") < k1) & (k1 <= F.col("prior") + F.col("cnt"))
+    ).select(F.col("c").alias("q1"))
+    q3 = ranked.where(
+        (F.col("prior") < k3) & (k3 <= F.col("prior") + F.col("cnt"))
+    ).select(F.col("c").alias("q3"))
+    cuts = F.broadcast(q1.crossJoin(q3))
+    iqr = F.col("q3") - F.col("q1")
+    f_lo = 2 * F.col("q1") - 3 * iqr  # doubled units: 2·(q1 − 1.5·iqr)
+    f_hi = 2 * F.col("q3") + 3 * iqr
+    s = cells.crossJoin(cuts).agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("q1").alias("q1"),
+        F.max("q3").alias("q3"),
+        F.sum(F.when(2 * F.col("c") < f_lo, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum(F.when(2 * F.col("c") > f_hi, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_above"),
+    )
+    return s.select(
+        "n_rows",
+        (F.col("q1") / 100.0).alias("q1_value"),
+        (F.col("q3") / 100.0).alias("q3_value"),
+        ((F.col("q3") - F.col("q1")) / 100.0).alias("iqr_value"),
+        "n_below",
+        "n_above",
+    )
+
+
+IQR_PRICE_FENCES_ORACLE = """
+WITH cells AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT c, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0)
+              AS BIGINT) AS prior,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_rows
+  FROM cells
+), q1 AS (
+  SELECT c AS q1 FROM cum
+  WHERE prior < (25 * n_rows + 99) // 100
+    AND (25 * n_rows + 99) // 100 <= prior + cnt
+), q3 AS (
+  SELECT c AS q3 FROM cum
+  WHERE prior < (75 * n_rows + 99) // 100
+    AND (75 * n_rows + 99) // 100 <= prior + cnt
+), s AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         max(q1) AS q1, max(q3) AS q3,
+         CAST(sum(CASE WHEN 2 * c < 2 * q1 - 3 * (q3 - q1)
+                       THEN cnt ELSE 0 END) AS BIGINT) AS n_below,
+         CAST(sum(CASE WHEN 2 * c > 2 * q3 + 3 * (q3 - q1)
+                       THEN cnt ELSE 0 END) AS BIGINT) AS n_above
+  FROM cells, q1, q3
+)
+SELECT n_rows,
+       CAST(q1 AS DOUBLE) / 100.0 AS q1_value,
+       CAST(q3 AS DOUBLE) / 100.0 AS q3_value,
+       CAST(q3 - q1 AS DOUBLE) / 100.0 AS iqr_value,
+       n_below, n_above
+FROM s
+"""

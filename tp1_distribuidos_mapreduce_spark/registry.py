@@ -51,6 +51,110 @@ _STREAM_Q_SEQ = itertools.count()
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
+    # ---- round-13 window (exactly 50 names), rotated per VERDICT r12
+    # "Next round" #1: pay the driver-row freshness debt. After the r12
+    # rows, the oracled-query freshness map is r7×14, r8×36, r9×42,
+    # r11×41, r12×50; this window refreshes ALL 14 r7-era members (4
+    # recorded rounds stale) and reaches 20 deep into the r8 cohort,
+    # with new additions capped at 8 to free the slots. Composition,
+    # in order:
+    # 1) the 5 reference-parity pins (always);
+    # 2) the 3 queries whose CODE changed this round after their r12
+    #    greens: theil_sen_revenue_trend (medians now bucket-selected
+    #    via _selected_lower_median — no full-frame single-task sort),
+    #    quantity_price_spearman (fail-loud DECIMAL(38,0) headroom
+    #    guard), event_user_overlap (row-set convention now all
+    #    unordered type pairs incl. disjoint, the KMV twin's universe —
+    #    ADVICE r12);
+    # 3) the 6 round-13 additions (new-query-gets-a-row): the
+    #    binomial/effect-size pair wilson_ci_return_rate /
+    #    cohens_d_returned_price, the robust-center family
+    #    median_order_value_by_nation / winsorized_mean_price /
+    #    iqr_price_fences, and geomean_price_by_brand (canonical-order
+    #    log fold). Additions were capped BELOW VERDICT r12's ~10 to
+    #    free two more refresh slots — and two drafted TPC-H additions
+    #    (q5/q10) were dropped on review as near-duplicates of the
+    #    long-green q5_revenue_by_nation / returned_item_revenue;
+    # 4) ALL 14 r7-era stale members — the VERDICT r12 front-of-line
+    #    list, verbatim;
+    # 5) 22 of the 36 r8-era members, biased toward higher-risk shapes
+    #    (money/float arithmetic: nation_trade_flows,
+    #    daily_revenue_anomalies, trailing_30d_revenue,
+    #    trimmed_mean_price, mad_outliers, q17_small_qty_revenue,
+    #    q8_market_share, q13_custdist, source_gini,
+    #    copurchase_jaccard, bigram_perplexity, label_centroid_cosine,
+    #    nucleus_token_cut, trigram_novelty, source_quality_gates;
+    #    format/layout connectors: q1_from_orc,
+    #    weekday_orders_from_csv, latest_event_from_jsonl,
+    #    schema_evolution_census, table_diff; incremental/streaming:
+    #    incremental_agg_merge, rolling_7d_active_users). The 14
+    #    deferred r8 members (association_rules,
+    #    benchmark_contamination, bfs_distances,
+    #    cross_source_span_matrix, dedup_clusters, degree_distribution,
+    #    funnel_conversion, language_confusion, pareto_frontier_parts,
+    #    pii_scrub, prefix_duplicates, source_vocab_overlap,
+    #    user_state_islands, incremental_dedup_bloom) are lower-risk
+    #    integer/set shapes or pytest-pinned kernels, every one
+    #    differential-covered at sf0.001 each pytest run, at sf0.01
+    #    each driver-sim replay, and at sf0.1 in DIFFERENTIAL_r13.json
+    #    — they are r14's front of line with the 42-member r9 cohort.
+    "wc",
+    "wc_textfiles",
+    "ii",
+    "mr_wc",
+    "mr_ii",
+    # tier 2: code changed after their newest driver row (r13 changes)
+    "theil_sen_revenue_trend",
+    "quantity_price_spearman",
+    "event_user_overlap",
+    # tier 3: round-13 additions
+    "wilson_ci_return_rate",
+    "cohens_d_returned_price",
+    "median_order_value_by_nation",
+    "winsorized_mean_price",
+    "geomean_price_by_brand",
+    "iqr_price_fences",
+    # tier 4: the 14 r7-era stale members (VERDICT r12 #1, verbatim)
+    "large_quantity_orders",
+    "user_event_totals",
+    "supplier_part_variety",
+    "latest_event_per_user",
+    "tumbling_event_counts",
+    "stratified_sample",
+    "bitmap_distinct_users",
+    "event_gap_detection",
+    "language_id",
+    "sentence_stats",
+    "positional_index",
+    "phrase_search",
+    "chunk_documents",
+    "train_val_test_split",
+    # tier 5: 20 of the 36 r8-era members, higher-risk shapes first
+    "nation_trade_flows",
+    "daily_revenue_anomalies",
+    "trailing_30d_revenue",
+    "trimmed_mean_price",
+    "mad_outliers",
+    "q17_small_qty_revenue",
+    "q8_market_share",
+    "q13_custdist",
+    "source_gini",
+    "copurchase_jaccard",
+    "bigram_perplexity",
+    "label_centroid_cosine",
+    "nucleus_token_cut",
+    "q1_from_orc",
+    "weekday_orders_from_csv",
+    "latest_event_from_jsonl",
+    "schema_evolution_census",
+    "table_diff",
+    "incremental_agg_merge",
+    "rolling_7d_active_users",
+    "trigram_novelty",
+    "source_quality_gates",
+]
+
+_WINDOW_R12: list[str] = [
     # ---- round-12 window (exactly 50 names), rotated per VERDICT r11
     # "Next round" #1. With every oracled query green in
     # union(r6..r9, r11), the drivers are (a) CODE-CHANGED re-proof and
@@ -2645,3 +2749,75 @@ def q_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/ckpt",
     )
     return SK.read_kmv_overlap(spark, f"{work}/state")
+
+
+# --------------------------------------------------------------------------
+# round 13: the binomial/effect-size/robust-center stats members
+# (plans/stats.py)
+# --------------------------------------------------------------------------
+
+
+@register("wilson_ci_return_rate", oracle=STT.WILSON_CI_RETURN_RATE_ORACLE)
+def q_wilson_ci_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Wilson 95% CI on the return rate (plans/stats.py):
+    one conditional hash aggregate to (n, r) per nation; the interval
+    chain is the same expression tree both engines, 6dp-rounded
+    (sqrt-based continuous — the tie-safe class)."""
+    return STT.wilson_ci_return_rate(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("cohens_d_returned_price", oracle=STT.COHENS_D_RETURNED_PRICE_ORACLE)
+def q_cohens_d_returned_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size, returned vs kept prices (plans/stats.py):
+    the welch_price_ttest sufficient-statistics pass with the pooled-SD
+    closing chain — bit-exact, single scan."""
+    return STT.cohens_d_returned_price(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "median_order_value_by_nation",
+    oracle=STT.MEDIAN_ORDER_VALUE_BY_NATION_ORACLE,
+)
+def q_median_order_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation lower-median order value (plans/stats.py): grouped
+    element selection over (nation, cent) cells with nation-partitioned
+    cumulative windows — no global sort, median SELECTED not
+    interpolated (the theil_sen discipline)."""
+    return STT.median_order_value_by_nation(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("winsorized_mean_price", oracle=STT.WINSORIZED_MEAN_PRICE_ORACLE)
+def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95-winsorized mean price (plans/stats.py): both cut elements
+    selected from the bucketed cent-domain cumulative (ks discipline),
+    exact integer cut-rank arithmetic, clamped sum as exact decimal,
+    one closing division."""
+    return STT.winsorized_mean_price(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("geomean_price_by_brand", oracle=STT.GEOMEAN_PRICE_BY_BRAND_ORACLE)
+def q_geomean_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand geometric mean price (plans/stats.py): broadcast part
+    dimension, (brand, cent)-cell collapse, canonical-order log fold
+    (the entropy discipline), 6dp-rounded exp."""
+    return STT.geomean_price_by_brand(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register("iqr_price_fences", oracle=STT.IQR_PRICE_FENCES_ORACLE)
+def q_iqr_price_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot census of prices (plans/stats.py): element-selected
+    quartiles from the bucketed cent-domain cumulative, doubled-unit
+    integer fence comparisons — exact counts, grid values."""
+    return STT.iqr_price_fences(load_table(spark, sf_dir, "lineitem"))
