@@ -164,14 +164,20 @@ def main() -> None:
     )
     # SPARK_GRAFT_BENCH_SIDECAR redirects the sidecar (tests / ad-hoc runs).
     # The committed BENCH_FULL.json is only ever written by a full-registry
-    # run at the canonical sf0.1 — any other configuration lands in /tmp, so
-    # a smoke run can never clobber the graded record (the exact accident
-    # r8 had to catch by hand).
+    # run at the canonical sf0.1 WITH the documented idle-median protocol
+    # (SPARK_GRAFT_BENCH_REPEATS >= 3, BENCH_NOISE.md rule 4) — the r12
+    # driver's single-pass run overwrote the committed 3-repeat reference
+    # (VERDICT r12 "What's wrong"), so single-pass full runs now land in
+    # BENCH_FULL_1PASS.json: still a complete per-query record the driver's
+    # end-of-round commit captures, but the idle reference stays intact.
+    # Any other configuration lands in /tmp, so a smoke run can never
+    # clobber either graded record (the exact accident r8 caught by hand).
     sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR")
     if sidecar is None:
         if sf == 0.1 and not only and do_warmup:
+            fname = "BENCH_FULL.json" if repeats >= 3 else "BENCH_FULL_1PASS.json"
             sidecar = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+                os.path.dirname(os.path.abspath(__file__)), fname
             )
         else:
             # per-process name: successive/concurrent ad-hoc runs must not

@@ -357,28 +357,48 @@ def test_prefix_jaccard_equals_plain_and_prunes(spark):
     from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    plain = sorted(
-        tuple(r)
-        for r in D.ngram_jaccard_pairs(
-            docs, max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF
-        ).collect()
-    )
-    pref = sorted(tuple(r) for r in D.ngram_jaccard_prefix_pairs(docs).collect())
-    assert pref == plain and len(plain) > 0
+    # the four corpus-sized collects are independent — overlap them
+    # (r13 suite-time trim: 13.4s → ~7s; scheduler is thread-safe)
+    from concurrent.futures import ThreadPoolExecutor
 
-    # pruning: at a higher threshold the prefix is a small fraction of
-    # each doc's shingles (t=3/4 → prefix len ≈ n/4) — pin BOTH the
-    # output equality and the actual row reduction, so a regression that
-    # degenerates plen to n_cut (full self-join) fails here even though
-    # outputs would still match
-    hi = D.ngram_jaccard_prefix_pairs(docs, t_num=3, t_den=4)
-    hi_pairs = sorted(tuple(r) for r in hi.collect())
-    plain_hi = sorted(
-        tuple(r)
-        for r in D.ngram_jaccard_pairs(
-            docs, threshold=0.75, max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF
-        ).collect()
-    )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_plain = pool.submit(
+            lambda: sorted(
+                tuple(r)
+                for r in D.ngram_jaccard_pairs(
+                    docs, max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF
+                ).collect()
+            )
+        )
+        f_pref = pool.submit(
+            lambda: sorted(
+                tuple(r) for r in D.ngram_jaccard_prefix_pairs(docs).collect()
+            )
+        )
+        # pruning: at a higher threshold the prefix is a small fraction
+        # of each doc's shingles (t=3/4 → prefix len ≈ n/4) — pin BOTH
+        # the output equality and the actual row reduction, so a
+        # regression that degenerates plen to n_cut (full self-join)
+        # fails here even though outputs would still match
+        f_hi = pool.submit(
+            lambda: sorted(
+                tuple(r)
+                for r in D.ngram_jaccard_prefix_pairs(
+                    docs, t_num=3, t_den=4
+                ).collect()
+            )
+        )
+        f_plain_hi = pool.submit(
+            lambda: sorted(
+                tuple(r)
+                for r in D.ngram_jaccard_pairs(
+                    docs, threshold=0.75, max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF
+                ).collect()
+            )
+        )
+        plain, pref = f_plain.result(), f_pref.result()
+        hi_pairs, plain_hi = f_hi.result(), f_plain_hi.result()
+    assert pref == plain and len(plain) > 0
     assert hi_pairs == plain_hi
 
     # VERDICT r9 #4 done-criteria: bitwise-identical at t=0.5 (the
@@ -462,7 +482,13 @@ def test_prefix_jaccard_randomized_boundary_stress(spark):
         rows.append((doc_id, " ".join(words)))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    for t_num, t_den in ((1, 3), (1, 2), (2, 3), (4, 5)):
+    # all 8 collects (4 thresholds × prefix/plain) run concurrently —
+    # each is a tiny 60-doc job, so wall time is per-job overhead, not
+    # CPU (r13 suite-time trim: 8.6s → ~3s; scheduler is thread-safe)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def pair(args):
+        t_num, t_den = args
         got = sorted(
             tuple(r)
             for r in D.ngram_jaccard_prefix_pairs(
@@ -475,5 +501,11 @@ def test_prefix_jaccard_randomized_boundary_stress(spark):
                 docs, threshold=t_num / t_den, max_shingle_df=None
             ).collect()
         )
-        assert got == want, f"t={t_num}/{t_den}"
-        assert want, f"t={t_num}/{t_den}: stress corpus produced no pairs"
+        return t_num, t_den, got, want
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for t_num, t_den, got, want in pool.map(
+            pair, ((1, 3), (1, 2), (2, 3), (4, 5))
+        ):
+            assert got == want, f"t={t_num}/{t_den}"
+            assert want, f"t={t_num}/{t_den}: stress corpus produced no pairs"

@@ -140,7 +140,10 @@ def test_graph_broadcast_guard_fallback_identical(spark, monkeypatch):
     )
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
 
-    pr_bcast = [tuple(r) for r in GR.pagerank_copurchase(li).collect()]
+    # n_iter=3 (r13 suite-time trim): the guard comparison is per-round
+    # identical by construction, so 3 rounds pin the property as well as
+    # the default 10 at ~1/3 the localCheckpoint builds.
+    pr_bcast = [tuple(r) for r in GR.pagerank_copurchase(li, n_iter=3).collect()]
     bfs_bcast = [tuple(r) for r in GR.bfs_distances(li).collect()]
     # k=2 so the two K3s survive peeling (the 3-core of this graph is
     # empty, which would make the comparison vacuous)
@@ -149,7 +152,7 @@ def test_graph_broadcast_guard_fallback_identical(spark, monkeypatch):
     assert GR.PAGERANK_BROADCAST_NODE_LIMIT > 0  # broadcast path really ran
 
     monkeypatch.setattr(GR, "PAGERANK_BROADCAST_NODE_LIMIT", 0)
-    pr_shuf = [tuple(r) for r in GR.pagerank_copurchase(li).collect()]
+    pr_shuf = [tuple(r) for r in GR.pagerank_copurchase(li, n_iter=3).collect()]
     bfs_shuf = [tuple(r) for r in GR.bfs_distances(li).collect()]
     kc_shuf = [tuple(r) for r in GR.kcore_members(li, k=2).collect()]
 
@@ -269,21 +272,25 @@ def test_pagerank_warm_start_resumes_run(spark, tmp_path):
     from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
 
     li = load_table(spark, SF_SMOKE, "lineitem")
-    full = {r["part_id"]: r["rank"] for r in GR.pagerank_copurchase(li, n_iter=10).collect()}
+    # r13 suite-time trim: 10 = 1+9 rounds → 6 = 1+5 (the resume
+    # contract is round-count-agnostic; 1-round ranks are still far
+    # from the 6-round point, asserted below, so the resume does real
+    # work). Saves ~5s of per-round localCheckpoint plan builds.
+    full = {r["part_id"]: r["rank"] for r in GR.pagerank_copurchase(li, n_iter=6).collect()}
 
     part1 = GR.pagerank_copurchase(li, n_iter=1)
     p = str(tmp_path / "ranks_ckpt")
     part1.write.mode("overwrite").parquet(p)
     persisted = spark.read.parquet(p)
     interim = {r["part_id"]: r["rank"] for r in persisted.collect()}
-    # after 1 round the ranks are still far from the 10-round fixpoint,
+    # after 1 round the ranks are still far from the 6-round point,
     # so the resume below demonstrably does real work
     assert max(abs(full[k] - interim[k]) for k in full) > 1e-5
 
     resumed = {
         r["part_id"]: r["rank"]
         for r in GR.pagerank_copurchase(
-            li, n_iter=9, initial_ranks=persisted.select("part_id", "rank")
+            li, n_iter=5, initial_ranks=persisted.select("part_id", "rank")
         ).collect()
     }
     assert resumed.keys() == full.keys()

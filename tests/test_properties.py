@@ -53,44 +53,39 @@ def test_wordcount_matches_duckdb_on_arbitrary_text(spark, texts):
     assert got == want
 
 
-def test_bench_emits_driver_contract_json():
+def test_bench_emits_driver_contract_json(spark, monkeypatch, capsys):
     """bench.py is the driver's per-round feedback loop — its ONE-JSON-line
-    contract breaking would silently drop the round's BENCH artifact."""
-    import json
-    import os
-    import subprocess
-    import sys
+    contract breaking would silently drop the round's BENCH artifact.
 
+    r13 suite-time trim: runs bench.main() IN-PROCESS (get_spark's
+    getOrCreate reuses the suite's warmed session; SparkSession.stop is
+    no-op'd for the call so the shared session survives) instead of
+    spawning a fresh ~15s JVM subprocess. The contract under test — JSON
+    shape, warmup knob, sidecar redirect, failure accounting — is
+    main()'s behavior either way; the __main__ shim is one line.
+    """
+    import json
     import tempfile
+
+    import bench
+    from pyspark.sql import SparkSession
 
     # A representative slice (text tokenize, pandas kernel, format
     # parity) exercises the harness contract without a full timing
     # sweep — full-registry execution is covered by the oracle
     # differential; full-registry TIMING is the driver's sf0.1 run.
-    # (r12 suite-time trim: 6 → 3 queries; the contract under test is
-    # the JSON shape, warmup knob, sidecar redirect, and failure
-    # accounting, which three queries exercise identically.)
     subset = "wc,mr_ii,weekday_orders_from_csv"
     with tempfile.NamedTemporaryFile(suffix=".json") as side:
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-            SPARK_GRAFT_CPUS="8",
-            SPARK_GRAFT_BENCH_ONLY=subset,
-            SPARK_GRAFT_BENCH_WARMUP="0",
-            SPARK_GRAFT_BENCH_SIDECAR=side.name,
-        )
-        out = subprocess.run(
-            [sys.executable, "bench.py"],
-            cwd="/root/repo",
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
-        assert out.returncode == 0, out.stderr[-2000:]
-        json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        assert len(json_lines) == 1, out.stdout[-2000:]
+        monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", subset)
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_WARMUP", "0")
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_SIDECAR", side.name)
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_REPEATS", raising=False)
+        monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+        bench.main()
+        out = capsys.readouterr().out
+        json_lines = [l for l in out.splitlines() if l.startswith("{")]
+        assert len(json_lines) == 1, out[-2000:]
         d = json.loads(json_lines[0])
         assert d["metric"] == "total_query_wall_clock" and d["unit"] == "sec"
         assert d["sf"] == 0.001

@@ -47,7 +47,9 @@ def oracle_results(spark, request):
         except Exception as ex:  # surfaced by the owning param test
             return (None, None, ex)
 
-    with ThreadPoolExecutor(max_workers=16) as pool:
+    # 24 threads (r13, was 16): the collects are executor-bound on 32
+    # cores; measured 24s → ~18s for the 189-query sweep.
+    with ThreadPoolExecutor(max_workers=24) as pool:
         return dict(zip(names, pool.map(run, names)))
 
 
@@ -128,15 +130,24 @@ def test_rows_only_queries_are_deterministic(spark):
 
     qs = registry.queries()
 
-    def run_twice(name):
+    def run_once(name):
         try:
-            fn = qs[name]
-            a = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
-            b = sorted(map(tuple, fn(spark, SF_SMOKE).collect()))
-            return None if a == b else f"{name}: two runs differ"
+            return name, sorted(map(tuple, qs[name](spark, SF_SMOKE).collect()))
         except Exception as ex:
-            return f"{name}: {type(ex).__name__}: {str(ex)[:120]}"
+            return name, f"{type(ex).__name__}: {str(ex)[:120]}"
 
+    # both evaluations of every query are INDEPENDENT pool tasks (r13:
+    # was one task per query running its two evaluations serially, so
+    # the wall time was 2× the slowest iterative query; now the tail is
+    # 1× it)
+    jobs = [n for n in ROWS_ONLY_NAMES for _ in (0, 1)]
     with ThreadPoolExecutor(max_workers=16) as pool:
-        problems = [p for p in pool.map(run_twice, ROWS_ONLY_NAMES) if p]
+        results = list(pool.map(run_once, jobs))
+    problems = []
+    for i in range(0, len(results), 2):
+        (name, a), (_, b) = results[i], results[i + 1]
+        if isinstance(a, str) or isinstance(b, str):
+            problems.append(f"{name}: {a if isinstance(a, str) else b}")
+        elif a != b:
+            problems.append(f"{name}: two runs differ")
     assert not problems, problems

@@ -366,7 +366,9 @@ def test_registry_wide_plan_audit(spark):
         return name, fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
 
     violations = []
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    # 16 threads (r13 suite-time trim, was 8): plan construction is
+    # py4j/Catalyst-bound and thread-safe; measured 22.9s → ~12s.
+    with ThreadPoolExecutor(max_workers=16) as pool:
         plans = list(pool.map(plan_of, registry.queries().items()))
     for name, plan in plans:
         if any(m in plan for m in py_markers) and name not in PYTHON_ALLOWED:

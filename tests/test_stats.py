@@ -563,3 +563,152 @@ def test_spearman_headroom_guard_fails_loud(spark, monkeypatch):
     lowered = STT.QUANTITY_PRICE_SPEARMAN_ORACLE.replace("1000000000", "10")
     with pytest.raises(Exception, match="headroom ceiling"):
         con.sql(lowered).fetchall()
+
+
+def test_wilson_ci_matches_python_reference(spark):
+    """Wilson bounds re-derived in plain Python with the SAME expression
+    tree (z enters as the 1.96 double literal, identical op order) and
+    compared at the 6dp rounding the query emits; p̂ compared with ==."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    ords = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    got = {
+        r["n_name"]: r
+        for r in STT.wilson_ci_return_rate(li, ords, cust, nat).collect()
+    }
+
+    o2c = {r["o_orderkey"]: r["o_custkey"] for r in ords.collect()}
+    c2n = {r["c_custkey"]: r["c_nationkey"] for r in cust.collect()}
+    n2name = {r["n_nationkey"]: r["n_name"] for r in nat.collect()}
+    from collections import Counter
+
+    n_c, r_c = Counter(), Counter()
+    for row in li.select("l_orderkey", "l_returnflag").collect():
+        name = n2name[c2n[o2c[row["l_orderkey"]]]]
+        n_c[name] += 1
+        r_c[name] += 1 if row["l_returnflag"] == "R" else 0
+    assert set(got) == set(n_c)
+    for name in n_c:
+        nf, rr = float(n_c[name]), r_c[name]
+        p = float(rr) / nf
+        z = 1.96
+        z2 = z * z
+        denom = 1.0 + z2 / nf
+        center = (p + z2 / (2.0 * nf)) / denom
+        half = z * ((p * (1.0 - p)) / nf + z2 / (4.0 * nf * nf)) ** 0.5 / denom
+        g = got[name]
+        assert g["n_lines"] == n_c[name] and g["n_returned"] == rr
+        assert g["return_rate"] == p
+        assert g["wilson_lo"] == round(center - half, 6)
+        assert g["wilson_hi"] == round(center + half, 6)
+
+
+def test_cohens_d_matches_python_reference(spark):
+    """Pooled-SD effect size re-derived over exact integer sufficient
+    statistics with the same double chain; compared with == on floats."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = STT.cohens_d_returned_price(li).collect()[0]
+
+    rows = li.select("l_returnflag", "l_extendedprice").collect()
+    g1 = [round(r["l_extendedprice"] * 100) for r in rows if r["l_returnflag"] == "R"]
+    g2 = [round(r["l_extendedprice"] * 100) for r in rows if r["l_returnflag"] != "R"]
+    n1, n2 = len(g1), len(g2)
+    s1, s2 = sum(g1), sum(g2)
+    q1, q2 = sum(y * y for y in g1), sum(y * y for y in g2)
+    var1 = float(n1 * q1 - s1 * s1) / float(n1 * (n1 - 1))
+    var2 = float(n2 * q2 - s2 * s2) / float(n2 * (n2 - 1))
+    mean_diff = float(s1) / float(n1) - float(s2) / float(n2)
+    pooled = ((float(n1) - 1.0) * var1 + (float(n2) - 1.0) * var2) / (
+        float(n1) + float(n2) - 2.0
+    )
+    assert got["n_returned"] == n1 and got["n_other"] == n2
+    assert got["mean_diff_cents"] == mean_diff
+    assert got["cohens_d"] == mean_diff / pooled ** 0.5
+
+
+def test_median_by_nation_is_lower_median_element(spark):
+    """The grouped median must be the ⌈n/2⌉-th ELEMENT of each nation's
+    sorted cent multiset (lower median), never an interpolation."""
+    ords = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    got = {
+        r["n_name"]: (r["n_orders"], r["median_value"])
+        for r in STT.median_order_value_by_nation(ords, cust, nat).collect()
+    }
+    c2n = {r["c_custkey"]: r["c_nationkey"] for r in cust.collect()}
+    n2name = {r["n_nationkey"]: r["n_name"] for r in nat.collect()}
+    per = {}
+    for row in ords.select("o_custkey", "o_totalprice").collect():
+        per.setdefault(n2name[c2n[row["o_custkey"]]], []).append(
+            round(row["o_totalprice"] * 100)
+        )
+    assert set(got) == set(per)
+    for name, cents in per.items():
+        cents.sort()
+        k = (len(cents) + 1) // 2
+        assert got[name] == (len(cents), cents[k - 1] / 100.0), name
+
+
+def test_winsorized_and_iqr_match_python_reference(spark):
+    """Cut elements by explicit ceil-rank selection on the sorted cent
+    multiset, clamped mean as an exact int sum, Tukey fence counts by
+    doubled-unit integer comparison — all compared with ==."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    cents = sorted(
+        round(r["l_extendedprice"] * 100) for r in li.select("l_extendedprice").collect()
+    )
+    n = len(cents)
+
+    w = STT.winsorized_mean_price(li).collect()[0]
+    kl, kh = (5 * n + 99) // 100, (95 * n + 99) // 100
+    lo, hi = cents[kl - 1], cents[kh - 1]
+    ws = sum(max(lo, min(hi, c)) for c in cents)
+    assert w["n_rows"] == n
+    assert w["winsor_lo"] == lo / 100.0 and w["winsor_hi"] == hi / 100.0
+    assert w["winsorized_mean_cents"] == float(ws) / float(n)
+
+    q = STT.iqr_price_fences(li).collect()[0]
+    k1, k3 = (25 * n + 99) // 100, (75 * n + 99) // 100
+    q1, q3 = cents[k1 - 1], cents[k3 - 1]
+    iqr = q3 - q1
+    n_below = sum(1 for c in cents if 2 * c < 2 * q1 - 3 * iqr)
+    n_above = sum(1 for c in cents if 2 * c > 2 * q3 + 3 * iqr)
+    assert q["n_rows"] == n
+    assert (q["q1_value"], q["q3_value"]) == (q1 / 100.0, q3 / 100.0)
+    assert q["iqr_value"] == iqr / 100.0
+    assert (q["n_below"], q["n_above"]) == (n_below, n_above)
+
+
+def test_geomean_matches_python_canonical_fold(spark):
+    """The per-brand log fold re-run in plain Python in the SAME
+    canonical order (cells sorted by cent, left fold from 0.0) must give
+    the identical 6dp geomean; a different fold order would drift in the
+    last ulp and (rarely) the 6th decimal — the test locks the order."""
+    import math
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    got = {
+        r["p_brand"]: (r["n_lines"], r["geomean_cents"])
+        for r in STT.geomean_price_by_brand(li, part).collect()
+    }
+    p2b = {r["p_partkey"]: r["p_brand"] for r in part.collect()}
+    from collections import Counter
+
+    cells = Counter()
+    for row in li.select("l_partkey", "l_extendedprice").collect():
+        cells[(p2b[row["l_partkey"]], round(row["l_extendedprice"] * 100))] += 1
+    brands = {}
+    for (b, c), cnt in cells.items():
+        brands.setdefault(b, []).append((c, cnt))
+    assert set(got) == set(brands)
+    for b, cl in brands.items():
+        cl.sort()
+        ls = 0.0
+        nn = 0
+        for c, cnt in cl:
+            ls = ls + float(cnt) * math.log(float(c))
+            nn += cnt
+        assert got[b] == (nn, round(math.exp(ls / float(nn)), 6)), b
