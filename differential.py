@@ -19,7 +19,14 @@ Usage:
 The comparison is the driver's own semantics (the verify-skill recipe):
 columns sorted by name, rows as tuples in sorted-column order, sha256
 over sorted row reprs. A query passes only on rows AND schema AND hash.
-Exit code = number of failing queries.
+
+Rows-only queries (no oracle by design: sketches, quantizers, media,
+graph floats) get the next-strongest machine check at the same scale:
+two independent executions must hash identically (the sf0.001
+determinism gate from tests/test_relational.py, re-proven at sf0.1
+where partition count and partial-order actually vary).
+
+Exit code = number of failing queries (either kind).
 """
 
 from __future__ import annotations
@@ -98,15 +105,41 @@ def main() -> int:
                    "sec": round(time.perf_counter() - t0, 2)}
         return name, rec
 
+    rows_only = [n for n in qs if n not in oracles]
+
+    def one_rows_only(name: str) -> tuple[str, dict]:
+        t0 = time.perf_counter()
+
+        def run() -> tuple[int, str]:
+            sdf = qs[name](spark, sf_dir)
+            cols = sorted(sdf.columns)
+            rows = [tuple(row[c] for c in cols) for row in sdf.collect()]
+            return len(rows), _vhash(rows)
+
+        try:
+            (n_a, h_a), (n_b, h_b) = run(), run()
+            rec = {
+                "rows": n_a,
+                "two_run_hash_match": (n_a, h_a) == (n_b, h_b),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        except Exception as ex:
+            rec = {"err": f"{type(ex).__name__}: {ex}"[:300],
+                   "sec": round(time.perf_counter() - t0, 2)}
+        return name, rec
+
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=n_threads) as pool:
         results = dict(pool.map(one, names))
+        ro_results = dict(pool.map(one_rows_only, rows_only))
     wall = round(time.perf_counter() - t0, 1)
     spark.stop()
 
     ok = [n for n, r in results.items()
           if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")]
     bad = [n for n in names if n not in ok]
+    ro_ok = [n for n, r in ro_results.items() if r.get("two_run_hash_match")]
+    ro_bad = [n for n in rows_only if n not in ro_ok]
     try:
         commit = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
@@ -121,19 +154,26 @@ def main() -> int:
         "n_oracled": len(names),
         "n_full_green": len(ok),
         "failing": bad,
+        "n_rows_only": len(rows_only),
+        "n_rows_only_deterministic": len(ro_ok),
+        "rows_only_failing": ro_bad,
         "wall_sec": wall,
         "queries": {n: results[n] for n in names},
+        "rows_only_queries": {n: ro_results[n] for n in rows_only},
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=False)
         f.write("\n")
     print(
-        f"differential: {len(ok)}/{len(names)} full-green at {sf_dir} "
-        f"in {wall}s -> {out_path}"
+        f"differential: {len(ok)}/{len(names)} oracled full-green, "
+        f"{len(ro_ok)}/{len(rows_only)} rows-only two-run-deterministic "
+        f"at {sf_dir} in {wall}s -> {out_path}"
     )
     if bad:
         print("FAILING:", ", ".join(bad))
-    return len(bad)
+    if ro_bad:
+        print("ROWS-ONLY FAILING:", ", ".join(ro_bad))
+    return len(bad) + len(ro_bad)
 
 
 if __name__ == "__main__":
