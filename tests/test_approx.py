@@ -204,3 +204,60 @@ def test_kmv_overlap_within_envelope_when_saturated(spark):
     union = n_a + n_b - n_both
     sigma = (3 ** 0.5) / ((AX.KMV_K - 1) ** 0.5)
     assert abs(est - n_both) <= 4 * sigma * union, (est, n_both)
+
+
+def test_ddsketch_quantiles_within_alpha_of_exact(spark):
+    """The DDSketch guarantee, empirically: at every requested percent
+    the estimate is within DD_ALPHA (relative) of the exact
+    ceil-rank-selected element of the sorted cent multiset. 1.05×
+    headroom covers the float-log bucket-boundary ulp."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = {r["percent"]: r for r in AX.ddsketch_event_quantiles(ev).collect()}
+    cents = sorted(
+        int(round(r["value"] * 100))
+        for r in ev.select("value").collect()
+        if round(r["value"] * 100) >= 1
+    )
+    n = len(cents)
+    assert set(got) == set(AX.DD_PERCENTS)
+    for p in AX.DD_PERCENTS:
+        rank = (p * n + 99) // 100
+        exact = cents[rank - 1] / 100.0
+        approx = got[p]["approx_value"]
+        assert got[p]["n_rows"] == n
+        assert abs(approx - exact) <= 1.05 * AX.DD_ALPHA * exact, (
+            p, approx, exact,
+        )
+
+
+def test_ddsketch_merge_is_exact(spark):
+    """Mergeability, the property the streaming fold relies on: the
+    bucket table built from a union of two halves (count sums) is
+    BIT-IDENTICAL to the one-shot build, and so are the quantiles."""
+    from pyspark.sql import functions as F2
+
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    half_a = ev.where(F2.col("event_id") % 2 == 0)
+    half_b = ev.where(F2.col("event_id") % 2 == 1)
+    merged_buckets = (
+        AX.dd_value_buckets(half_a)
+        .unionByName(AX.dd_value_buckets(half_b))
+        .groupBy("idx")
+        .agg(F2.sum("cnt").cast("long").alias("cnt"))
+    )
+    one_shot = sorted(tuple(r) for r in AX.dd_value_buckets(ev).collect())
+    merged = sorted(tuple(r) for r in merged_buckets.collect())
+    assert merged == one_shot
+    q_merged = sorted(
+        tuple(r) for r in AX.quantiles_from_dd_buckets(merged_buckets).collect()
+    )
+    q_one = sorted(
+        tuple(r) for r in AX.ddsketch_event_quantiles(ev).collect()
+    )
+    assert q_merged == q_one

@@ -338,6 +338,11 @@ NESTED_LOOP_ALLOWED = {
                                    # two selected cut elements (r13)
     "iqr_price_fences",            # same shape: 1-row total + the two
                                    # selected quartile elements (r13)
+    "ddsketch_event_quantiles",    # 1-row total + 5-row percent-spec
+                                   # broadcasts over the ≤ ~800-row
+                                   # log-domain bucket frame (r13)
+    "stream_ddsketch_quantiles",   # same quantile read, from the
+                                   # persisted sketch state (r13)
 }
 
 

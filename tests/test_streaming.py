@@ -811,3 +811,60 @@ def test_stream_kmv_replayed_batch_fenced_and_harmless(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/v0").collect()
     )
     assert again == first
+
+
+def test_stream_dd_buckets_equal_batch_build_exactly(spark, tmp_path):
+    """write_stream_dd_buckets folded across micro-batches must yield
+    quantiles IDENTICAL to the one-shot batch ddsketch_event_quantiles
+    (bucket-count addition over a partition of the events is exact),
+    and a same-checkpoint rerun is a no-op — the checkpoint, not the
+    fold algebra, carries that (addition is NOT idempotent)."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "dd_src")
+    state = str(tmp_path / "dd_state")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    ev = batch_events(spark)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    SK.write_stream_dd_buckets(stream_events(spark, src, max_files=1), state, ckpt)
+    got = sorted(tuple(r) for r in SK.read_dd_quantiles(spark, state).collect())
+    want = sorted(tuple(r) for r in AX.ddsketch_event_quantiles(ev).collect())
+    assert got == want and len(got) == len(AX.DD_PERCENTS)
+
+    SK.write_stream_dd_buckets(stream_events(spark, src, max_files=1), state, ckpt)
+    got2 = sorted(tuple(r) for r in SK.read_dd_quantiles(spark, state).collect())
+    assert got2 == want
+
+
+def test_stream_dd_replayed_batch_fenced(spark, tmp_path):
+    """Injected at-least-once replay through the production fold: the
+    batch-id fence MUST skip it — unlike the HLL/KMV max-merges, a
+    re-fold here would DOUBLE-COUNT, so this pin is the load-bearing
+    one for the additive sketch. State must be byte-identical after
+    the replay, and a genuinely new batch must still fold."""
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    state = str(tmp_path / "dd_state2")
+    ev = batch_events(spark).where(F.col("event_id") < 40)
+
+    SK._dd_fold(ev, 0, state)
+    first = sorted(
+        (r["idx"], r["cnt"]) for r in spark.read.parquet(f"{state}/v0").collect()
+    )
+    SK._dd_fold(ev, 0, state)  # replay: fenced, NOT re-added
+    assert SK._read_ivm_pointer(state) == {"dir": "v0", "batch_id": 0}
+    again = sorted(
+        (r["idx"], r["cnt"]) for r in spark.read.parquet(f"{state}/v0").collect()
+    )
+    assert again == first
+
+    # a new batch_id with the SAME rows must fold (counts double) —
+    # proving the fence keys on the epoch, not the data
+    SK._dd_fold(ev, 1, state)
+    doubled = sorted(
+        (r["idx"], r["cnt"]) for r in spark.read.parquet(f"{state}/v1").collect()
+    )
+    assert doubled == [(i, 2 * c) for i, c in first]

@@ -15,6 +15,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def approx_user_counts(events: DataFrame, rsd: float = 0.02) -> DataFrame:
@@ -579,3 +580,98 @@ def overlap_from_kmv_sketches(sketches: DataFrame) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# DDSketch-style relative-error quantile sketch (r13): the quantile member
+# of the mergeable-sketch family (HLL = distinct, KMV bottom-k = set ops,
+# CMS = frequency, Bloom = membership). Log-domain buckets give a
+# VALUE-relative error guarantee: the estimate for any quantile is within
+# DD_ALPHA of the true element, at any data size, with sketch state
+# bounded by the log of the value range (~800 buckets for alpha = 0.01
+# over a 1-cent..10^7-cent domain) — the property rank sketches (GK /
+# percentile_approx) do not give. Bucket counts are ADDITIVE, so the
+# map-side partial aggregate IS the merge, and a streaming fold is a
+# per-bucket count sum (streaming/sinks.py write_stream_dd_buckets; that
+# fold is NOT idempotent, so the batch-id fence there is load-bearing,
+# unlike the HLL/KMV max-merge folds).
+# --------------------------------------------------------------------------
+
+DD_ALPHA = 0.01  # relative-error target
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+_DD_LN_GAMMA = __import__("math").log(DD_GAMMA)
+DD_PERCENTS = (1, 25, 50, 75, 99)
+
+
+def dd_value_buckets(events: DataFrame) -> DataFrame:
+    """The DDSketch build: log-domain bucket counts of the event value
+    in integral cents. idx = ceil(ln(cents)/ln(gamma)) puts every value
+    in a bucket whose bounds differ by a factor of gamma, so the bucket
+    midpoint (in log space) is within alpha of every member. One hash
+    aggregate — map-side partials make the build mergeable by
+    construction; the sketch TABLE (idx, cnt) is what the streaming
+    sink folds. Values are a strictly positive domain (event values and
+    prices are > 0; the cents floor is 1 — ln is total); a real
+    mixed-sign deployment would carry a mirrored negative store and a
+    zero counter, which this fixture never exercises."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select(cents.alias("c"))
+        .where(F.col("c") >= 1)
+        .select(
+            F.ceil(F.log(F.col("c").cast("double")) / F.lit(_DD_LN_GAMMA))
+            .cast("long")
+            .alias("idx")
+        )
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def quantiles_from_dd_buckets(
+    buckets: DataFrame, percents: tuple[int, ...] = DD_PERCENTS
+) -> DataFrame:
+    """Quantile estimates from a prebuilt (idx, cnt) sketch table:
+    cumulative priors over the LOG-DOMAIN-bounded bucket frame (≤ ~800
+    rows at alpha = 0.01 — bounded by the value range's logarithm,
+    never the data), integer ceil-ranks (p·n + 99) div 100, and the
+    log-space midpoint estimator 2·gamma^idx/(gamma + 1). Rows:
+    (percent, n_rows, approx_value), rows-only — the error envelope vs
+    the exact element is pinned in tests/test_approx.py."""
+    spark = buckets.sparkSession
+    cum = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = buckets.withColumn(
+        "prior", F.coalesce(F.sum("cnt").over(cum), F.lit(0))
+    )
+    tot = buckets.agg(F.sum("cnt").alias("n_rows"))
+    pcts = spark.createDataFrame([(p,) for p in percents], "percent int")
+    rank = F.expr("(percent * n_rows + 99) div 100")
+    est_cents = (
+        F.lit(2.0)
+        * F.pow(F.lit(DD_GAMMA), F.col("idx").cast("double"))
+        / F.lit(DD_GAMMA + 1.0)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pcts))
+        .where(
+            (F.col("prior") < rank) & (rank <= F.col("prior") + F.col("cnt"))
+        )
+        .select(
+            "percent",
+            "n_rows",
+            F.round(est_cents / F.lit(100.0), 6).alias("approx_value"),
+        )
+        .orderBy("percent")
+    )
+
+
+def ddsketch_event_quantiles(events: DataFrame) -> DataFrame:
+    """APPROXIMATE event-value quantiles with a relative-error
+    guarantee: build the log-domain sketch, then read the requested
+    percentiles off it. |approx − exact| ≤ DD_ALPHA·exact at every
+    requested rank, any data size — pinned against the exact sorted
+    element in tests/test_approx.py (exact twins with driver rows over
+    the same cent-cell machinery: winsorized_mean_price /
+    iqr_price_fences)."""
+    return quantiles_from_dd_buckets(dd_value_buckets(events))

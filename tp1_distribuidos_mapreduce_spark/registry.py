@@ -2821,3 +2821,55 @@ def q_iqr_price_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles from the bucketed cent-domain cumulative, doubled-unit
     integer fence comparisons — exact counts, grid values."""
     return STT.iqr_price_fences(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("ddsketch_event_quantiles")
+def q_ddsketch_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-error quantiles of the event value
+    (plans/approx.py): log-domain bucket counts (one mergeable hash
+    aggregate), cumulative selection over the ≤ ~800-row bucket frame,
+    midpoint estimator within DD_ALPHA of the exact element at every
+    requested rank. Rows-only (sketch); error envelope + merge
+    bit-identity pinned in tests/test_approx.py; the exact element
+    machinery holding driver rows is winsorized_mean_price /
+    iqr_price_fences (same cent-cell selection discipline)."""
+    return AX.ddsketch_event_quantiles(load_table(spark, sf_dir, "events"))
+
+
+@register("stream_ddsketch_quantiles")
+def q_stream_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DDSketch-at-ingest end-to-end (streaming/sinks.py
+    write_stream_dd_buckets): an availableNow drain folds each
+    micro-batch's bucket counts into a persisted sketch table
+    (versioned dirs + atomic pointer + batch-id fence — the fence is
+    LOAD-BEARING here: count addition is not idempotent), and the
+    returned quantiles — read from the sketch table, never the raw
+    events — equal the one-shot batch ddsketch_event_quantiles EXACTLY
+    (pinned across a multi-batch replay in tests/test_streaming.py).
+    Rows-only (sketch)."""
+    import os
+    import shutil
+
+    from .sources.artifacts import build_once
+    from .sources.tables import fixture_cache_tag, stream_events
+    from .streaming import sinks as SK
+
+    tag = fixture_cache_tag(sf_dir, "events", "stream-src-v1")
+    src = f"/tmp/tp1_spark_stream_events_{tag}"
+    build_once(
+        src,
+        lambda: load_table(spark, sf_dir, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src),
+    )
+    # per-invocation suffix — the lazy-DataFrame reasoning of the
+    # HLL/KMV streaming queries above (ADVICE r12).
+    work = f"/tmp/tp1_spark_dd_q_{tag}_{os.getpid()}_g{next(_STREAM_Q_SEQ)}"
+    shutil.rmtree(work, ignore_errors=True)
+    SK.write_stream_dd_buckets(
+        stream_events(spark, src, max_files_per_trigger=2),
+        f"{work}/state",
+        f"{work}/ckpt",
+    )
+    return SK.read_dd_quantiles(spark, f"{work}/state")

@@ -472,3 +472,92 @@ def read_kmv_overlap(spark: SparkSession, state_path: str) -> DataFrame:
     return overlap_from_kmv_sketches(
         spark.read.parquet(os.path.join(state_path, committed["dir"]))
     )
+
+
+def write_stream_dd_buckets(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming DDSketch-at-ingest: fold each micro-batch of events
+    into a persisted log-domain bucket-count table (plans/approx.py
+    dd_value_buckets) — the QUANTILE member of the sketch-ingest family
+    (HLL = rolling distinct, KMV = set operations). Value-distribution
+    dashboards then read the ≤ ~800-row bucket table
+    (read_dd_quantiles), never the raw events.
+
+    Per batch: the delta's bucket counts merge into the current state
+    with an idx-keyed full-outer count SUM; the commit is the IVM
+    sink's versioned-dir + atomic pointer + batch-id fence. UNLIKE the
+    HLL/KMV folds, count addition is NOT idempotent — a double-fold
+    would double-count — so the fence is load-bearing here, exactly as
+    in the additive IVM sink: tests/test_streaming.py pins both the
+    multi-batch == one-shot bit-identity AND that an injected replay of
+    an already-committed batch_id leaves the state byte-identical.
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _dd_fold(batch_df, batch_id, state_path)
+
+    (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _dd_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One FENCED additive bucket fold: fence (load-bearing — addition
+    is not idempotent), idx-keyed count-sum merge, atomic versioned
+    commit (the _ivm_fold convention)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..plans.approx import dd_value_buckets
+
+    spark = batch_df.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    committed = _read_ivm_pointer(state_path)
+    if committed is not None and batch_id <= committed["batch_id"]:
+        return  # replayed epoch — MUST skip: a re-fold would double-count
+    delta = dd_value_buckets(batch_df)
+    if committed is not None:
+        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        b = cur.select(F.col("idx").alias("b_idx"), F.col("cnt").alias("b_cnt"))
+        d = delta.select(F.col("idx").alias("d_idx"), F.col("cnt").alias("d_cnt"))
+        merged = b.join(d, b["b_idx"] == d["d_idx"], "full_outer").select(
+            F.coalesce(b["b_idx"], d["d_idx"]).alias("idx"),
+            (
+                F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+            ).cast("long").alias("cnt"),
+        )
+    else:
+        merged = delta
+    new_dir = f"v{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _commit_ivm_pointer(state_path, new_dir, batch_id)
+    keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
+    for d in os.listdir(state_path):
+        if d.startswith("v") and d not in keep:
+            shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
+
+
+def read_dd_quantiles(spark: SparkSession, state_path: str) -> DataFrame:
+    """Quantile estimates from the PERSISTED DDSketch bucket table —
+    the dashboard read path (log-domain-bounded frame, raw events never
+    touched)."""
+    import os
+
+    from ..plans.approx import quantiles_from_dd_buckets
+
+    committed = _read_ivm_pointer(state_path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed sketch state under {state_path}")
+    return quantiles_from_dd_buckets(
+        spark.read.parquet(os.path.join(state_path, committed["dir"]))
+    )
