@@ -34,6 +34,10 @@ PKG = Path(__file__).resolve().parent.parent / "tp1_distribuidos_mapreduce_spark
 # (filename, line-content substring) -> why the site cannot tie.
 ALLOWED = {
     # ---- round-over-division sites (RATIO_PATTERN) ----
+    ("plans/approx.py", 'F.round(est_cents / F.lit(100.0), 6).alias("approx_value"),'):
+        "DDSketch midpoint estimator 2·gamma^idx/(gamma+1): goes through "
+        "pow of the non-decimal gamma = 101/99, so the true value is "
+        "irrational — no decimal tie; rows-only query besides",
     ("plans/relational_ext.py", 'F.round(F.col("cents") / 100.0, 2)'):
         "integer cents / 10^2 rounded at 2dp: the true value IS on the "
         "rounding grid, so no tie exists",
