@@ -303,3 +303,36 @@ def test_dedup_queries_scale_linearly(spark):
     _drill(
         "dedup_clusters", lambda d: D.near_dup_clusters(d), small, big, results
     )
+
+
+def test_ddsketch_scales_linearly(spark):
+    """The r13 sketch member: the log-domain bucket build is one hash
+    aggregate, so 10 verbatim copies of the value column must cost
+    ~linear — and because every bucket count scales exactly ×copies,
+    the ceil-rank falls in the SAME bucket both sides (prior < rank ≤
+    prior+cnt is scale-invariant for integer priors), so every
+    approx_value is IDENTICAL and n_rows is exactly ×copies."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+
+    ev = load_table(spark, SF_BENCH, "events").select("value")
+    copies_df = spark.range(COPIES).select(F.col("id").alias("cp"))
+    small = ev.localCheckpoint(eager=True)
+    big = (
+        ev.crossJoin(F.broadcast(copies_df)).drop("cp").localCheckpoint(
+            eager=True
+        )
+    )
+    results: list = []
+    _drill(
+        "ddsketch_event_quantiles",
+        AX.ddsketch_event_quantiles,
+        small,
+        big,
+        results,
+    )
+    q1 = {r["percent"]: r for r in AX.ddsketch_event_quantiles(small).collect()}
+    q10 = {r["percent"]: r for r in AX.ddsketch_event_quantiles(big).collect()}
+    assert q1.keys() == q10.keys()
+    for p in q1:
+        assert q10[p]["n_rows"] == COPIES * q1[p]["n_rows"]
+        assert q10[p]["approx_value"] == q1[p]["approx_value"]  # bit-identical
