@@ -1814,6 +1814,10 @@ def quantity_price_spearman(lineitem: DataFrame) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # (quantity × cent)-domain checkpoint (r13): the quantity map,
+        # the price map, and the closing weighted-Pearson aggregate all
+        # consume this frame — one fact scan total instead of three.
+        .localCheckpoint()
     )
     # quantity rank map: the domain is tiny (integral 1..~50)
     xtot = cells.groupBy("x").agg(F.sum("n").alias("dx"))
@@ -2180,6 +2184,9 @@ def median_order_value_by_nation(
         )
         .groupBy("n_name", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # (nation × cent)-domain checkpoint: totals and the cumulative
+        # selection both consume this frame — one fact scan total.
+        .localCheckpoint()
     )
     totals = cells.groupBy("n_name").agg(F.sum("cnt").alias("n_orders"))
     wn = Window.partitionBy("n_name").orderBy("c").rowsBetween(
@@ -2252,6 +2259,12 @@ def winsorized_mean_price(lineitem: DataFrame) -> DataFrame:
         .groupBy("c")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .withColumn("bkt", F.shiftright("c", 17))
+        # checkpoint the cent-domain collapse (the theil_sen r13
+        # discipline): the two cut selections, the total, and the
+        # clamped sum all reuse this frame, and without the checkpoint
+        # each lineage re-derives it — the FACT table would be scanned
+        # once per consumer instead of exactly once.
+        .localCheckpoint()
     )
     per_bkt = cells.groupBy("bkt").agg(F.sum("cnt").alias("bd"))
     cum_b = Window.orderBy("bkt").rowsBetween(
@@ -2441,6 +2454,9 @@ def iqr_price_fences(lineitem: DataFrame) -> DataFrame:
         .groupBy("c")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .withColumn("bkt", F.shiftright("c", 17))
+        # cent-domain checkpoint — one fact scan total (see
+        # winsorized_mean_price above).
+        .localCheckpoint()
     )
     per_bkt = cells.groupBy("bkt").agg(F.sum("cnt").alias("bd"))
     cum_b = Window.orderBy("bkt").rowsBetween(
