@@ -712,3 +712,31 @@ def test_geomean_matches_python_canonical_fold(spark):
             ls = ls + float(cnt) * math.log(float(c))
             nn += cnt
         assert got[b] == (nn, round(math.exp(ls / float(nn)), 6)), b
+
+
+def test_selected_lower_median_edge_cases(spark):
+    """Direct pins for the shared bucketed rank-selection helper
+    (_selected_lower_median) beyond its theil_sen use: the selected
+    value must equal Python's sorted()[⌈n/2⌉-1] on adversarial shapes —
+    all-equal values (degenerate zero-width grid), two clusters far
+    apart (empty middle buckets), negatives straddling zero, a single
+    element, tie runs crossing the median rank, and a sub-bucket-width
+    range (grid width underflow territory)."""
+    cases = [
+        [5.0] * 7,
+        [1e-9, 1e-9, 1e9, 1e9, 1e9],
+        [-3.5, -1.0, 0.0, 2.0, 7.25, -100.0],
+        [42.0],
+        [1.0, 2.0, 2.0, 2.0, 3.0, 4.0],
+        [1.0 + i * 1e-13 for i in range(9)],
+        [float(i) for i in range(1, 101)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = STT._selected_lower_median(df, "v").collect()
+        want = sorted(vals)[(len(vals) + 1) // 2 - 1]
+        assert len(got) == 1 and got[0]["n"] == len(vals)
+        assert got[0]["med"] == want, (vals, got[0]["med"], want)
+    # empty input → empty output, not a crash or a NULL row
+    empty = spark.createDataFrame([], "v double")
+    assert STT._selected_lower_median(empty, "v").collect() == []
