@@ -174,7 +174,12 @@ def main() -> None:
     # clobber either graded record (the exact accident r8 caught by hand).
     sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR")
     if sidecar is None:
-        if sf == 0.1 and not only and do_warmup:
+        # Only the two PROTOCOL configurations land in committed files:
+        # repeats >= 3 is the idle-median reference, repeats == 1 is the
+        # driver's single-pass record. A repeats == 2 run is neither (its
+        # timings are median_low of 2, not a 1-pass wall) and would muddy
+        # the graded artifact's meaning (ADVICE r13) — it goes to /tmp.
+        if sf == 0.1 and not only and do_warmup and repeats != 2:
             fname = "BENCH_FULL.json" if repeats >= 3 else "BENCH_FULL_1PASS.json"
             sidecar = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), fname

@@ -49,7 +49,11 @@ TABLES = [
 
 def _vhash(rows: list[tuple]) -> str:
     h = hashlib.sha256()
-    for r in sorted(rows):
+    # key=repr gives a total order even when a column mixes NULL (None)
+    # with non-None values — plain sorted(rows) would raise TypeError on
+    # the None-vs-float comparison and record a false err for a
+    # legitimately-NULL-producing query (ADVICE r13).
+    for r in sorted(rows, key=repr):
         h.update(repr(r).encode())
     return h.hexdigest()[:16]
 
