@@ -522,17 +522,20 @@ def test_spearman_bit_exact_vs_python_and_degenerate(spark):
     a = twice_midranks(cx)
     b = twice_midranks(cy)
     n = len(rows)
-    swa = sum(a[r["x"]] for r in rows)
-    swb = sum(b[r["y"]] for r in rows)
-    swab = sum(a[r["x"]] * b[r["y"]] for r in rows)
-    swaa = sum(a[r["x"]] * a[r["x"]] for r in rows)
-    swbb = sum(b[r["y"]] * b[r["y"]] for r in rows)
+    # r14 centered chain: mean(2·midrank) is the exact INTEGER n+1
+    # (midranks preserve the total rank sum), so centering keeps every
+    # sufficient statistic an exact int bounded by n^3 — the identity
+    # that lifted the old 10^9 raw-moment ceiling.
+    c = n + 1
+    sab = sum((a[r["x"]] - c) * (b[r["y"]] - c) for r in rows)
+    saa = sum((a[r["x"]] - c) ** 2 for r in rows)
+    sbb = sum((b[r["y"]] - c) ** 2 for r in rows)
     import math
 
-    num = n * swab - swa * swb
-    da = n * swaa - swa * swa
-    db = n * swbb - swb * swb
-    want = float(num) / math.sqrt(float(da)) / math.sqrt(float(db))
+    # exact-integer sanity of the centering identity itself
+    assert sum(a[r["x"]] for r in rows) == n * c
+    assert sum(b[r["y"]] for r in rows) == n * c
+    want = float(sab) / math.sqrt(float(saa)) / math.sqrt(float(sbb))
     assert g["n_rows"] == n
     assert g["spearman_rho"] == want
 
@@ -545,14 +548,18 @@ def test_spearman_bit_exact_vs_python_and_degenerate(spark):
 
 
 def test_spearman_headroom_guard_fails_loud(spark, monkeypatch):
-    """The documented ~10⁹-row DECIMAL(38,0) ceiling is ENFORCED
-    (VERDICT r12 #4): past it the closing 4N⁴ products would overflow
-    and silently NULL out in non-ANSI mode, so the plan raises instead.
-    Lowering the module ceiling must turn a green run into a loud
-    USER_RAISED_EXCEPTION on both engines."""
+    """The ~4.6·10¹²-row DECIMAL(38,0) ceiling on the CENTERED chain is
+    ENFORCED (VERDICT r12 #4 discipline, ceiling lifted r14): past it
+    the N³ products would overflow and silently NULL out in non-ANSI
+    mode, so the plan raises instead. Lowering the module ceiling must
+    turn a green run into a loud USER_RAISED_EXCEPTION on both
+    engines."""
     import duckdb
 
     li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    # the oracle string was f-formatted at import with the REAL ceiling
+    # — capture it before the monkeypatch lowers the module attr
+    real_ceiling = str(STT.SPEARMAN_MAX_ROWS)
     monkeypatch.setattr(STT, "SPEARMAN_MAX_ROWS", 10)
     with pytest.raises(Exception, match="headroom ceiling"):
         STT.quantity_price_spearman(li).collect()
@@ -560,9 +567,69 @@ def test_spearman_headroom_guard_fails_loud(spark, monkeypatch):
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'"
     )
-    lowered = STT.QUANTITY_PRICE_SPEARMAN_ORACLE.replace("1000000000", "10")
+    lowered = STT.QUANTITY_PRICE_SPEARMAN_ORACLE.replace(real_ceiling, "10")
     with pytest.raises(Exception, match="headroom ceiling"):
         con.sql(lowered).fetchall()
+
+
+def test_spearman_above_old_ceiling_exact(spark):
+    """The r14 ceiling lift is CORRECT, not just permissive: synthetic
+    cell counts summing to 3·10⁹ + 7 rows — above the old 10⁹
+    raw-moment ceiling, where the retired 4N⁴ closing products
+    (~3·10³⁸) would already have overflowed DECIMAL(38,0) — produce the
+    exact centered-chain value re-derived in arbitrary-precision
+    Python. The cell-level entry point makes the arithmetic headroom
+    testable without a billion physical rows: the ceiling was always
+    about sufficient-statistic magnitudes, which scale with cell
+    COUNTS, not cell rows."""
+    import math
+
+    big = 10**9
+    cells = [(1, 100, big), (2, 300, big), (3, 200, big + 7)]
+    got = STT.spearman_from_cells(
+        spark.createDataFrame(cells, "x long, y long, n long")
+    ).collect()
+    assert len(got) == 1
+    g = got[0]
+    n = sum(c for _, _, c in cells)
+    assert n > 10**9  # above the OLD ceiling, below the new 4e12 one
+    assert g["n_rows"] == n
+
+    def twice_midranks(weights):
+        out, cum = {}, 0
+        for v in sorted(weights):
+            out[v] = 2 * cum + weights[v] + 1
+            cum += weights[v]
+        return out
+
+    a = twice_midranks({x: c for x, _, c in cells})
+    b = twice_midranks({y: c for _, y, c in cells})
+    ctr = n + 1
+    sab = sum(c * (a[x] - ctr) * (b[y] - ctr) for x, y, c in cells)
+    saa = sum(c * (a[x] - ctr) ** 2 for x, y, c in cells)
+    sbb = sum(c * (b[y] - ctr) ** 2 for x, y, c in cells)
+    assert max(abs(sab), saa, sbb) < 10**38  # fits DECIMAL(38,0)
+    want = float(sab) / math.sqrt(float(saa)) / math.sqrt(float(sbb))
+    assert g["spearman_rho"] == want
+    # y dips at x=3 → genuinely non-degenerate, non-±1 rho
+    assert -1.0 < g["spearman_rho"] < 1.0
+
+
+def test_spearman_guard_fires_at_true_overflow(spark):
+    """ADVICE r13 (medium): the raise must be REACHABLE at the very
+    scale it guards. Cell counts summing to 5·10¹² rows push the N³
+    products past DECIMAL(38,0) — the per-term multiplies NULL out in
+    non-ANSI mode, so the old shape's degeneracy filter (NULL != 0 →
+    NULL) silently dropped the aggregate row and returned an EMPTY
+    frame instead of raising. The r14 WHERE keeps the over-ceiling row
+    alive through the filter, so this must raise loudly, not return
+    empty."""
+    big = 2 * 10**12
+    cells = [(1, 100, big), (2, 200, big), (3, 300, 10**12)]
+    with pytest.raises(Exception, match="headroom ceiling"):
+        STT.spearman_from_cells(
+            spark.createDataFrame(cells, "x long, y long, n long")
+        ).collect()
 
 
 def test_wilson_ci_matches_python_reference(spark):

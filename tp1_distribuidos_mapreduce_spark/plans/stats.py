@@ -1764,12 +1764,16 @@ ORDER BY dow
 """
 
 
-# Fail-loud ceiling for quantity_price_spearman: the closing cross
-# products are ≈ 4N⁴, which exhausts DECIMAL(38,0) past ~10⁹ input rows
-# (4·(10⁹)⁴ = 4·10³⁶ < 10³⁸ but 10¹⁰ rows would overflow and NULL out
-# silently in non-ANSI mode). Module-level so the scale test can lower
-# it to prove the guard fires.
-SPEARMAN_MAX_ROWS = 10**9
+# Fail-loud ceiling for quantity_price_spearman. r14 lifted the old
+# ~10⁹ ceiling (VERDICT r13 #4): the closing N·Σw·a·b cross products
+# (≈ 4N⁴) are GONE — ranks are centered by their exact integer mean
+# (N+1) first, so ρ = Σw·a'b' / √(Σw·a'²) / √(Σw·b'²) and every
+# sufficient statistic is bounded by N³ instead of 4N⁴. DECIMAL(38,0)
+# holds N³ < 10³⁸ through N ≈ 4.6·10¹² rows; the guard sits at 4·10¹²
+# (4·10¹² cubed = 6.4·10³⁷ < 10³⁸ with headroom for the ≤ (N−1)
+# centered-rank bound). Module-level so the scale test can lower it to
+# prove the guard fires.
+SPEARMAN_MAX_ROWS = 4 * 10**12
 
 
 def quantity_price_spearman(lineitem: DataFrame) -> DataFrame:
@@ -1787,25 +1791,9 @@ def quantity_price_spearman(lineitem: DataFrame) -> DataFrame:
     data) — and the weighted Pearson over cells needs one more hash
     aggregate. No global row-level sort/rank anywhere: ranking N rows
     at 100 TB is exactly the single-partition window this formulation
-    exists to avoid.
-
-    Exactness: with d_v ties at value v and C(<v) strictly-less counts,
-    the midrank is C(<v) + (d_v+1)/2, so 2·midrank = 2C(<v) + d_v + 1
-    is an exact integer: Spearman ρ = Pearson over (2R_x, 2R_y)
-    (scale-invariance) keeps every sufficient statistic an exact
-    DECIMAL(38,0)/HUGEINT sum of cell-count-weighted integer products,
-    and ρ is the proven divide-sqrt-divide chain over string-routed
-    exact integers — bit-identical cross-engine. Headroom: the closing
-    cross products (N·Σw·a·b ≈ 4N⁴) stay under 10³⁸ through ~10⁹ rows
-    — the practical ceiling of this single-table statistic; past that
-    the same rank-domain collapse stands but the two closing products
-    need hi/lo split accumulation. That ceiling is ENFORCED, not just
-    documented (VERDICT r12 #4, the chi²/OLS 02ab641 discipline):
-    n_rows > SPEARMAN_MAX_ROWS raises loudly in BOTH engines
-    (raise_error / error()) instead of letting the DECIMAL products
-    null out silently in non-ANSI mode. Degenerate inputs (either
-    variable constant → zero rank variance) are excluded rather than
-    NULL/NaN.
+    exists to avoid. The closing math lives in spearman_from_cells so
+    the scale pins can drive the arithmetic with synthetic cell counts
+    above the old 10⁹ ceiling without a billion physical rows.
     """
     cells = (
         lineitem.select(
@@ -1815,10 +1803,47 @@ def quantity_price_spearman(lineitem: DataFrame) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         # (quantity × cent)-domain checkpoint (r13): the quantity map,
-        # the price map, and the closing weighted-Pearson aggregate all
-        # consume this frame — one fact scan total instead of three.
+        # the price map, the N scalar, and the closing weighted-Pearson
+        # aggregate all consume this frame — one fact scan total.
         .localCheckpoint()
     )
+    return spearman_from_cells(cells)
+
+
+def spearman_from_cells(cells: DataFrame) -> DataFrame:
+    """Midrank Spearman over a pre-collapsed (x, y, n) cell frame.
+
+    Exactness: with d_v ties at value v and C(<v) strictly-less counts,
+    the midrank is C(<v) + (d_v+1)/2, so 2·midrank = 2C(<v) + d_v + 1
+    is an exact integer. Midranks preserve the total rank sum, so
+    Σ(2·midrank) = N(N+1) exactly and the mean of the doubled ranks is
+    the exact INTEGER N+1 — centering by it keeps everything integral:
+
+        ρ = Σw·a'b' / √(Σw·a'²) / √(Σw·b'²),  a' = a − (N+1)
+
+    (the N· closing factors of the raw-moment form nw·swab − swa·swb
+    cancel against the √(N·)·√(N·) denominator, so they are never
+    materialized). Every sufficient statistic is an exact
+    DECIMAL(38,0)/HUGEINT sum of cell-count-weighted integer products
+    bounded by |Σw·a'b'| ≤ N·(N−1)² < N³ — this is what lifted the old
+    ~10⁹ ceiling (whose raw-moment products grew as 4N⁴) to ~4.6·10¹²
+    rows (VERDICT r13 #4): a genuine hi/lo limb split was drafted but
+    the exact-integer centering identity removes the oversized products
+    outright instead of representing them. ρ is the proven
+    divide-sqrt-divide chain over string-routed exact integers —
+    bit-identical cross-engine.
+
+    The ceiling is ENFORCED and the raise is reachable (ADVICE r13):
+    n_rows > SPEARMAN_MAX_ROWS keeps the aggregate row ALIVE through
+    the degeneracy filter (the first disjunct of the WHERE), so the
+    raise_error always evaluates — in the old shape an over-ceiling
+    overflow NULLed the variance terms, the NULL != 0 predicate
+    silently dropped the row, and the guard never fired. Degenerate
+    inputs (either variable constant → zero rank variance) are still
+    excluded rather than NULL/NaN. Past the ceiling DuckDB raises its
+    own HUGEINT overflow before the CASE error() — loud in both
+    engines either way.
+    """
     # quantity rank map: the domain is tiny (integral 1..~50)
     xtot = cells.groupBy("x").agg(F.sum("n").alias("dx"))
     wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
@@ -1860,24 +1885,28 @@ def quantity_price_spearman(lineitem: DataFrame) -> DataFrame:
             .alias("b"),
         )
     )
-    joined = cells.join(F.broadcast(xmap), "x").join(ymap, "y")
+    # exact integer centering scalar: mean(2·midrank) = N+1 (1-row
+    # broadcast fan-in, the allowlisted scalar pattern)
+    ntot = cells.agg(F.sum("n").cast("long").alias("n_all"))
+    joined = (
+        cells.join(F.broadcast(xmap), "x")
+        .join(ymap, "y")
+        .crossJoin(F.broadcast(ntot))
+    )
     w = F.col("n").cast("decimal(18,0)")
+    ctr = (F.col("n_all") + 1).cast("decimal(20,0)")
+    ap = F.col("a") - ctr
+    bp = F.col("b") - ctr
     s = joined.agg(
         F.sum("n").cast("long").alias("n_rows"),
-        F.sum(w).alias("nw"),
-        F.sum(w * F.col("a")).alias("swa"),
-        F.sum(w * F.col("b")).alias("swb"),
-        F.sum(w * F.col("a") * F.col("b")).alias("swab"),
-        F.sum(w * F.col("a") * F.col("a")).alias("swaa"),
-        F.sum(w * F.col("b") * F.col("b")).alias("swbb"),
+        F.sum(w * ap * bp).alias("sab"),
+        F.sum(w * ap * ap).alias("saa"),
+        F.sum(w * bp * bp).alias("sbb"),
     )
-    num = F.col("nw") * F.col("swab") - F.col("swa") * F.col("swb")
-    da = F.col("nw") * F.col("swaa") - F.col("swa") * F.col("swa")
-    db = F.col("nw") * F.col("swbb") - F.col("swb") * F.col("swb")
     rho = (
-        num.cast("string").cast("double")
-        / F.sqrt(F.col("da").cast("string").cast("double"))
-        / F.sqrt(F.col("db").cast("string").cast("double"))
+        F.col("sab").cast("string").cast("double")
+        / F.sqrt(F.col("saa").cast("string").cast("double"))
+        / F.sqrt(F.col("sbb").cast("string").cast("double"))
     )
     guarded_rho = F.when(
         F.col("n_rows") > F.lit(SPEARMAN_MAX_ROWS),
@@ -1887,19 +1916,20 @@ def quantity_price_spearman(lineitem: DataFrame) -> DataFrame:
                 F.col("n_rows").cast("string"),
                 F.lit(
                     " exceeds the DECIMAL(38,0) headroom ceiling "
-                    f"({SPEARMAN_MAX_ROWS}); the closing 4N^4 products "
-                    "would overflow — split the two cross products into "
-                    "hi/lo accumulators before raising this limit"
+                    f"({SPEARMAN_MAX_ROWS}); the centered N^3 products "
+                    "would overflow — past this a true hi/lo limb "
+                    "split of the three sums is required"
                 ),
             )
         ).cast("double"),
     ).otherwise(rho)
-    return (
-        s.withColumn("da", da)
-        .withColumn("db", db)
-        .where((F.col("da") != 0) & (F.col("db") != 0))
-        .select("n_rows", guarded_rho.alias("spearman_rho"))
-    )
+    # The over-ceiling disjunct is load-bearing (ADVICE r13): it lets
+    # the aggregate row survive even when overflow has NULLed saa/sbb,
+    # so the raise above fires instead of returning an empty frame.
+    return s.where(
+        (F.col("n_rows") > F.lit(SPEARMAN_MAX_ROWS))
+        | ((F.col("saa") != 0) & (F.col("sbb") != 0))
+    ).select("n_rows", guarded_rho.alias("spearman_rho"))
 
 
 QUANTITY_PRICE_SPEARMAN_ORACLE = f"""
@@ -1908,6 +1938,8 @@ WITH cells AS (
          CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
          CAST(count(*) AS BIGINT) AS n
   FROM lineitem GROUP BY 1, 2
+), nt AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all FROM cells
 ), xmap AS (
   SELECT x,
          CAST(2 * coalesce(sum(dx) OVER (ORDER BY x
@@ -1922,27 +1954,22 @@ WITH cells AS (
   FROM (SELECT y, sum(n) AS dy FROM cells GROUP BY y) t
 ), s AS (
   SELECT CAST(sum(n) AS BIGINT) AS n_rows,
-         CAST(sum(n) AS HUGEINT) AS nw,
-         sum(CAST(n AS HUGEINT) * a) AS swa,
-         sum(CAST(n AS HUGEINT) * b) AS swb,
-         sum(CAST(n AS HUGEINT) * a * b) AS swab,
-         sum(CAST(n AS HUGEINT) * a * a) AS swaa,
-         sum(CAST(n AS HUGEINT) * b * b) AS swbb
-  FROM cells JOIN xmap USING (x) JOIN ymap USING (y)
+         sum(CAST(n AS HUGEINT) * (a - (n_all + 1)) * (b - (n_all + 1))) AS sab,
+         sum(CAST(n AS HUGEINT) * (a - (n_all + 1)) * (a - (n_all + 1))) AS saa,
+         sum(CAST(n AS HUGEINT) * (b - (n_all + 1)) * (b - (n_all + 1))) AS sbb
+  FROM cells JOIN xmap USING (x) JOIN ymap USING (y) CROSS JOIN nt
 )
 SELECT n_rows,
        CASE WHEN n_rows > {SPEARMAN_MAX_ROWS}
             THEN CAST(error('quantity_price_spearman: n_rows exceeds the '
                             'DECIMAL(38,0)/HUGEINT headroom ceiling')
                       AS DOUBLE)
-            ELSE CAST(CAST(nw * swab - swa * swb AS VARCHAR) AS DOUBLE)
-                   / sqrt(CAST(CAST(nw * swaa - swa * swa AS VARCHAR)
-                               AS DOUBLE))
-                   / sqrt(CAST(CAST(nw * swbb - swb * swb AS VARCHAR)
-                               AS DOUBLE))
+            ELSE CAST(CAST(sab AS VARCHAR) AS DOUBLE)
+                   / sqrt(CAST(CAST(saa AS VARCHAR) AS DOUBLE))
+                   / sqrt(CAST(CAST(sbb AS VARCHAR) AS DOUBLE))
        END AS spearman_rho
 FROM s
-WHERE nw * swaa - swa * swa <> 0 AND nw * swbb - swb * swb <> 0
+WHERE n_rows > {SPEARMAN_MAX_ROWS} OR (saa <> 0 AND sbb <> 0)
 """
 
 
