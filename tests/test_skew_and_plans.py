@@ -306,6 +306,9 @@ NESTED_LOOP_ALLOWED = {
                                    # single-task sort)
     "event_weekday_mutual_info",   # three 1-row broadcasts: N total and
                                    # the two marginal-entropy scalars
+    "quantity_price_spearman",     # 1-row broadcast N scalar (r14: the
+                                   # exact integer centering mean N+1
+                                   # that lifted the 10⁹ ceiling)
     "weekday_seasonality_index",   # 1-row broadcast overall-total frame
     "k_anonymity_census",          # 1-row broadcast row-total frame
     "kmv_event_user_overlap",      # types × types sketch-pair cross
@@ -343,6 +346,13 @@ NESTED_LOOP_ALLOWED = {
                                    # log-domain bucket frame (r13)
     "stream_ddsketch_quantiles",   # same quantile read, from the
                                    # persisted sketch state (r13)
+    "ddsketch_quantiles_by_type",  # 5-row percent-spec broadcast over
+                                   # the per-type log-bucket frame (r14)
+    "ddsketch_merge_proof",        # the same percent-spec broadcasts in
+                                   # both independent sketch paths (r14)
+    "event_value_quartiles_by_type",  # 3-row percent-spec broadcast
+                                   # over the (type, cent)-cell
+                                   # cumulative (r14)
 }
 
 

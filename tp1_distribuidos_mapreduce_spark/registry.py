@@ -51,6 +51,92 @@ _STREAM_Q_SEQ = itertools.count()
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
+    # ---- round-14 window (exactly 50 names), rotated per VERDICT r13
+    # "Next round" #1: keep paying the freshness rotation. After the
+    # r13 rows the oracled freshness map is r8×14, r9×42, r11×41,
+    # r12×42, r13×50 — this window refreshes ALL 14 r8-era members
+    # (the VERDICT r13 front-of-line list, verbatim) and 29 of the 42
+    # r9-era members, with new oracled additions capped at 1 (the
+    # grouped-DDSketch exact twin; the sketch pair itself is rows-only
+    # and never takes window slots). Composition, in order:
+    # 1) the 5 reference-parity pins (always);
+    # 2) the 1 query whose CODE changed this round after its r13
+    #    green: quantity_price_spearman (r14 centered-rank rewrite —
+    #    exact integer mean N+1 cancels the closing 4N⁴ products,
+    #    ceiling lifted 10⁹ → 4·10¹², guard now reachable past
+    #    overflow per ADVICE r13);
+    # 3) the 1 round-14 oracled addition:
+    #    event_value_quartiles_by_type (exact per-type ceil-rank
+    #    quartiles — the grouped DDSketch pair's oracle anchor);
+    # 4) ALL 14 r8-era stale members;
+    # 5) 29 of the 42 r9-era members, biased toward money/float,
+    #    connector/layout, and streaming shapes. The 13 deferred r9
+    #    members (bpe_pair_counts, event_transition_matrix,
+    #    hard_negative_mining, market_basket_pairs,
+    #    props_variant_census, purchases_by_browsing_state,
+    #    sequence_packing, top_event_paths, triangle_count,
+    #    trigram_topk, url_domain_stats, views_before_purchase,
+    #    weighted_token_sample) are integer-count/set shapes, every
+    #    one differential-covered at sf0.001 each pytest run, at
+    #    sf0.01 each driver-sim replay, and at sf0.1 in
+    #    DIFFERENTIAL_r14.json — they are r15's front of line.
+    "wc",
+    "wc_textfiles",
+    "ii",
+    "mr_wc",
+    "mr_ii",
+    # tier 2: code changed after its newest driver row (r14 change)
+    "quantity_price_spearman",
+    # tier 3: round-14 oracled addition
+    "event_value_quartiles_by_type",
+    # tier 4: the 14 r8-era stale members (VERDICT r13 #1, verbatim)
+    "association_rules",
+    "benchmark_contamination",
+    "bfs_distances",
+    "cross_source_span_matrix",
+    "dedup_clusters",
+    "degree_distribution",
+    "funnel_conversion",
+    "incremental_dedup_bloom",
+    "language_confusion",
+    "pareto_frontier_parts",
+    "pii_scrub",
+    "prefix_duplicates",
+    "source_vocab_overlap",
+    "user_state_islands",
+    # tier 5: 29 of the 42 r9-era members, higher-risk shapes first
+    "cohort_retention",
+    "corpus_card",
+    "corpus_curation",
+    "customer_ltv_pareto",
+    "data_quality_checks",
+    "detgen_bucket_stats",
+    "lang_fertility_stats",
+    "linear_attribution",
+    "monthly_metrics_unpivot",
+    "numeric_histogram",
+    "open_orders_by_month",
+    "orders_yoy_growth",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "repeat_purchase_intervals",
+    "rfm_segmentation",
+    "source_mix_weights",
+    "star_revenue_rollup",
+    "stream_ivm_user_totals",
+    "supplier_balance_percentiles",
+    "table_profile",
+    "time_to_convert_stats",
+    "type_widening_census",
+    "weighted_median_price",
+    "weighted_p90_price",
+]
+
+_WINDOW_R13: list[str] = [
     # ---- round-13 window (exactly 50 names), rotated per VERDICT r12
     # "Next round" #1: pay the driver-row freshness debt. After the r12
     # rows, the oracled-query freshness map is r7×14, r8×36, r9×42,
@@ -129,7 +215,7 @@ _WINDOW: list[str] = [
     "phrase_search",
     "chunk_documents",
     "train_val_test_split",
-    # tier 5: 20 of the 36 r8-era members, higher-risk shapes first
+    # tier 5: 22 of the 36 r8-era members, higher-risk shapes first
     "nation_trade_flows",
     "daily_revenue_anomalies",
     "trailing_30d_revenue",
@@ -2873,3 +2959,42 @@ def q_stream_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/ckpt",
     )
     return SK.read_dd_quantiles(spark, f"{work}/state")
+
+
+@register(
+    "event_value_quartiles_by_type",
+    oracle=AX.EVENT_VALUE_QUARTILES_BY_TYPE_ORACLE,
+)
+def q_event_value_quartiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-event-type value quartiles (plans/approx.py) — the
+    oracle-anchored exact twin of the grouped DDSketch, over the
+    sketch's own positive-cents population and ceil-rank convention:
+    one (type, cent)-cell collapse, iqr_price_fences-style bucketed
+    cumulative selection with the group key added. Exact BIGINT ranks,
+    grid values."""
+    return AX.event_value_quartiles_by_type(load_table(spark, sf_dir, "events"))
+
+
+@register("ddsketch_quantiles_by_type")
+def q_ddsketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type DDSketch quantiles (plans/approx.py): the grouped
+    sketch build is ONE hash aggregate keyed (event_type, idx);
+    selection windows run over each group's ≤ ~800-row log-bucket
+    frame. Rows-only (sketch); per-group error envelope vs the exact
+    per-group element pinned in tests/test_approx.py; the exact twin
+    holding a driver row is event_value_quartiles_by_type (same
+    population, same rank convention)."""
+    return AX.ddsketch_quantiles_by_type(load_table(spark, sf_dir, "events"))
+
+
+@register("ddsketch_merge_proof")
+def q_ddsketch_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge proof (plans/approx.py): per-type sketches merged
+    by per-idx count addition must reproduce an INDEPENDENTLY built
+    global sketch bit-identically — the KMV-twin move for the quantile
+    member, proving the 100 TB deployment shape (per-partition builds
+    folded by addition). Rows-only; every merge_matches_onebuild flag
+    must be true (also pinned in tests/test_approx.py)."""
+    return AX.ddsketch_merge_proof(load_table(spark, sf_dir, "events"))
