@@ -26,7 +26,17 @@ two independent executions must hash identically (the sf0.001
 determinism gate from tests/test_relational.py, re-proven at sf0.1
 where partition count and partial-order actually vary).
 
-Exit code = number of failing queries (either kind).
+For the iterative graph/clustering heavies (pagerank / k-core /
+k-means) the assurance is upgraded further (VERDICT r13 #3): the SAME
+independent numpy/Python references that pin them at sf0.001 in pytest
+(tests/test_graph.py, tests/test_vectors.py) are re-run here against
+the sf0.1 output — node/cluster frames are tiny even at sf0.1, so the
+reference cost is trivial while the check moves from two-run
+determinism to independent-reference agreement at the scale where
+partition order actually varies. Recorded as per-query
+``reference_match`` rows.
+
+Exit code = number of failing queries (any kind).
 """
 
 from __future__ import annotations
@@ -56,6 +66,145 @@ def _vhash(rows: list[tuple]) -> str:
     for r in sorted(rows, key=repr):
         h.update(repr(r).encode())
     return h.hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# Independent references for the iterative rows-only heavies. Each takes the
+# already-collected Spark rows plus the parquet dir and recomputes the answer
+# with the pytest suite's own numpy/Python formulations (same tolerances,
+# same rationale comments there).
+# ---------------------------------------------------------------------------
+
+_UND_EDGES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_dir}/lineitem.parquet'
+), und AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+"""
+
+
+def _ref_pagerank(rows: list, sf_dir: str) -> dict:
+    import duckdb
+    import numpy as np
+
+    from tp1_distribuidos_mapreduce_spark.operators import graph as GR
+
+    con = duckdb.connect()
+    arr = con.execute(
+        _UND_EDGES_SQL.format(sf_dir=sf_dir)
+        + "SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und"
+    ).fetchnumpy()
+    con.close()
+    src, dst = arr["src"], arr["dst"]
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src):]
+    n = len(nodes)
+    out_deg = np.bincount(si, minlength=n)
+    rank = np.full(n, 1.0 / n)
+    d = GR.PAGERANK_DAMPING
+    for _ in range(GR.PAGERANK_ITERS):
+        mass = np.bincount(di, weights=rank[si] / out_deg[si], minlength=n)
+        rank = (1.0 - d) / n + d * mass
+    ids_ok = [r["part_id"] for r in rows] == nodes.tolist()
+    deg_ok = bool(
+        (np.array([r["out_deg"] for r in rows]) == out_deg).all()
+    ) if ids_ok else False
+    # 6dp output rounding dominates any partial-sum-order ulp (pytest pin)
+    max_dev = (
+        float(np.abs(np.array([r["rank"] for r in rows]) - np.round(rank, 6)).max())
+        if ids_ok
+        else float("inf")
+    )
+    return {
+        "reference": "numpy power iteration (tests/test_graph.py)",
+        "n_nodes": int(n),
+        "max_rank_dev": max_dev,
+        "reference_match": bool(ids_ok and deg_ok and max_dev <= 1.01e-6),
+    }
+
+
+def _ref_kcore(rows: list, sf_dir: str) -> dict:
+    import duckdb
+
+    con = duckdb.connect()
+    und = con.execute(
+        _UND_EDGES_SQL.format(sf_dir=sf_dir) + "SELECT a, b FROM und"
+    ).fetchall()
+    con.close()
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for node in [x for x, ns in adj.items() if len(ns) < 3]:
+            for m in adj.pop(node):
+                adj[m].discard(node)
+            changed = True
+    want = {(x, len(ns)) for x, ns in adj.items()}
+    got = {(r["part_id"], r["core_degree"]) for r in rows}
+    return {
+        "reference": "Python peeling (tests/test_graph.py)",
+        "n_core_members": len(want),
+        "reference_match": bool(got == want and want),
+    }
+
+
+def _ref_kmeans(rows: list, sf_dir: str) -> dict:
+    import duckdb
+    import numpy as np
+
+    from tp1_distribuidos_mapreduce_spark.operators import vectors as VC
+
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    M = np.array([r[0] for r in t], dtype=np.float64)
+    k, n_iter = VC.KMEANS_K, VC.KMEANS_ITERS
+    cents = M[:k].copy()  # init = k lowest vec_ids, the query's contract
+    for _ in range(n_iter):
+        d = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for i in range(k):
+            members = M[assign == i]
+            if len(members):
+                cents[i] = members.mean(axis=0)
+    d = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    ref_sizes = {
+        int(c): int((assign == c).sum())
+        for c in range(k)
+        if int((assign == c).sum()) > 0
+    }
+    got_sizes = {r["cluster_id"]: r["n_vecs"] for r in rows}
+    # float partial-aggregation order can flip boundary points between
+    # engines: >= 98% per-cluster size agreement, identical keys, exact
+    # corpus coverage (the pytest tolerance rationale)
+    coverage_ok = sum(got_sizes.values()) == len(M)
+    keys_ok = set(got_sizes) == set(ref_sizes)
+    sizes_ok = keys_ok and all(
+        abs(got_sizes[c] - n_ref) <= max(2, int(0.02 * n_ref))
+        for c, n_ref in ref_sizes.items()
+    )
+    return {
+        "reference": "numpy Lloyd's (tests/test_vectors.py)",
+        "n_vecs": len(M),
+        "reference_match": bool(coverage_ok and keys_ok and sizes_ok),
+    }
+
+
+REFERENCE_CHECKS = {
+    "pagerank_copurchase": _ref_pagerank,
+    "kcore_members": _ref_kcore,
+    "kmeans_clusters": _ref_kmeans,
+}
 
 
 def main() -> int:
@@ -132,10 +281,24 @@ def main() -> int:
                    "sec": round(time.perf_counter() - t0, 2)}
         return name, rec
 
+    ref_names = [n for n in REFERENCE_CHECKS if n in qs]
+
+    def one_reference(name: str) -> tuple[str, dict]:
+        t0 = time.perf_counter()
+        try:
+            rows = qs[name](spark, sf_dir).collect()
+            rec = REFERENCE_CHECKS[name](rows, sf_dir)
+            rec["sec"] = round(time.perf_counter() - t0, 2)
+        except Exception as ex:
+            rec = {"err": f"{type(ex).__name__}: {ex}"[:300],
+                   "sec": round(time.perf_counter() - t0, 2)}
+        return name, rec
+
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=n_threads) as pool:
         results = dict(pool.map(one, names))
         ro_results = dict(pool.map(one_rows_only, rows_only))
+        ref_results = dict(pool.map(one_reference, ref_names))
     wall = round(time.perf_counter() - t0, 1)
     spark.stop()
 
@@ -144,6 +307,8 @@ def main() -> int:
     bad = [n for n in names if n not in ok]
     ro_ok = [n for n, r in ro_results.items() if r.get("two_run_hash_match")]
     ro_bad = [n for n in rows_only if n not in ro_ok]
+    ref_ok = [n for n, r in ref_results.items() if r.get("reference_match")]
+    ref_bad = [n for n in ref_names if n not in ref_ok]
     try:
         commit = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
@@ -161,23 +326,30 @@ def main() -> int:
         "n_rows_only": len(rows_only),
         "n_rows_only_deterministic": len(ro_ok),
         "rows_only_failing": ro_bad,
+        "n_reference_checked": len(ref_names),
+        "n_reference_match": len(ref_ok),
+        "reference_failing": ref_bad,
         "wall_sec": wall,
         "queries": {n: results[n] for n in names},
         "rows_only_queries": {n: ro_results[n] for n in rows_only},
+        "reference_queries": {n: ref_results[n] for n in ref_names},
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=False)
         f.write("\n")
     print(
         f"differential: {len(ok)}/{len(names)} oracled full-green, "
-        f"{len(ro_ok)}/{len(rows_only)} rows-only two-run-deterministic "
+        f"{len(ro_ok)}/{len(rows_only)} rows-only two-run-deterministic, "
+        f"{len(ref_ok)}/{len(ref_names)} independent-reference matches "
         f"at {sf_dir} in {wall}s -> {out_path}"
     )
     if bad:
         print("FAILING:", ", ".join(bad))
     if ro_bad:
         print("ROWS-ONLY FAILING:", ", ".join(ro_bad))
-    return len(bad) + len(ro_bad)
+    if ref_bad:
+        print("REFERENCE FAILING:", ", ".join(ref_bad))
+    return len(bad) + len(ro_bad) + len(ref_bad)
 
 
 if __name__ == "__main__":
