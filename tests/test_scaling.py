@@ -336,3 +336,54 @@ def test_ddsketch_scales_linearly(spark):
     for p in q1:
         assert q10[p]["n_rows"] == COPIES * q1[p]["n_rows"]
         assert q10[p]["approx_value"] == q1[p]["approx_value"]  # bit-identical
+
+def test_ddsketch_grouped_scales_linearly(spark):
+    """The r14 grouped members: per-(type, idx) counts scale exactly
+    ×copies under verbatim duplication, so by the scale-invariance of
+    integer ceil-rank selection (prior < rank ≤ prior+cnt, all terms
+    ×copies; ceil(ceil(10pn/10)/10) = ceil(pn/100)) every per-type
+    approx_value — and the exact twin's selected element — is
+    IDENTICAL at 10× while n_rows scales exactly. The merge-proof
+    flags must stay all-true at 10×."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+
+    ev = load_table(spark, SF_BENCH, "events").select("event_type", "value")
+    copies_df = spark.range(COPIES).select(F.col("id").alias("cp"))
+    small = ev.localCheckpoint(eager=True)
+    big = (
+        ev.crossJoin(F.broadcast(copies_df)).drop("cp").localCheckpoint(
+            eager=True
+        )
+    )
+    results: list = []
+    _drill(
+        "ddsketch_quantiles_by_type",
+        AX.ddsketch_quantiles_by_type,
+        small,
+        big,
+        results,
+    )
+    _drill("ddsketch_merge_proof", AX.ddsketch_merge_proof, small, big, results)
+    _drill(
+        "event_value_quartiles_by_type",
+        AX.event_value_quartiles_by_type,
+        small,
+        big,
+        results,
+    )
+    q1 = {
+        (r["event_type"], r["percent"]): r
+        for r in AX.ddsketch_quantiles_by_type(small).collect()
+    }
+    q10 = {
+        (r["event_type"], r["percent"]): r
+        for r in AX.ddsketch_quantiles_by_type(big).collect()
+    }
+    assert q1.keys() == q10.keys()
+    for key in q1:
+        assert q10[key]["n_rows"] == COPIES * q1[key]["n_rows"]
+        assert q10[key]["approx_value"] == q1[key]["approx_value"]
+    assert all(
+        r["merge_matches_onebuild"]
+        for r in AX.ddsketch_merge_proof(big).collect()
+    )

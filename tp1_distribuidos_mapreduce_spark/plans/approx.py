@@ -639,6 +639,12 @@ def quantiles_from_dd_buckets(
     (percent, n_rows, approx_value), rows-only — the error envelope vs
     the exact element is pinned in tests/test_approx.py."""
     spark = buckets.sparkSession
+    # The cumulative AND the total both consume the sketch table; without
+    # a checkpoint each consumer re-derives the whole build lineage — two
+    # full scans of the underlying source (r14 plan audit: 4 parquet
+    # scans on the r13 shape). The frame is log-domain-bounded (≤ ~800
+    # rows), so pinning it is ~free and the source scan happens ONCE.
+    buckets = buckets.localCheckpoint()
     cum = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, -1)
     ranked = buckets.withColumn(
         "prior", F.coalesce(F.sum("cnt").over(cum), F.lit(0))
@@ -711,7 +717,10 @@ def ddsketch_quantiles_by_type(
     exact per-group element (event_value_quartiles_by_type's oracle
     machinery) is pinned in tests/test_approx.py."""
     spark = events.sparkSession
-    buckets = dd_value_buckets_by_type(events)
+    # (type × log-bucket)-domain checkpoint — one fact scan total for
+    # the cumulative + total consumers (same rationale as the global
+    # reader's pin in quantiles_from_dd_buckets)
+    buckets = dd_value_buckets_by_type(events).localCheckpoint()
     cum = (
         Window.partitionBy("event_type")
         .orderBy("idx")
