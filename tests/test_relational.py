@@ -104,17 +104,69 @@ def test_window_names_all_registered_and_sized():
 ROWS_ONLY_NAMES = sorted(set(registry.queries()) - set(registry.oracle_sql()))
 
 
+@pytest.fixture(scope="session")
+def rows_only_results(spark, request):
+    """Both evaluations of every SELECTED rows-only query, collected
+    ONCE concurrently (r14 suite-time consolidation, VERDICT r13 #5):
+    the per-query no-NULL scans below used to re-collect each query
+    serially on top of the determinism test's own two pooled runs —
+    three collects per query, ~20s of serial wall. One fixture now
+    feeds both checks from the same two runs. Rows are sorted by repr
+    (total order even if a NULL sneaks into a mixed column — the scan
+    must REPORT that, not die sorting)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = registry.queries()
+    det_selected = any(
+        item.function.__name__ == "test_rows_only_queries_are_deterministic"
+        for item in request.session.items
+    )
+    if det_selected:
+        names = list(ROWS_ONLY_NAMES)  # determinism always checks ALL
+    else:
+        selected = {
+            item.callspec.params["name"]
+            for item in request.session.items
+            if getattr(item, "callspec", None) is not None
+            and item.function.__name__ == "test_rows_only_queries_emit_no_nulls"
+        }
+        names = [n for n in ROWS_ONLY_NAMES if n in selected] or list(
+            ROWS_ONLY_NAMES
+        )
+
+    def run_once(name):
+        try:
+            return name, sorted(
+                map(tuple, qs[name](spark, SF_SMOKE).collect()), key=repr
+            )
+        except Exception as ex:
+            return name, f"{type(ex).__name__}: {str(ex)[:120]}"
+
+    # both evaluations of every query are INDEPENDENT pool tasks (r13:
+    # one task per query ran its two evaluations serially, making the
+    # wall 2× the slowest iterative query; /tmp artifacts are
+    # build_once-locked so concurrent first-builds are safe)
+    jobs = [n for n in names for _ in (0, 1)]
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(run_once, jobs))
+    return {
+        results[i][0]: (results[i][1], results[i + 1][1])
+        for i in range(0, len(results), 2)
+    }
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_queries_emit_no_nulls(spark, name):
+def test_rows_only_queries_emit_no_nulls(rows_only_results, name):
     """The oracle differential now enforces the no-NULL output policy
     mechanically for oracle-backed queries (conftest); rows-only queries
     get the same scan here so the whole registry is covered."""
-    rows = registry.queries()[name](spark, SF_SMOKE).collect()
-    nulls = [(i, v) for r in rows for i, v in enumerate(r) if v is None]
+    a, _ = rows_only_results[name]
+    assert not isinstance(a, str), f"{name} failed: {a}"
+    nulls = [(i, v) for r in a for i, v in enumerate(r) if v is None]
     assert not nulls, f"{name} emitted NULLs: {nulls[:3]}"
 
 
-def test_rows_only_queries_are_deterministic(spark):
+def test_rows_only_queries_are_deterministic(rows_only_results):
     """The rows-only queries — the set with NO oracle differential —
     must return identical rows when run twice in the same session.
     Catches the nondeterminism classes a single-run gate passes:
@@ -123,29 +175,9 @@ def test_rows_only_queries_are_deterministic(spark):
     partitioning, Python kernels with per-run state. (Oracle-backed
     queries get repeated independent executions across the
     differential, the driver gate, and bench every round — their
-    nondeterminism would surface as a hash mismatch there.) Both
-    evaluations run concurrently per query (same thread-pool discipline
-    as the oracle differential; /tmp artifacts are build_once-locked)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    qs = registry.queries()
-
-    def run_once(name):
-        try:
-            return name, sorted(map(tuple, qs[name](spark, SF_SMOKE).collect()))
-        except Exception as ex:
-            return name, f"{type(ex).__name__}: {str(ex)[:120]}"
-
-    # both evaluations of every query are INDEPENDENT pool tasks (r13:
-    # was one task per query running its two evaluations serially, so
-    # the wall time was 2× the slowest iterative query; now the tail is
-    # 1× it)
-    jobs = [n for n in ROWS_ONLY_NAMES for _ in (0, 1)]
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        results = list(pool.map(run_once, jobs))
+    nondeterminism would surface as a hash mismatch there.)"""
     problems = []
-    for i in range(0, len(results), 2):
-        (name, a), (_, b) = results[i], results[i + 1]
+    for name, (a, b) in rows_only_results.items():
         if isinstance(a, str) or isinstance(b, str):
             problems.append(f"{name}: {a if isinstance(a, str) else b}")
         elif a != b:

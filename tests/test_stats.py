@@ -798,9 +798,17 @@ def test_selected_lower_median_edge_cases(spark):
         [1.0 + i * 1e-13 for i in range(9)],
         [float(i) for i in range(1, 101)],
     ]
-    for vals in cases:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_case(vals):
         df = spark.createDataFrame([(v,) for v in vals], "v double")
-        got = STT._selected_lower_median(df, "v").collect()
+        return STT._selected_lower_median(df, "v").collect()
+
+    # each case is a multi-stage selection plan (~1.2s); collect them
+    # concurrently (r14 suite-time consolidation)
+    with ThreadPoolExecutor(max_workers=len(cases)) as pool:
+        results = list(pool.map(run_case, cases))
+    for vals, got in zip(cases, results):
         want = sorted(vals)[(len(vals) + 1) // 2 - 1]
         assert len(got) == 1 and got[0]["n"] == len(vals)
         assert got[0]["med"] == want, (vals, got[0]["med"], want)
