@@ -200,10 +200,48 @@ def _ref_kmeans(rows: list, sf_dir: str) -> dict:
     }
 
 
+def _ref_pca(rows: list, sf_dir: str) -> dict:
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in t])
+    M = np.array([r[1] for r in t], dtype=np.float64)
+    mu = M.mean(axis=0)
+    C = (M.T @ M) / len(M) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(C)
+    comp = vecs[:, np.argsort(vals)[::-1][:2]].T
+    for w in comp:  # deterministic sign: largest-|coord| positive
+        if w[np.argmax(np.abs(w))] < 0:
+            w *= -1.0
+    expected = (M - mu) @ comp.T
+    ids_ok = [r["vec_id"] for r in rows] == ids.tolist()
+    got = np.array([[r["pc1"], r["pc2"]] for r in rows])
+    # Gram partial-sum order perturbs the last ulp; 4dp output rounding
+    # dominates (pytest pin)
+    max_dev = (
+        float(np.abs(got - np.round(expected, 4)).max())
+        if ids_ok
+        else float("inf")
+    )
+    return {
+        "reference": "numpy eigh PCA (tests/test_vectors.py)",
+        "n_vecs": len(ids),
+        "max_coord_dev": max_dev,
+        "reference_match": bool(ids_ok and max_dev <= 1.01e-4),
+    }
+
+
 REFERENCE_CHECKS = {
     "pagerank_copurchase": _ref_pagerank,
     "kcore_members": _ref_kcore,
     "kmeans_clusters": _ref_kmeans,
+    "embedding_pca": _ref_pca,
 }
 
 
