@@ -237,11 +237,274 @@ def _ref_pca(rows: list, sf_dir: str) -> dict:
     }
 
 
+# --- sketch-family envelope checks: the approximate members' documented
+# error contracts, asserted against EXACT DuckDB answers at sf0.1 (the
+# pytest bounds from tests/test_approx.py, re-run at the scale where the
+# sketches are saturated). ---------------------------------------------------
+
+_DD_EXACT_SQL = """
+WITH cells AS (
+  SELECT {grp} CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM '{sf_dir}/events.parquet'
+  WHERE CAST(round(value * 100) AS BIGINT) >= 1
+  GROUP BY {grpnum} c
+), cum AS (
+  SELECT {grp} c, cnt,
+         coalesce(sum(cnt) OVER ({part} ORDER BY c
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS prior,
+         sum(cnt) OVER ({part}) AS n
+  FROM cells
+), p AS (SELECT * FROM (VALUES (1), (25), (50), (75), (99)) AS t(percent))
+SELECT {grp} percent, CAST(n AS BIGINT) AS n, c
+FROM cum CROSS JOIN p
+WHERE prior < (percent * n + 99) // 100
+  AND (percent * n + 99) // 100 <= prior + cnt
+"""
+
+
+def _dd_exact(sf_dir: str, by_type: bool) -> dict:
+    import duckdb
+
+    con = duckdb.connect()
+    sql = _DD_EXACT_SQL.format(
+        sf_dir=sf_dir,
+        grp="event_type," if by_type else "",
+        grpnum="1," if by_type else "",
+        part="PARTITION BY event_type" if by_type else "",
+    )
+    out = {}
+    for row in con.execute(sql).fetchall():
+        if by_type:
+            t, p, n, c = row
+            out[(t, p)] = (n, c / 100.0)
+        else:
+            p, n, c = row
+            out[p] = (n, c / 100.0)
+    con.close()
+    return out
+
+
+def _dd_envelope(pairs) -> tuple[bool, float]:
+    """pairs: iterable of (approx_value, n_got, exact_value, n_exact).
+    The DDSketch contract: |approx − exact| ≤ 1.05·alpha·exact (the
+    pytest headroom for the float-log bucket-boundary ulp), n exact."""
+    from tp1_distribuidos_mapreduce_spark.plans.approx import DD_ALPHA
+
+    worst = 0.0
+    ok = True
+    for approx, n_got, exact, n_exact in pairs:
+        rel = abs(approx - exact) / exact
+        worst = max(worst, rel)
+        ok = ok and n_got == n_exact and rel <= 1.05 * DD_ALPHA
+    return ok, worst
+
+
+def _ref_dd_global(rows: list, sf_dir: str) -> dict:
+    exact = _dd_exact(sf_dir, by_type=False)
+    ok, worst = _dd_envelope(
+        (r["approx_value"], r["n_rows"], *reversed(exact[r["percent"]]))
+        for r in rows
+    ) if {r["percent"] for r in rows} == set(exact) else (False, float("inf"))
+    return {
+        "reference": "exact ceil-rank element (DuckDB), alpha envelope",
+        "worst_rel_err": worst,
+        "reference_match": bool(ok),
+    }
+
+
+def _ref_dd_by_type(rows: list, sf_dir: str) -> dict:
+    exact = _dd_exact(sf_dir, by_type=True)
+    keys = {(r["event_type"], r["percent"]) for r in rows}
+    ok, worst = _dd_envelope(
+        (
+            r["approx_value"],
+            r["n_rows"],
+            *reversed(exact[(r["event_type"], r["percent"])]),
+        )
+        for r in rows
+    ) if keys == set(exact) else (False, float("inf"))
+    return {
+        "reference": "exact per-type ceil-rank element (DuckDB), alpha envelope",
+        "worst_rel_err": worst,
+        "reference_match": bool(ok),
+    }
+
+
+def _ref_dd_merge(rows: list, sf_dir: str) -> dict:
+    exact = _dd_exact(sf_dir, by_type=False)
+    flags_ok = all(r["merge_matches_onebuild"] for r in rows)
+    ok, worst = _dd_envelope(
+        (r["approx_value"], r["n_rows"], *reversed(exact[r["percent"]]))
+        for r in rows
+    ) if {r["percent"] for r in rows} == set(exact) else (False, float("inf"))
+    return {
+        "reference": "merge flags + exact-element alpha envelope (DuckDB)",
+        "worst_rel_err": worst,
+        "reference_match": bool(flags_ok and ok),
+    }
+
+
+def _ref_hll_rolling(rows: list, sf_dir: str) -> dict:
+    """Anchor: the registered exact twin's own oracle SQL (the pytest
+    envelope: m=256 → every window ≤ 4σ = 26%, mean ≤ 1.5σ = 10%)."""
+    import duckdb
+
+    from tp1_distribuidos_mapreduce_spark import registry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    exact = {
+        str(d): n
+        for d, n in con.sql(
+            registry.oracle_sql()["rolling_28d_users_exact"]
+        ).fetchall()
+    }
+    con.close()
+    got = {str(r["window_end"]): r["approx_users"] for r in rows}
+    if got.keys() != exact.keys():
+        return {"reference": "exact twin oracle", "reference_match": False}
+    rels = [abs(got[k] - exact[k]) / exact[k] for k in exact]
+    return {
+        "reference": "rolling_28d_users_exact oracle (DuckDB), 4-sigma envelope",
+        "max_rel_err": max(rels),
+        "mean_rel_err": sum(rels) / len(rels),
+        "reference_match": bool(max(rels) <= 0.26 and sum(rels) / len(rels) <= 0.10),
+    }
+
+
+def _ref_kmv_overlap(rows: list, sf_dir: str) -> dict:
+    """Exact pairwise audience intersections; bound 4σ·union with
+    σ = √3/√(K−1) (the saturated-envelope pytest pin)."""
+    import duckdb
+
+    from tp1_distribuidos_mapreduce_spark.plans.approx import KMV_K
+
+    con = duckdb.connect()
+    exact = {
+        (a, b): (c, u)
+        for a, b, c, u in con.execute(f"""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM '{sf_dir}/events.parquet'
+), tc AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS common
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT na.event_type, nb.event_type,
+       coalesce(p.common, 0),
+       na.n + nb.n - coalesce(p.common, 0) AS un
+FROM tc na JOIN tc nb ON na.event_type < nb.event_type
+LEFT JOIN pairs p ON p.ta = na.event_type AND p.tb = nb.event_type
+""").fetchall()
+    }
+    con.close()
+    got = {(r["type_a"], r["type_b"]): r["approx_common"] for r in rows}
+    if got.keys() != exact.keys():
+        return {"reference": "exact pair overlap", "reference_match": False}
+    sigma = (3 ** 0.5) / ((KMV_K - 1) ** 0.5)
+    devs = [
+        abs(got[k] - c) / (4 * sigma * u) if u else float(got[k] != c)
+        for k, (c, u) in exact.items()
+    ]
+    return {
+        "reference": "exact pair overlap (DuckDB), 4-sigma-of-union envelope",
+        "worst_sigma_frac": max(devs),
+        "reference_match": bool(max(devs) <= 1.0),
+    }
+
+
+def _ref_hll_counts(rows: list, sf_dir: str) -> dict:
+    """approx_count_distinct(rsd=0.02) per type within the pytest bound
+    max(5%, 2); the companion n_events is EXACT and pinned equal."""
+    import duckdb
+
+    con = duckdb.connect()
+    exact = {
+        t: (n, d)
+        for t, n, d in con.execute(
+            f"SELECT event_type, CAST(count(*) AS BIGINT),"
+            f" CAST(count(DISTINCT user_id) AS BIGINT)"
+            f" FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    con.close()
+    got = {r["event_type"]: (r["n_events"], r["approx_users"]) for r in rows}
+    if got.keys() != exact.keys():
+        return {"reference": "exact distinct", "reference_match": False}
+    ok = all(
+        got[t][0] == n and abs(got[t][1] - d) <= max(0.05 * d, 2)
+        for t, (n, d) in exact.items()
+    )
+    worst = max(abs(got[t][1] - d) / d for t, (_, d) in exact.items())
+    return {
+        "reference": "exact COUNT(DISTINCT) (DuckDB), 5% envelope",
+        "worst_rel_err": worst,
+        "reference_match": bool(ok),
+    }
+
+
+def _ref_gk_quantiles(rows: list, sf_dir: str) -> dict:
+    """percentile_approx(accuracy=10000) is a rank sketch: the returned
+    value must be an element whose rank is within ±(n/accuracy + 1) of
+    the target rank. Checked against the fully sorted per-priority
+    price arrays (orders is small enough to sort exactly at sf0.1);
+    0.01 slack absorbs the query's 2dp output rounding."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT o_orderpriority, o_totalprice FROM"
+        f" '{sf_dir}/orders.parquet'"
+    ).fetchnumpy()
+    con.close()
+    pris, prices = t["o_orderpriority"], t["o_totalprice"]
+    ok = True
+    worst = 0.0
+    for r in rows:
+        mask = pris == r["o_orderpriority"]
+        vals = np.sort(prices[mask])
+        n = len(vals)
+        if n != r["n"]:
+            ok = False
+            continue
+        slack = int(n / 10000) + 1
+        for p, col in ((0.5, "ap50"), (0.9, "ap90"), (0.99, "ap99")):
+            target = max(0, min(n - 1, int(np.ceil(p * n)) - 1))
+            lo = vals[max(0, target - slack)] - 0.01
+            hi = vals[min(n - 1, target + slack)] + 0.01
+            if not (lo <= r[col] <= hi):
+                ok = False
+                worst = max(worst, float(min(abs(r[col] - lo), abs(r[col] - hi))))
+    return {
+        "reference": "sorted exact ranks (numpy), GK rank-slack envelope",
+        "worst_out_of_band": worst,
+        "reference_match": bool(ok),
+    }
+
+
 REFERENCE_CHECKS = {
     "pagerank_copurchase": _ref_pagerank,
     "kcore_members": _ref_kcore,
     "kmeans_clusters": _ref_kmeans,
     "embedding_pca": _ref_pca,
+    "ddsketch_event_quantiles": _ref_dd_global,
+    "stream_ddsketch_quantiles": _ref_dd_global,
+    "ddsketch_quantiles_by_type": _ref_dd_by_type,
+    "ddsketch_merge_proof": _ref_dd_merge,
+    "rolling_28d_users_hll": _ref_hll_rolling,
+    "stream_hll_rolling_28d": _ref_hll_rolling,
+    "kmv_event_user_overlap": _ref_kmv_overlap,
+    "stream_kmv_overlap": _ref_kmv_overlap,
+    "approx_user_counts": _ref_hll_counts,
+    "approx_price_quantiles": _ref_gk_quantiles,
 }
 
 
