@@ -490,11 +490,96 @@ def _ref_gk_quantiles(rows: list, sf_dir: str) -> dict:
     }
 
 
+# --- ANN family: numpy exact-cosine ground truth at sf0.1. The knn
+# variants are recall-bounded (deterministic seed-42 structures, so the
+# measured sf0.1 recalls — lsh 0.66, ivf 0.50, ivf_pq 0.38 — are stable;
+# floors pinned ~15% below, the pytest discipline). The IVF near-dup
+# candidate set carries a STRICT guarantee instead: every emitted pair is
+# exact-cosine-verified, so false positives must be zero at any scale. ---
+
+import functools
+
+
+@functools.lru_cache(maxsize=2)
+def _emb_ground_truth(sf_dir: str):
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in t])
+    M = np.array([r[1] for r in t], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # exact top-5 per query (vec_id < 10), ties by lowest neighbor id —
+    # verified to reproduce the oracled knn_bruteforce EXACTLY at sf0.1
+    S = Mn[:10] @ Mn.T
+    top5 = set()
+    for qi in range(10):
+        s = S[qi].copy()
+        s[qi] = -2.0
+        for j in np.lexsort((ids, -s))[:5]:
+            top5.add((qi, int(ids[j])))
+    # exact near-dup pairs at the default 0.4 threshold, with ±1e-9
+    # cushions so a boundary pair an ulp apart between the numpy and
+    # Spark cosine chains can't flip the verdict
+    sims = Mn @ Mn.T
+    iu = np.triu_indices(len(M), k=1)
+    loose = sims[iu] >= 0.4 - 1e-9
+    strict = sims[iu] >= 0.4 + 1e-9
+    pairs_loose = {
+        (int(ids[a]), int(ids[b])) for a, b in zip(iu[0][loose], iu[1][loose])
+    }
+    pairs_strict = {
+        (int(ids[a]), int(ids[b])) for a, b in zip(iu[0][strict], iu[1][strict])
+    }
+    return top5, pairs_loose, pairs_strict
+
+
+def _ref_knn_factory(floor: float):
+    def check(rows: list, sf_dir: str) -> dict:
+        top5, _, _ = _emb_ground_truth(sf_dir)
+        approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        recall = len(approx & top5) / len(top5)
+        return {
+            "reference": "numpy exact cosine top-5, recall floor "
+            f"{floor} (measured sf0.1 value pinned ~15% above it)",
+            "recall": round(recall, 3),
+            "reference_match": bool(len(rows) == len(top5) and recall >= floor),
+        }
+
+    return check
+
+
+def _ref_dedup_ivf(rows: list, sf_dir: str) -> dict:
+    _, pairs_loose, pairs_strict = _emb_ground_truth(sf_dir)
+    approx = {(r["id_a"], r["id_b"]) for r in rows}
+    fp = len(approx - pairs_loose)
+    recall = len(approx & pairs_strict) / max(len(pairs_strict), 1)
+    return {
+        "reference": "numpy exact all-pairs cosine >= 0.4: zero false "
+        "positives (exact-verify contract) + recall floor 0.08 "
+        "(measured 0.104 at sf0.1's default n_probe)",
+        "false_positives": fp,
+        "recall": round(recall, 3),
+        "reference_match": bool(fp == 0 and recall >= 0.08),
+    }
+
+
 REFERENCE_CHECKS = {
     "pagerank_copurchase": _ref_pagerank,
     "kcore_members": _ref_kcore,
     "kmeans_clusters": _ref_kmeans,
     "embedding_pca": _ref_pca,
+    "knn_lsh": _ref_knn_factory(0.55),
+    "knn_ivf": _ref_knn_factory(0.42),
+    "knn_ivf_persisted": _ref_knn_factory(0.42),
+    "knn_ivf_pq": _ref_knn_factory(0.30),
+    "knn_ivf_pq_persisted": _ref_knn_factory(0.30),
+    "dedup_embedding_ivf": _ref_dedup_ivf,
     "ddsketch_event_quantiles": _ref_dd_global,
     "stream_ddsketch_quantiles": _ref_dd_global,
     "ddsketch_quantiles_by_type": _ref_dd_by_type,
