@@ -569,11 +569,151 @@ def _ref_dedup_ivf(rows: list, sf_dir: str) -> dict:
     }
 
 
+# --- text-kernel references: the pytest suite's own sequential Python
+# formulations (tests/test_lm.py, tests/test_dedup_similarity.py),
+# re-run at sf0.1 with EXACT-equality verdicts — these kernels are
+# deterministic specs, so the bound is ==, not an envelope. -----------------
+
+
+def _bpe_reference(sf_dir: str):
+    """Sequential Sennrich-style BPE over DuckDB-derived word
+    frequencies (the tests/test_lm.py reference verbatim: argmax pair
+    with lexicographic tie-break, left-to-right non-overlapping
+    merge)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        rf"""
+        SELECT w, count(*) FROM (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                   x -> x <> '')) AS w
+          FROM '{sf_dir}/documents.parquet'
+        ) GROUP BY w
+        """
+    ).fetchall()
+    con.close()
+    freqs = dict(rows)
+    syms = {
+        w: [c if i < len(w) - 1 else c + "</w>" for i, c in enumerate(w)]
+        for w in freqs
+    }
+    from tp1_distribuidos_mapreduce_spark.operators import lm as LM
+
+    rules = []
+    for rank in range(1, LM.BPE_N_MERGES + 1):
+        counts: dict = {}
+        for w, f in freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (left, right), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rank, left, right, n))
+        for w in syms:
+            out: list = []
+            for tok in syms[w]:
+                if out and out[-1] == left and tok == right:
+                    out[-1] = left + right
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return rules
+
+
+def _ref_bpe_merges(rows: list, sf_dir: str) -> dict:
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"]) for r in rows
+    ]
+    expect = _bpe_reference(sf_dir)
+    return {
+        "reference": "sequential Python BPE (tests/test_lm.py), exact equality",
+        "n_rules": len(expect),
+        "reference_match": bool(got == expect),
+    }
+
+
+def _ref_doc_fingerprint(rows: list, sf_dir: str) -> dict:
+    """Winnowing re-derived independently: normalization via
+    unicodedata categories (no Java regex), Horner k-gram hash +
+    murmur finisher per the spec constants, per-position window
+    minima, uint64→int64 sign handling — exact equality per doc."""
+    import unicodedata
+
+    import duckdb
+    import numpy as np
+
+    k, window = 5, 4
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    def norm(text: str) -> str:
+        out = []
+        prev_sep = False
+        for ch in text:
+            if unicodedata.category(ch).startswith("L"):
+                out.append(ch.lower())
+                prev_sep = False
+            elif not prev_sep:
+                out.append(" ")
+                prev_sep = True
+        return "".join(out)
+
+    def winnow(s: str):
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < k:
+            b = np.pad(b, (0, k - len(b)), constant_values=32)
+        h = np.zeros(len(b) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h = h * np.uint64(1099511628211) + b[j: len(b) - k + 1 + j]
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        if len(h) <= window:
+            mins = [int(h.min())]
+        else:
+            mins = [
+                int(h[i: i + window].min()) for i in range(len(h) - window + 1)
+            ]
+        u = sorted({m - (1 << 64) if m >= (1 << 63) else m for m in mins})
+        return u
+
+    # the registered query projects (doc_id, n_fingerprints,
+    # min_fingerprint) — compare those against the full recomputed set
+    ok = len(rows) == len(docs)
+    n_checked = 0
+    if ok:
+        for r, (doc_id, text) in zip(rows, docs):
+            fps = winnow(norm(text))
+            if not (
+                r["doc_id"] == doc_id
+                and r["n_fingerprints"] == len(fps)
+                and r["min_fingerprint"] == fps[0]
+            ):
+                ok = False
+                break
+            n_checked += 1
+    return {
+        "reference": "independent Python winnowing (unicodedata "
+        "normalization), exact per-doc count + min equality",
+        "n_docs_checked": n_checked,
+        "reference_match": bool(ok),
+    }
+
+
 REFERENCE_CHECKS = {
     "pagerank_copurchase": _ref_pagerank,
     "kcore_members": _ref_kcore,
     "kmeans_clusters": _ref_kmeans,
     "embedding_pca": _ref_pca,
+    "bpe_train_merges": _ref_bpe_merges,
+    "doc_fingerprint": _ref_doc_fingerprint,
     "knn_lsh": _ref_knn_factory(0.55),
     "knn_ivf": _ref_knn_factory(0.42),
     "knn_ivf_persisted": _ref_knn_factory(0.42),
