@@ -707,13 +707,419 @@ def _ref_doc_fingerprint(rows: list, sf_dir: str) -> dict:
     }
 
 
+def _ref_bpe_encode(rows: list, sf_dir: str) -> dict:
+    """Full train+encode re-derivation (tests/test_lm.py): train the
+    sequential BPE, encode every (source, word), and reproduce every
+    per-source row exactly — words, tokens, and the integer-half-up
+    chars_per_token ratio."""
+    import duckdb
+
+    rules = [(l, r) for _, l, r, _ in _bpe_reference(sf_dir)]
+
+    def encode_len(word: str) -> int:
+        syms = [
+            c if i < len(word) - 1 else c + "</w>" for i, c in enumerate(word)
+        ]
+        for left, right in rules:
+            out: list = []
+            for tok in syms:
+                if out and out[-1] == left and tok == right:
+                    out[-1] = left + right
+                else:
+                    out.append(tok)
+            syms = out
+        return len(syms)
+
+    con = duckdb.connect()
+    by_source = con.execute(
+        rf"""
+        SELECT source, w, count(*) FROM (
+          SELECT source, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                   x -> x <> '')) AS w
+          FROM '{sf_dir}/documents.parquet'
+        ) GROUP BY source, w
+        """
+    ).fetchall()
+    con.close()
+    per_source: dict = {}
+    for src, w, f in by_source:
+        agg = per_source.setdefault(src, [0, 0, 0])
+        agg[0] += f
+        agg[1] += f * encode_len(w)
+        agg[2] += f * len(w)
+    expect = [
+        (
+            src,
+            n_words,
+            n_tokens,
+            ((n_chars * 100 + n_tokens // 2) // n_tokens) / 100.0,
+        )
+        for src, (n_words, n_tokens, n_chars) in sorted(per_source.items())
+    ]
+    got = [
+        (r["source"], r["n_words"], r["n_tokens"], r["chars_per_token"])
+        for r in rows
+    ]
+    return {
+        "reference": "sequential Python BPE train+encode "
+        "(tests/test_lm.py), exact equality",
+        "n_sources": len(expect),
+        "reference_match": bool(got == expect),
+    }
+
+
+def _ref_minhash_lsh(rows: list, sf_dir: str) -> dict:
+    """Estimator-concentration check on every EMITTED candidate pair:
+    the true n-gram Jaccard is recomputed with an independent
+    tokenization (unicodedata categories, Python shingling) and each
+    32-hash estimate must sit within the binomial envelope
+    4·√(j(1−j)/32) + 1/32 of it. A systematic tokenize/shingle/
+    signature mismatch fails immediately (a pair with true j = 0 has a
+    zero-width envelope); the sf0.1 fixture has no ≥0.5-Jaccard pairs,
+    so a recall check would be vacuous here — recall is pinned on
+    constructed near-dups in tests/test_dedup_similarity.py.
+    Measured at sf0.1: worst dev 0.094 (margin 0.202), mean 0.023."""
+    import math
+    import unicodedata
+
+    import duckdb
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    con.close()
+
+    def shingle_set(text: str) -> set:
+        out, cur = [], []
+        for ch in text:
+            if unicodedata.category(ch).startswith("L"):
+                cur.append(ch.lower())
+            elif cur:
+                out.append("".join(cur))
+                cur = []
+        if cur:
+            out.append("".join(cur))
+        if not out:
+            return set()
+        if len(out) < 3:
+            return {" ".join(out)}
+        return {" ".join(out[i: i + 3]) for i in range(len(out) - 2)}
+
+    cache: dict = {}
+
+    def sh(d):
+        if d not in cache:
+            cache[d] = shingle_set(texts[d])
+        return cache[d]
+
+    worst = 0.0
+    ok = True
+    devs = []
+    for r in rows:
+        a, b = sh(r["doc_a"]), sh(r["doc_b"])
+        true_j = len(a & b) / len(a | b) if a | b else 0.0
+        dev = abs(r["est_jaccard"] - true_j)
+        devs.append(dev)
+        margin = 4 * math.sqrt(true_j * (1 - true_j) / 32) + 1 / 32
+        if dev > margin:
+            ok = False
+        worst = max(worst, dev)
+    return {
+        "reference": "independent-tokenization true Jaccard, 32-hash "
+        "binomial envelope per emitted pair",
+        "n_pairs": len(rows),
+        "worst_dev": round(worst, 4),
+        "mean_dev": round(sum(devs) / len(devs), 4) if devs else 0.0,
+        "reference_match": bool(ok and rows),
+    }
+
+
+def _ref_simhash(rows: list, sf_dir: str) -> dict:
+    """TOTAL-equality reference: the 4-chunk pigeonhole makes
+    simhash_pairs EXACT for Hamming ≤ 3, so the complete answer is
+    recomputable — every fingerprint re-derived independently
+    (unicodedata tokenization, stdlib blake2b, occurrence-weighted bit
+    votes) and ALL pairs at Hamming ≤ 3 enumerated by vectorized
+    popcount. The emitted (doc_a, doc_b, hamming) set must equal it
+    exactly — candidates missed by the bucket-join or wrong distances
+    both fail."""
+    import hashlib
+    import unicodedata
+    from collections import Counter
+
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    hcache: dict = {}
+
+    def fp64(text: str) -> int:
+        toks, cur = [], []
+        for ch in text:
+            if unicodedata.category(ch).startswith("L"):
+                cur.append(ch.lower())
+            elif cur:
+                toks.append("".join(cur))
+                cur = []
+        if cur:
+            toks.append("".join(cur))
+        if not toks:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for t, cnt in Counter(toks).items():
+            b = hcache.get(t)
+            if b is None:
+                b = np.unpackbits(
+                    np.frombuffer(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        dtype=np.uint8,
+                    )
+                )
+                hcache[t] = b
+            votes += cnt * (2 * b.astype(np.int64) - 1)
+        bits = (votes > 0).astype(np.uint8)
+        return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+    ids = np.array([d for d, _ in docs])
+    fps = np.array([fp64(t) for _, t in docs], dtype=np.int64).view(np.uint64)
+    want: dict = {}
+    B = 512
+    for s in range(0, len(fps), B):
+        x = fps[s: s + B][:, None] ^ fps[None, :]
+        if hasattr(np, "bitwise_count"):
+            h = np.bitwise_count(x)
+        else:
+            h = np.unpackbits(
+                x.view(np.uint8).reshape(x.shape[0], x.shape[1], 8), axis=2
+            ).sum(axis=2)
+        ii, jj = np.where(h <= 3)
+        for a, b in zip(ii, jj):
+            ga, gb = int(ids[s + a]), int(ids[b])
+            if ga < gb:
+                want[(ga, gb)] = int(h[a, b])
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    return {
+        "reference": "independent fingerprints + all-pairs popcount, "
+        "TOTAL set equality at Hamming <= 3",
+        "n_pairs": len(want),
+        "reference_match": bool(got == want and want),
+    }
+
+
+# --- media family: the toy-codec blobs are a deterministic spec (seeded
+# RandomState per doc_id), so the whole pipeline — synthesis → Arrow
+# decode → stats — is re-derivable driver-side. The synthesis below
+# mirrors the spec (it IS the input definition); the decoders and every
+# statistic are freshly written, so a mangled blob, a wrong struct
+# offset, or a stats bug in the Arrow path fails exact equality. --------------
+
+
+@functools.lru_cache(maxsize=2)
+def _synth_media_py(sf_dir: str):
+    """media_id → (kind, blob bytes), per operators/multimodal.py's
+    documented generator spec."""
+    import struct
+
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    doc_ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    out = {}
+    for doc_id in doc_ids:
+        rng = np.random.RandomState(doc_id % (2 ** 31))
+        kind = ("image", "audio", "video")[doc_id % 3]
+        if kind == "image":
+            h, w, c = int(rng.randint(8, 33)), int(rng.randint(8, 33)), 3
+            px = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+            data = b"FIMG" + struct.pack("<HHB", h, w, c) + px.tobytes()
+        elif kind == "audio":
+            rate, n = 16000, int(rng.randint(800, 3200))
+            samples = (rng.randn(n) * 3000).astype("<i2")
+            data = b"FAUD" + struct.pack("<I", rate) + samples.tobytes()
+        else:
+            nf, h, w = int(rng.randint(2, 6)), 8, 8
+            data = b"FVID" + struct.pack("<H", nf)
+            for _ in range(nf):
+                px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                data += struct.pack("<I", 9 + px.size) + (
+                    b"FIMG" + struct.pack("<HHB", h, w, 3) + px.tobytes()
+                )
+        out[doc_id] = (kind, data)
+    return out
+
+
+def _decode_fimg_py(data: bytes):
+    import struct
+
+    import numpy as np
+
+    h, w, c = struct.unpack("<HHB", data[4:9])
+    return np.frombuffer(data[9: 9 + h * w * c], dtype=np.uint8).reshape(h, w, c)
+
+
+def _ref_image_stats(rows: list, sf_dir: str) -> dict:
+    import numpy as np
+
+    want = {}
+    for mid, (kind, data) in _synth_media_py(sf_dir).items():
+        if kind != "image":
+            continue
+        px = _decode_fimg_py(data).astype(np.float64)
+        want[mid] = (
+            px.shape[0],
+            px.shape[1],
+            round(float(px.mean()), 4),
+            round(float(px.std()), 4),
+        )
+    got = {
+        r["media_id"]: (r["height"], r["width"], r["mean"], r["std"])
+        for r in rows
+    }
+    return {
+        "reference": "independent decode + numpy stats, exact equality",
+        "n_images": len(want),
+        "reference_match": bool(got == want and want),
+    }
+
+
+def _ref_audio_stats(rows: list, sf_dir: str) -> dict:
+    import struct
+
+    import numpy as np
+
+    want = {}
+    for mid, (kind, data) in _synth_media_py(sf_dir).items():
+        if kind != "audio":
+            continue
+        (rate,) = struct.unpack("<I", data[4:8])
+        x = np.frombuffer(data[8:], dtype="<i2").astype(np.float64)
+        zc = int(np.count_nonzero(np.diff(np.signbit(x)))) if len(x) > 1 else 0
+        want[mid] = (
+            round(len(x) / rate, 4),
+            round(float(np.sqrt(np.mean(x ** 2))), 4) if len(x) else 0.0,
+            round(zc / max(len(x) - 1, 1), 4),
+        )
+    got = {
+        r["media_id"]: (r["duration_sec"], r["rms"], r["zero_crossing_rate"])
+        for r in rows
+    }
+    return {
+        "reference": "independent decode + numpy stats, exact equality",
+        "n_audios": len(want),
+        "reference_match": bool(got == want and want),
+    }
+
+
+def _ref_video_frames(rows: list, sf_dir: str) -> dict:
+    import struct
+
+    want = {}
+    for mid, (kind, data) in _synth_media_py(sf_dir).items():
+        if kind != "video":
+            continue
+        (nf,) = struct.unpack("<H", data[4:6])
+        want[mid] = (nf + 1) // 2  # every-2nd sampling keeps ceil(nf/2)
+    got = {r["media_id"]: r["n_sampled"] for r in rows}
+    return {
+        "reference": "header n_frames, every-2nd sampling arithmetic",
+        "n_videos": len(want),
+        "reference_match": bool(got == want and want),
+    }
+
+
+def _ref_media_summary(rows: list, sf_dir: str) -> dict:
+    agg: dict = {}
+    for _, (kind, data) in _synth_media_py(sf_dir).items():
+        n, tot, mn, mx = agg.get(kind, (0, 0, None, None))
+        ln = len(data)
+        agg[kind] = (
+            n + 1,
+            tot + ln,
+            ln if mn is None else min(mn, ln),
+            ln if mx is None else max(mx, ln),
+        )
+    got = {
+        r["kind"]: (r["n"], r["total_bytes"], r["min_bytes"], r["max_bytes"])
+        for r in rows
+    }
+    return {
+        "reference": "independent blob-length census, exact equality",
+        "kinds": sorted(agg),
+        "reference_match": bool(got == agg and agg),
+    }
+
+
+def _ref_phash_dupes(rows: list, sf_dir: str) -> dict:
+    """Re-derive every average-hash (fresh downsample/gray/threshold/
+    packbits expression) over the replayed-image universe (every 5th
+    image mirrored under -id - 1) and compare the full group census."""
+    import numpy as np
+
+    def ahash(px) -> str:
+        yi = (np.arange(8) * px.shape[0] // 8).astype(int)
+        xi = (np.arange(8) * px.shape[1] // 8).astype(int)
+        gray = px[yi][:, xi].astype(np.float64).mean(axis=2)
+        bits = (gray > gray.mean()).ravel().astype(np.uint8)
+        return bytes(np.packbits(bits)).hex()
+
+    hashes = []
+    for mid, (kind, data) in _synth_media_py(sf_dir).items():
+        if kind != "image":
+            continue
+        h = ahash(_decode_fimg_py(data))
+        hashes.append((mid, h))
+        if mid % 5 == 0:
+            hashes.append((-mid - 1, h))
+    groups: dict = {}
+    for mid, h in hashes:
+        groups.setdefault(h, []).append(mid)
+    want = {
+        h: (len(ms), min(ms), max(ms))
+        for h, ms in groups.items()
+        if len(ms) > 1
+    }
+    got = {
+        r["ahash"]: (r["n_images"], r["first_media_id"], r["last_media_id"])
+        for r in rows
+    }
+    return {
+        "reference": "independent ahash census over the replayed universe",
+        "n_groups": len(want),
+        "reference_match": bool(got == want and want),
+    }
+
+
 REFERENCE_CHECKS = {
     "pagerank_copurchase": _ref_pagerank,
     "kcore_members": _ref_kcore,
     "kmeans_clusters": _ref_kmeans,
     "embedding_pca": _ref_pca,
     "bpe_train_merges": _ref_bpe_merges,
+    "bpe_encode_stats": _ref_bpe_encode,
     "doc_fingerprint": _ref_doc_fingerprint,
+    "dedup_minhash_lsh": _ref_minhash_lsh,
+    "dedup_simhash": _ref_simhash,
+    "image_stats": _ref_image_stats,
+    "audio_stats": _ref_audio_stats,
+    "video_frame_sample": _ref_video_frames,
+    "media_summary": _ref_media_summary,
+    "image_phash_dupes": _ref_phash_dupes,
     "knn_lsh": _ref_knn_factory(0.55),
     "knn_ivf": _ref_knn_factory(0.42),
     "knn_ivf_persisted": _ref_knn_factory(0.42),
