@@ -183,3 +183,29 @@ def test_rows_only_queries_are_deterministic(rows_only_results):
         elif a != b:
             problems.append(f"{name}: two runs differ")
     assert not problems, problems
+
+
+def test_rows_only_reference_tier_is_complete():
+    """r14 closed the rows-only assurance gap: every query without a
+    DuckDB oracle carries an sf0.1 independent-reference check in
+    differential.py (numpy/Python re-derivations, exact DuckDB answers
+    with documented error envelopes, or exact-equality spec
+    re-derivations). This pin keeps that invariant: registering a new
+    rows-only query without adding its REFERENCE_CHECKS entry — or
+    renaming one so its check silently stops running — fails here, not
+    silently in the next round's artifact."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "differential",
+        Path(__file__).resolve().parent.parent / "differential.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    checks = set(mod.REFERENCE_CHECKS)
+    rows_only = set(registry.queries()) - set(registry.oracle_sql())
+    assert checks == rows_only, (
+        f"missing reference checks: {sorted(rows_only - checks)}; "
+        f"stale check keys: {sorted(checks - rows_only)}"
+    )
