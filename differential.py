@@ -1129,6 +1129,7 @@ REFERENCE_CHECKS = {
     "ddsketch_event_quantiles": _ref_dd_global,
     "stream_ddsketch_quantiles": _ref_dd_global,
     "ddsketch_quantiles_by_type": _ref_dd_by_type,
+    "stream_ddsketch_by_type": _ref_dd_by_type,
     "ddsketch_merge_proof": _ref_dd_merge,
     "rolling_28d_users_hll": _ref_hll_rolling,
     "stream_hll_rolling_28d": _ref_hll_rolling,

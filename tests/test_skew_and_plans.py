@@ -348,6 +348,8 @@ NESTED_LOOP_ALLOWED = {
                                    # persisted sketch state (r13)
     "ddsketch_quantiles_by_type",  # 5-row percent-spec broadcast over
                                    # the per-type log-bucket frame (r14)
+    "stream_ddsketch_by_type",     # same grouped quantile read, from
+                                   # the persisted sketch state (r14)
     "ddsketch_merge_proof",        # the same percent-spec broadcasts in
                                    # both independent sketch paths (r14)
     "event_value_quartiles_by_type",  # 3-row percent-spec broadcast

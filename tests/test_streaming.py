@@ -868,3 +868,60 @@ def test_stream_dd_replayed_batch_fenced(spark, tmp_path):
         (r["idx"], r["cnt"]) for r in spark.read.parquet(f"{state}/v1").collect()
     )
     assert doubled == [(i, 2 * c) for i, c in first]
+
+def test_stream_dd_by_type_equal_batch_build_exactly(spark, tmp_path):
+    """The GROUPED streaming fold (r14): per-(event_type, idx) count
+    addition across micro-batches must yield per-type quantiles
+    IDENTICAL to the one-shot batch ddsketch_quantiles_by_type, and a
+    same-checkpoint rerun is a no-op. Also the composite-key replay
+    fence: a re-fold of an already-committed batch_id must leave the
+    grouped state byte-identical, while a NEW batch_id with the same
+    rows doubles every (type, idx) count."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "ddt_src")
+    state = str(tmp_path / "ddt_state")
+    ckpt = str(tmp_path / "ddt_ckpt")
+
+    ev = batch_events(spark)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    SK.write_stream_dd_buckets_by_type(
+        stream_events(spark, src, max_files=1), state, ckpt
+    )
+    got = sorted(
+        tuple(r) for r in SK.read_dd_quantiles_by_type(spark, state).collect()
+    )
+    want = sorted(tuple(r) for r in AX.ddsketch_quantiles_by_type(ev).collect())
+    assert got == want and got
+
+    SK.write_stream_dd_buckets_by_type(
+        stream_events(spark, src, max_files=1), state, ckpt
+    )
+    got2 = sorted(
+        tuple(r) for r in SK.read_dd_quantiles_by_type(spark, state).collect()
+    )
+    assert got2 == want
+
+    # composite-key replay fence on the raw fold
+    state2 = str(tmp_path / "ddt_state2")
+    small = batch_events(spark).where(F.col("event_id") < 40)
+    SK._dd_fold_by_type(small, 0, state2)
+    first = sorted(
+        (r["event_type"], r["idx"], r["cnt"])
+        for r in spark.read.parquet(f"{state2}/v0").collect()
+    )
+    SK._dd_fold_by_type(small, 0, state2)  # replay: fenced, NOT re-added
+    assert SK._read_ivm_pointer(state2) == {"dir": "v0", "batch_id": 0}
+    again = sorted(
+        (r["event_type"], r["idx"], r["cnt"])
+        for r in spark.read.parquet(f"{state2}/v0").collect()
+    )
+    assert again == first
+    SK._dd_fold_by_type(small, 1, state2)
+    doubled = sorted(
+        (r["event_type"], r["idx"], r["cnt"])
+        for r in spark.read.parquet(f"{state2}/v1").collect()
+    )
+    assert doubled == [(t, i, 2 * c) for t, i, c in first]

@@ -716,11 +716,24 @@ def ddsketch_quantiles_by_type(
     approx_value), rows-only — the per-group error envelope vs the
     exact per-group element (event_value_quartiles_by_type's oracle
     machinery) is pinned in tests/test_approx.py."""
-    spark = events.sparkSession
-    # (type × log-bucket)-domain checkpoint — one fact scan total for
-    # the cumulative + total consumers (same rationale as the global
-    # reader's pin in quantiles_from_dd_buckets)
-    buckets = dd_value_buckets_by_type(events).localCheckpoint()
+    return quantiles_from_dd_buckets_by_type(
+        dd_value_buckets_by_type(events), percents
+    )
+
+
+def quantiles_from_dd_buckets_by_type(
+    buckets: DataFrame, percents: tuple[int, ...] = DD_PERCENTS
+) -> DataFrame:
+    """Per-group quantile read off a prebuilt (event_type, idx, cnt)
+    sketch table — shared by the batch build above and the persisted
+    streaming state reader (streaming/sinks.py
+    read_dd_quantiles_by_type, r14)."""
+    spark = buckets.sparkSession
+    # (type × log-bucket)-domain checkpoint — one scan of the
+    # underlying source total for the cumulative + total consumers
+    # (same rationale as the global reader's pin in
+    # quantiles_from_dd_buckets)
+    buckets = buckets.localCheckpoint()
     cum = (
         Window.partitionBy("event_type")
         .orderBy("idx")

@@ -2961,6 +2961,43 @@ def q_stream_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.read_dd_quantiles(spark, f"{work}/state")
 
 
+@register("stream_ddsketch_by_type")
+def q_stream_ddsketch_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED streaming DDSketch-at-ingest end-to-end (streaming/
+    sinks.py write_stream_dd_buckets_by_type, r14): an availableNow
+    drain folds each micro-batch's (event_type, idx) bucket counts
+    into a persisted grouped sketch table (versioned dirs + atomic
+    pointer + batch-id fence — load-bearing, addition is not
+    idempotent), and the per-type quantiles read from that state equal
+    the one-shot batch ddsketch_quantiles_by_type EXACTLY (pinned
+    across a multi-batch replay in tests/test_streaming.py).
+    Rows-only (sketch)."""
+    import os
+    import shutil
+
+    from .sources.artifacts import build_once
+    from .sources.tables import fixture_cache_tag, stream_events
+    from .streaming import sinks as SK
+
+    tag = fixture_cache_tag(sf_dir, "events", "stream-src-v1")
+    src = f"/tmp/tp1_spark_stream_events_{tag}"
+    build_once(
+        src,
+        lambda: load_table(spark, sf_dir, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src),
+    )
+    work = f"/tmp/tp1_spark_dd_qt_{tag}_{os.getpid()}_g{next(_STREAM_Q_SEQ)}"
+    shutil.rmtree(work, ignore_errors=True)
+    SK.write_stream_dd_buckets_by_type(
+        stream_events(spark, src, max_files_per_trigger=2),
+        f"{work}/state",
+        f"{work}/ckpt",
+    )
+    return SK.read_dd_quantiles_by_type(spark, f"{work}/state")
+
+
 @register(
     "event_value_quartiles_by_type",
     oracle=AX.EVENT_VALUE_QUARTILES_BY_TYPE_ORACLE,

@@ -561,3 +561,96 @@ def read_dd_quantiles(spark: SparkSession, state_path: str) -> DataFrame:
     return quantiles_from_dd_buckets(
         spark.read.parquet(os.path.join(state_path, committed["dir"]))
     )
+
+
+def write_stream_dd_buckets_by_type(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+) -> None:
+    """GROUPED streaming DDSketch-at-ingest (r14): the per-event-type
+    fold of the quantile sketch — one persisted (event_type, idx, cnt)
+    table, per batch a composite-key full-outer count SUM. Same
+    versioned-dir + atomic pointer + batch-id fence as the global fold,
+    and the fence is equally load-bearing (addition is not idempotent).
+    This is the production shape of the grouped family: per-batch
+    builds folded by addition, quantile reads per group off the
+    ≤ types × ~800-row state — the streaming counterpart of what
+    ddsketch_merge_proof pins for the batch merge law."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _dd_fold_by_type(batch_df, batch_id, state_path)
+
+    (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _dd_fold_by_type(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
+    """One FENCED additive fold keyed (event_type, idx) — the _dd_fold
+    convention with the group key added to the merge join."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..plans.approx import dd_value_buckets_by_type
+
+    spark = batch_df.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    committed = _read_ivm_pointer(state_path)
+    if committed is not None and batch_id <= committed["batch_id"]:
+        return  # replayed epoch — MUST skip: a re-fold would double-count
+    delta = dd_value_buckets_by_type(batch_df)
+    if committed is not None:
+        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        b = cur.select(
+            F.col("event_type").alias("b_t"),
+            F.col("idx").alias("b_idx"),
+            F.col("cnt").alias("b_cnt"),
+        )
+        d = delta.select(
+            F.col("event_type").alias("d_t"),
+            F.col("idx").alias("d_idx"),
+            F.col("cnt").alias("d_cnt"),
+        )
+        merged = b.join(
+            d,
+            (b["b_t"] == d["d_t"]) & (b["b_idx"] == d["d_idx"]),
+            "full_outer",
+        ).select(
+            F.coalesce(b["b_t"], d["d_t"]).alias("event_type"),
+            F.coalesce(b["b_idx"], d["d_idx"]).alias("idx"),
+            (
+                F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+            ).cast("long").alias("cnt"),
+        )
+    else:
+        merged = delta
+    new_dir = f"v{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _commit_ivm_pointer(state_path, new_dir, batch_id)
+    keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
+    for d in os.listdir(state_path):
+        if d.startswith("v") and d not in keep:
+            shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
+
+
+def read_dd_quantiles_by_type(spark: SparkSession, state_path: str) -> DataFrame:
+    """Per-group quantile estimates from the PERSISTED grouped sketch
+    state — the grouped dashboard read path."""
+    import os
+
+    from ..plans.approx import quantiles_from_dd_buckets_by_type
+
+    committed = _read_ivm_pointer(state_path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed sketch state under {state_path}")
+    return quantiles_from_dd_buckets_by_type(
+        spark.read.parquet(os.path.join(state_path, committed["dir"]))
+    )
