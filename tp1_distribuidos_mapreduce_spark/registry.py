@@ -57,7 +57,8 @@ _WINDOW: list[str] = [
     # r12×42, r13×50 — this window refreshes ALL 14 r8-era members
     # (the VERDICT r13 front-of-line list, verbatim) and 29 of the 42
     # r9-era members, with new oracled additions capped at 1 (the
-    # grouped-DDSketch exact twin; the sketch pair itself is rows-only
+    # grouped-DDSketch exact twin; the sketch trio (grouped batch,
+    # merge proof, grouped streaming fold) is rows-only
     # and never takes window slots). Composition, in order:
     # 1) the 5 reference-parity pins (always);
     # 2) the 1 query whose CODE changed this round after its r13
