@@ -41,6 +41,7 @@ Exit code = number of failing queries (any kind).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -497,8 +498,6 @@ def _ref_gk_quantiles(rows: list, sf_dir: str) -> dict:
 # candidate set carries a STRICT guarantee instead: every emitted pair is
 # exact-cosine-verified, so false positives must be zero at any scale. ---
 
-import functools
-
 
 @functools.lru_cache(maxsize=2)
 def _emb_ground_truth(sf_dir: str):
@@ -828,14 +827,26 @@ def _ref_minhash_lsh(rows: list, sf_dir: str) -> dict:
         if dev > margin:
             ok = False
         worst = max(worst, dev)
-    return {
+    # Zero emitted pairs is NOT an envelope violation (the envelope is
+    # vacuous, not violated): report it as its own field so a fixture
+    # regeneration with no LSH collisions reads as "vacuous, estimator
+    # unexercised here" rather than a false reference failure (ADVICE
+    # r14). Non-emptiness on data that SHOULD collide is pinned on
+    # constructed near-dups in tests/test_dedup_similarity.py.
+    rec = {
         "reference": "independent-tokenization true Jaccard, 32-hash "
         "binomial envelope per emitted pair",
         "n_pairs": len(rows),
         "worst_dev": round(worst, 4),
         "mean_dev": round(sum(devs) / len(devs), 4) if devs else 0.0,
-        "reference_match": bool(ok and rows),
+        "reference_match": bool(ok),
     }
+    if not rows:
+        rec["note"] = (
+            "no candidate pairs emitted at this SF — envelope vacuous; "
+            "recall/non-emptiness pinned in tests/test_dedup_similarity.py"
+        )
+    return rec
 
 
 def _ref_simhash(rows: list, sf_dir: str) -> dict:

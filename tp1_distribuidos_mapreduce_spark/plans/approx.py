@@ -644,6 +644,12 @@ def quantiles_from_dd_buckets(
     # full scans of the underlying source (r14 plan audit: 4 parquet
     # scans on the r13 shape). The frame is log-domain-bounded (≤ ~800
     # rows), so pinning it is ~free and the source scan happens ONCE.
+    # NOTE this makes the reader EAGER at construction time (ADVICE r14):
+    # building the DataFrame runs the sketch-build job immediately and
+    # pins the ≤800-row frame's blocks for the session. Deliberate — the
+    # reader's callers always materialize, and the pinned frame is tiny;
+    # a plan-inspection path that must stay lazy should call
+    # dd_value_buckets* directly.
     buckets = buckets.localCheckpoint()
     cum = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, -1)
     ranked = buckets.withColumn(

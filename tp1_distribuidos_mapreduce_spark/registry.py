@@ -137,577 +137,10 @@ _WINDOW: list[str] = [
     "weighted_p90_price",
 ]
 
-_WINDOW_R13: list[str] = [
-    # ---- round-13 window (exactly 50 names), rotated per VERDICT r12
-    # "Next round" #1: pay the driver-row freshness debt. After the r12
-    # rows, the oracled-query freshness map is r7×14, r8×36, r9×42,
-    # r11×41, r12×50; this window refreshes ALL 14 r7-era members (4
-    # recorded rounds stale) and reaches 20 deep into the r8 cohort,
-    # with new additions capped at 8 to free the slots. Composition,
-    # in order:
-    # 1) the 5 reference-parity pins (always);
-    # 2) the 3 queries whose CODE changed this round after their r12
-    #    greens: theil_sen_revenue_trend (medians now bucket-selected
-    #    via _selected_lower_median — no full-frame single-task sort),
-    #    quantity_price_spearman (fail-loud DECIMAL(38,0) headroom
-    #    guard), event_user_overlap (row-set convention now all
-    #    unordered type pairs incl. disjoint, the KMV twin's universe —
-    #    ADVICE r12);
-    # 3) the 6 round-13 additions (new-query-gets-a-row): the
-    #    binomial/effect-size pair wilson_ci_return_rate /
-    #    cohens_d_returned_price, the robust-center family
-    #    median_order_value_by_nation / winsorized_mean_price /
-    #    iqr_price_fences, and geomean_price_by_brand (canonical-order
-    #    log fold). Additions were capped BELOW VERDICT r12's ~10 to
-    #    free two more refresh slots — and two drafted TPC-H additions
-    #    (q5/q10) were dropped on review as near-duplicates of the
-    #    long-green q5_revenue_by_nation / returned_item_revenue;
-    # 4) ALL 14 r7-era stale members — the VERDICT r12 front-of-line
-    #    list, verbatim;
-    # 5) 22 of the 36 r8-era members, biased toward higher-risk shapes
-    #    (money/float arithmetic: nation_trade_flows,
-    #    daily_revenue_anomalies, trailing_30d_revenue,
-    #    trimmed_mean_price, mad_outliers, q17_small_qty_revenue,
-    #    q8_market_share, q13_custdist, source_gini,
-    #    copurchase_jaccard, bigram_perplexity, label_centroid_cosine,
-    #    nucleus_token_cut, trigram_novelty, source_quality_gates;
-    #    format/layout connectors: q1_from_orc,
-    #    weekday_orders_from_csv, latest_event_from_jsonl,
-    #    schema_evolution_census, table_diff; incremental/streaming:
-    #    incremental_agg_merge, rolling_7d_active_users). The 14
-    #    deferred r8 members (association_rules,
-    #    benchmark_contamination, bfs_distances,
-    #    cross_source_span_matrix, dedup_clusters, degree_distribution,
-    #    funnel_conversion, language_confusion, pareto_frontier_parts,
-    #    pii_scrub, prefix_duplicates, source_vocab_overlap,
-    #    user_state_islands, incremental_dedup_bloom) are lower-risk
-    #    integer/set shapes or pytest-pinned kernels, every one
-    #    differential-covered at sf0.001 each pytest run, at sf0.01
-    #    each driver-sim replay, and at sf0.1 in DIFFERENTIAL_r13.json
-    #    — they are r14's front of line with the 42-member r9 cohort.
-    "wc",
-    "wc_textfiles",
-    "ii",
-    "mr_wc",
-    "mr_ii",
-    # tier 2: code changed after their newest driver row (r13 changes)
-    "theil_sen_revenue_trend",
-    "quantity_price_spearman",
-    "event_user_overlap",
-    # tier 3: round-13 additions
-    "wilson_ci_return_rate",
-    "cohens_d_returned_price",
-    "median_order_value_by_nation",
-    "winsorized_mean_price",
-    "geomean_price_by_brand",
-    "iqr_price_fences",
-    # tier 4: the 14 r7-era stale members (VERDICT r12 #1, verbatim)
-    "large_quantity_orders",
-    "user_event_totals",
-    "supplier_part_variety",
-    "latest_event_per_user",
-    "tumbling_event_counts",
-    "stratified_sample",
-    "bitmap_distinct_users",
-    "event_gap_detection",
-    "language_id",
-    "sentence_stats",
-    "positional_index",
-    "phrase_search",
-    "chunk_documents",
-    "train_val_test_split",
-    # tier 5: 22 of the 36 r8-era members, higher-risk shapes first
-    "nation_trade_flows",
-    "daily_revenue_anomalies",
-    "trailing_30d_revenue",
-    "trimmed_mean_price",
-    "mad_outliers",
-    "q17_small_qty_revenue",
-    "q8_market_share",
-    "q13_custdist",
-    "source_gini",
-    "copurchase_jaccard",
-    "bigram_perplexity",
-    "label_centroid_cosine",
-    "nucleus_token_cut",
-    "q1_from_orc",
-    "weekday_orders_from_csv",
-    "latest_event_from_jsonl",
-    "schema_evolution_census",
-    "table_diff",
-    "incremental_agg_merge",
-    "rolling_7d_active_users",
-    "trigram_novelty",
-    "source_quality_gates",
-]
-
-_WINDOW_R12: list[str] = [
-    # ---- round-12 window (exactly 50 names), rotated per VERDICT r11
-    # "Next round" #1. With every oracled query green in
-    # union(r6..r9, r11), the drivers are (a) CODE-CHANGED re-proof and
-    # (b) the freshness invariant (no oracled query's newest green row
-    # older than 3 recorded rounds). Composition, in order:
-    # 1) the 5 reference-parity pins (always);
-    # 2) the 7 queries whose newest driver row predates their current
-    #    code: sessionize_events + max_concurrent_sessions (µs-exact
-    #    gap predicates + event_id tiebreak, a78ed61) and
-    #    fuzzy_part_match (Levenshtein CSE fix) changed in r11 AFTER
-    #    the r11 window was composed; nation_revenue_trend,
-    #    event_weekday_chi2, ks_returned_price, event_type_entropy
-    #    changed THIS round (decimal-headroom enforcement +
-    #    degenerate-table guards + entropy-oracle literal cast,
-    #    02ab641) so their r11 greens predate the code;
-    # 3) the 12 round-12 additions (new-query-gets-a-row):
-    #    rolling_28d_users_exact (the HLL sketch's oracle-checked exact
-    #    anchor), the stats two-sample/k-group family
-    #    welch_price_ttest / mannwhitney_quantity /
-    #    anova_price_by_priority, the Kaplan-Meier survival curve
-    #    kaplan_meier_repurchase, the Theil-Sen robust trend
-    #    theil_sen_revenue_trend, the mutual-information companion
-    #    event_weekday_mutual_info, the trend-inference and seasonal
-    #    members nation_trend_significance / weekday_seasonality_index,
-    #    the midrank Spearman quantity_price_spearman, the k-anonymity
-    #    privacy audit k_anonymity_census, and event_user_overlap (the
-    #    KMV sketch's exact twin); the last eight take the slots of
-    #    bitmap_distinct_users, event_gap_detection, language_id,
-    #    sentence_stats, positional_index, phrase_search,
-    #    chunk_documents and train_val_test_split, tier 5's lowest-risk
-    #    members (pure integer bitmap popcounts / integer lag
-    #    thresholds / deterministic string classification / integer
-    #    sentence counts / integer token-position arithmetic / the
-    #    digit-identical md5 split recipe — phrase_search's
-    #    sequence-reversal guard and chunk_documents' boundary geometry
-    #    are additionally pytest-pinned), code untouched since r7,
-    #    differential-covered, r13 front of line with the 6 deferred);
-    # 4) the 9 remaining r6-era stale rows — the displaced-members
-    #    backlog VERDICT r11 put first in line (token_stats,
-    #    skewed_distinct_users, dedup_exact, supplier_activity,
-    #    priorities_with_big_items, waiting_suppliers,
-    #    brand_type_vocabulary, customer_set_ops, order_priority_pivot;
-    #    sessionize_events, the tenth, is already in tier 2);
-    # 5) 17 of the 31 r7-era rows (3 recorded rounds stale — r7, r8,
-    #    r9, r11 — at the invariant's boundary), biased toward
-    #    higher-risk shapes: money/float arithmetic, layout/pruning,
-    #    streaming, text kernels. The 6 deferred members below (plus
-    #    the 2 displaced by tier 3's last two additions) are the
-    #    lowest-risk pure-integer shapes, code untouched since r7,
-    #    every one differential-covered at sf0.001 each pytest run and
-    #    sf0.01 each driver-sim replay, and first in line for r13:
-    #    large_quantity_orders, user_event_totals,
-    #    supplier_part_variety, latest_event_per_user,
-    #    tumbling_event_counts, stratified_sample.
-    "wc",
-    "wc_textfiles",
-    "ii",
-    "mr_wc",
-    "mr_ii",
-    # tier 2: code changed after their newest driver row
-    "sessionize_events",
-    "max_concurrent_sessions",
-    "fuzzy_part_match",
-    "nation_revenue_trend",
-    "event_weekday_chi2",
-    "ks_returned_price",
-    "event_type_entropy",
-    # tier 3: round-12 additions
-    "rolling_28d_users_exact",
-    "welch_price_ttest",
-    "mannwhitney_quantity",
-    "anova_price_by_priority",
-    "kaplan_meier_repurchase",
-    "theil_sen_revenue_trend",
-    "event_weekday_mutual_info",
-    "quantity_price_spearman",
-    "k_anonymity_census",
-    "nation_trend_significance",
-    "weekday_seasonality_index",
-    "event_user_overlap",
-    # tier 4: the r6-era displaced-members backlog
-    "token_stats",
-    "skewed_distinct_users",
-    "dedup_exact",
-    "supplier_activity",
-    "priorities_with_big_items",
-    "waiting_suppliers",
-    "brand_type_vocabulary",
-    "customer_set_ops",
-    "order_priority_pivot",
-    # tier 5: r7-era freshness rotation (17 of 31)
-    "bm25_top_terms",
-    "click_purchase_attribution",
-    "disjunctive_brand_revenue",
-    "merge_upsert_orders",
-    "partitioned_pruned_daily",
-    "parts_above_brand_avg",
-    "promo_revenue_by_month",
-    "repetition_stats",
-    "session_window_stats",
-    "shared_span_pairs",
-    "sliding_event_stats",
-    "stream_dedup_counts",
-    "stream_static_enrichment",
-    "text_quality",
-    "tfidf_top_terms",
-    "value_outliers",
-    "zorder_pruned_scan",
-]
-
-_WINDOW_R10: list[str] = [
-    # ---- round-11 adjustment: no CORRECTNESS_r10.json was recorded (the
-    # r10 driver correctness pass never ran), so the r10 composition below
-    # — parity pins + r10 additions/changes + the full r6-era backlog — is
-    # STILL the right priority order for r11 and is kept intact. The two
-    # round-11 additions (nation_revenue_trend, event_weekday_chi2 — the
-    # plans/stats.py grouped-OLS + chi-square family) take the slots of
-    # token_stats and skewed_distinct_users, the backlog's lowest-risk
-    # members (pure integer counting, zero float arithmetic, code
-    # untouched since their r6 greens; both stay covered by every pytest
-    # differential and the session driver-sim replay, and go to the front
-    # of the r12 line). The second r11 stats batch (brand_qty_price_corr,
-    # revenue_autocorrelation) likewise takes the slots of dedup_exact
-    # and supplier_activity (pure integer counting, code untouched since
-    # r6, same differential coverage, r12 front of line); the third
-    # (ks_returned_price, event_type_entropy, benford_price_audit)
-    # those of sessionize_events, priorities_with_big_items and
-    # waiting_suppliers on the same criterion.
-    # ---- round-10 window (exactly 50 names), rotated per VERDICT r9
-    # "Next round" #1: with every one of the 159 oracled queries green in
-    # union(r6..r9), the objective is FRESHNESS — no oracled query's
-    # newest driver row older than 3 rounds. Composition, in order:
-    # the 5 reference-parity pins (always); the 3 queries whose CODE or
-    # ORACLE changed this round (q15_top_supplier exact-cents rewrite,
-    # dedup_survivors struct-argmax + window-formulated oracle,
-    # dedup_jaccard_prefix PPJoin length+positional filters); the 3
-    # round-10 additions (rowdir_roundtrip / rowdir_time_travel /
-    # rowdir_pruned_scan — the write-side DataSource commit protocol,
-    # snapshot time travel, and zone-map file pruning, none of which
-    # ever had a driver row); then ALL 39 queries whose newest green row
-    # is r6-era (4 rounds stale — the entire staleness backlog fits this
-    # round). The r7-era rows (exactly 3 rounds fresh, the boundary the
-    # criterion allows) are the r11 backlog. Queries whose oracle
-    # CONSTRUCTION was refactored into parameterized builders with
-    # byte-identical rendered SQL at the registered defaults
-    # (detgen_bucket_stats, hard_negative_mining) are NOT counted as
-    # changed — both are r9-green and re-proven by this session's
-    # driver-sim replay. Rows-only queries stay excluded (their pins are
-    # the exact numpy/Python references in tests/ plus the determinism
-    # audit). Displaced r7/r8/r9-green members remain covered by the
-    # sf0.001 full differential every pytest run and the sf0.01
-    # driver-sim replay each session.
-    "wc",
-    "wc_textfiles",
-    "ii",
-    "mr_wc",
-    "mr_ii",
-    # code/oracle changed in round 10 → driver re-confirmation
-    "q15_top_supplier",
-    "dedup_survivors",
-    "dedup_jaccard_prefix",
-    # added in round 10 (new-query-gets-a-row); the second and third
-    # additions took the two slots the oldest r7-era rows
-    # (bitmap_distinct_users, bm25_top_terms) would have gotten — both
-    # exactly 3 rounds fresh, code-unchanged, differential-covered,
-    # while the snapshot/pruning contracts never had a driver row
-    "rowdir_roundtrip",
-    "rowdir_time_travel",
-    "rowdir_pruned_scan",
-    # added mid-round-10 (new-query-gets-a-row): the manifest-committed
-    # publish census — the snapshot-layout rework's driver gate. Its slot
-    # comes from brand_type_vocabulary, the backlog's lowest-risk member
-    # (pure string aggregation, zero float arithmetic, code untouched
-    # since its r6 green; it stays covered by every pytest differential
-    # and is first in line for the r11 window).
-    "published_events_census",
-    # added mid-round-10: the duration-weighted (TWAP) mean — a new
-    # aggregate class for event analytics. Slot from order_priority_pivot
-    # (integer-count pivot, zero float arithmetic, code untouched since
-    # its r6 green; next in line for the r11 window with
-    # brand_type_vocabulary).
-    "time_weighted_value",
-    # added mid-round-10: the recursive-CTE family (WITH RECURSIVE
-    # oracle). Slot from customer_set_ops (pure integer set ops, zero
-    # float risk, r11-window front of line with the other two displaced).
-    "subtree_rollup",
-    # the full r6-era staleness backlog (newest green row = r6)
-    "bloom_pruned_join",
-    "brand_stats_having",
-    "bucketed_colocated_join",
-    "cms_heavy_hitters",
-    "cube_order_status_priority",
-    "customer_order_gaps",
-    "daily_revenue_moving_avg",
-    "dedup_embedding_cosine",
-    "revenue_autocorrelation",
-    "dedup_ngram_jaccard",
-    "events_json_stats",
-    "hourly_event_gapfill",
-    "idle_customers_opportunity",
-    "knn_bruteforce",
-    "language_rebalance",
-    "monthly_order_stats",
-    "order_price_quantiles",
-    "order_value_deciles",
-    "event_type_entropy",
-    "purchase_asof_last_click",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "returned_item_revenue",
-    "rollup_lineitem_flags",
-    "ks_returned_price",
-    "event_weekday_chi2",
-    "sql_grouping_sets",
-    "sql_revenue_by_region",
-    "sql_top_balances_per_nation",
-    "brand_qty_price_corr",
-    "nation_revenue_trend",
-    "top_customers_per_nation",
-    "top_parts_by_revenue",
-    "benford_price_audit",
-    "weekday_order_stats",
-]
-
-_WINDOW_R9: list[str] = [
-    # ---- round-9 window (exactly 50 names), rotated per VERDICT r8
-    # "Next round" #1. Priorities, in order: the 5 reference-parity pins
-    # (always); the 20 oracled queries that had NEVER had a driver
-    # correctness row (union(r6..r8) missed them — with 159 registered
-    # and a 50-slot window they were repeatedly displaced; this round
-    # they all fit); the 5 queries whose CODE changed this round
-    # (weighted_median_price two-phase rewrite, triangle_count
-    # degree-ordered orientation, q4_order_priority timestamp-interval
-    # cutoff, stream_ivm_user_totals versioned-pointer exactly-once
-    # sink, weighted_token_sample zero-mass stride guard); then 20
-    # freshness rotations of rows green only in r6, biased toward the
-    # higher-risk shapes (layout/pruning, dedup/ANN kernels, skew,
-    # as-of/sessionize, ROLLUP/CUBE). Rows-only queries are EXCLUDED
-    # from the window entirely (VERDICT r8 #2): a driver row for them
-    # proves only "runs" (err: no_oracle) — their real pins are the
-    # exact numpy/Python references in tests/. The 20 r6-green
-    # code-unchanged queries left outside (plain single-aggregate /
-    # passthrough shapes) stay covered by the sf0.001 full differential
-    # every round and this session's sf0.01 driver-sim replay.
-    "wc",
-    "wc_textfiles",
-    "ii",
-    "mr_wc",
-    "mr_ii",
-    # never-driver-sampled oracled queries (VERDICT r8 missing #1 list)
-    "bpe_pair_counts",
-    "cohort_retention",
-    "corpus_card",
-    "customer_ltv_pareto",
-    "data_quality_checks",
-    "event_transition_matrix",
-    "market_basket_pairs",
-    "monthly_metrics_unpivot",
-    "numeric_histogram",
-    "open_orders_by_month",
-    "orders_yoy_growth",
-    "rfm_segmentation",
-    "sequence_packing",
-    "source_mix_weights",
-    "supplier_balance_percentiles",
-    "table_profile",
-    "top_event_paths",
-    "trigram_topk",
-    "url_domain_stats",
-    "views_before_purchase",
-    # code changed in round 9 → driver re-confirmation
-    "weighted_median_price",
-    "triangle_count",
-    "q4_order_priority",
-    "stream_ivm_user_totals",
-    "weighted_token_sample",
-    # freshness rotation: green only in r6, highest-risk shapes first
-    "corpus_curation",
-    # added in round 9 (new-query-gets-a-row; displaced the 7 lowest-risk
-    # rotation-tier members — order_value_deciles, q1_pricing_summary,
-    # sql_grouping_sets, rollup_lineitem_flags, cube_order_status_priority,
-    # language_rebalance, events_json_stats — all r6-green, code-unchanged,
-    # plain aggregate/passthrough shapes, still covered by the sf0.001
-    # differential every round and this session's sf0.01 driver-sim replay)
-    "type_widening_census",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    # round-9 batch 2 (new-query-gets-a-row; displaced bloom_pruned_join,
-    # hourly_event_gapfill, customer_order_gaps from the rotation tier —
-    # r6-green, code-unchanged, differential-covered)
-    "linear_attribution",
-    "repeat_purchase_intervals",
-    "dedup_survivors",
-    # round-9 batch 3 (new-query-gets-a-row; displaced cms_heavy_hitters —
-    # r6-green, code-unchanged, and its exactness is independently pinned
-    # by the sketch property tests)
-    "hard_negative_mining",
-    # round-9 batch 4 (new-query-gets-a-row; displaced sessionize_events —
-    # its islands sibling user_state_islands is r8-green and the new
-    # interval-attribution query exercises the same window shape — and
-    # knn_bruteforce, whose exact-cosine template hard_negative_mining
-    # re-proves this round)
-    "star_revenue_rollup",
-    "purchases_by_browsing_state",
-    # round-9 batch 5 (new-query-gets-a-row; displaced dedup_exact — its
-    # normalized sibling dedup_survivors holds a slot — and
-    # dedup_embedding_cosine — the embedding family is represented by
-    # hard_negative_mining this round and label_centroid_cosine in r8;
-    # both r6-green, code-unchanged, differential-covered)
-    "time_to_convert_stats",
-    "lang_fertility_stats",
-    # round-9 batch 6 (new-query-gets-a-row; displaced
-    # purchase_asof_last_click — r6-green, and its multi-touch sibling
-    # linear_attribution holds a fresh slot this round)
-    "detgen_bucket_stats",
-    # round-9 batch 7 (new-query-gets-a-row; displaced dedup_ngram_jaccard
-    # — green r7 per VERDICT r8, code-unchanged, and the dedup family holds
-    # fresh slots via dedup_survivors and dedup_clusters)
-    "props_variant_census",
-    # round-9 batch 8 (new-query-gets-a-row; displaced skewed_distinct_users
-    # — r6-green, code-unchanged, and the salted-skew machinery is
-    # independently property-pinned in tests/test_skew_and_plans.py)
-    "weighted_p90_price",
-    # round-9 batch 9 (new-query-gets-a-row; displaced
-    # bucketed_colocated_join — r6-green, its zero-Exchange plan is
-    # independently pinned in tests/test_bucketed.py and its layout
-    # artifacts run in every bench warmup)
-    "dedup_jaccard_prefix",
-]
-
-_WINDOW_R8: list[str] = [
-    # ---- round-8 window (kept for the displacement-audit trail), per
-    # "Next round" #3, then re-balanced mid-round-8 when 12 more queries
-    # landed. Priorities, in order: reference parity pinned first
-    # (always); pii_scrub (r7's only red row — oracle typing fixed, must
-    # re-prove green); knn_ivf_pq_persisted (never had a driver row);
-    # the 13 queries the r7 window displaced; every query whose CODE
-    # changed in the r7 tail (funnel_conversion single-job rewrite,
-    # incremental_dedup_bloom join-back removal, dedup_clusters
-    # pointer-jumping fallback, knn_lsh multi-probe); the 8 queries the
-    # r7 tail ADDED plus the 12 round-8 additions (new-query-gets-a-row
-    # rule — 9 oracle-backed + 3 numpy-pinned rows-only); then 6
-    # freshness rotations biased toward higher-risk shapes (pandas-UDF
-    # kernels, skew, layout, the avg-flake-history curation pair). With
-    # 117 registered queries and a 50-slot window, the remaining r6-green
-    # unchanged TPC-H classics / sql_* passthroughs / pytest-pinned IVF
-    # variants fall outside union(r7, r8) — the lowest-risk class, still
-    # covered by tests/test_relational.py's sf0.001 differential every
-    # round and by this session's driver-sim replay at sf0.01.
-    # reference parity (SURVEY §2: wc + ii, native, plugin, and raw-text)
-    "wc",
-    "wc_textfiles",
-    "ii",
-    "mr_wc",
-    "mr_ii",
-    # r7's one red row — retyped oracle, must show hash_match green
-    "pii_scrub",
-    # never driver-checked (added after the r7 window froze)
-    "knn_ivf_pq_persisted",
-    # the 13 queries displaced from the r7 window (VERDICT r7 list)
-    # code changed this round → driver re-confirmation
-    "funnel_conversion",
-    "incremental_dedup_bloom",
-    "dedup_clusters",
-    # added this round (8) — each lands with a driver row
-    "benchmark_contamination",
-    "weighted_median_price",
-    # added in round 8 (12) — each lands with a driver row
-    "rolling_7d_active_users",
-    "label_centroid_cosine",
-    "user_state_islands",
-    "source_vocab_overlap",
-    "daily_revenue_anomalies",
-    # added in round-8 batch 2 (6) — new-query-gets-a-row outranks both
-    # the freshness-rotation tier (dropped: bucketed_colocated_join,
-    # skewed_distinct_users, dedup_embedding_cosine, corpus_curation —
-    # all r6-green, re-checked by the per-session driver-sim replay) and
-    # the two most stable members of the displaced-13 list
-    # (q1_pricing_summary, dedup_exact — r6-green classics,
-    # code-unchanged, still differentially tested at sf0.001 every run).
-    # With 125 registered queries a 50-slot window cannot give union(r7,
-    # r8) full coverage; the cut keeps every row that is new, changed, or
-    # historically red inside the window.
-    "trigram_novelty",
-    # added in round-8 batch 3 (3) — same new-query-gets-a-row rule;
-    # displaced hourly_event_gapfill / customer_order_gaps /
-    # events_json_stats (r6-green, code-unchanged, sf0.001-differential
-    # covered) from the displaced-13 tier.
-    "mad_outliers",
-    "prefix_duplicates",
-    # added in round-8 batch 4 (2) — displaced sessionize_events /
-    # purchase_asof_last_click (same r6-green code-unchanged tier).
-    "nation_trade_flows",
-    # added in round-8 batch 5 (3) — displaced cohort_retention /
-    # top_event_paths / bloom_pruned_join (same r6-green tier).
-    "language_confusion",
-    "copurchase_jaccard",
-    "source_quality_gates",
-    # added in round-8 batch 6 (9) — all oracle-backed; displaced the
-    # four rows-only round-8 entries (embedding_pca / kmeans_clusters /
-    # pagerank_copurchase / image_phash_dupes — a driver row for a
-    # rows-only query only proves "runs"; their real pins are the numpy
-    # references in tests/), knn_lsh (same rows-only class, multi-probe
-    # recall pinned in pytest), three r6-green code-unchanged classics
-    # (dedup_ngram_jaccard, knn_bruteforce, cms_heavy_hitters), and the
-    # lowest-risk member of the batch-1 additions (open_orders_by_month,
-    # a plain month-bucketed aggregate) — all still covered by the
-    # sf0.001 differential and this session's sf0.01 driver-sim replay.
-    "q4_order_priority",
-    "q13_custdist",
-    "q17_small_qty_revenue",
-    "q8_market_share",
-    "fuzzy_part_match",
-    "max_concurrent_sessions",
-    "degree_distribution",
-    "triangle_count",
-    "weighted_token_sample",
-    # added in round-8 batch 7 (6) — new-query-gets-a-row; displaced six
-    # of the simplest-shape batch-1/2 profiling aggregates (corpus_card,
-    # table_profile, data_quality_checks, numeric_histogram,
-    # url_domain_stats, monthly_metrics_unpivot — all green in this
-    # session's sf0.01 driver-sim replay and the sf0.001 differential;
-    # plain single-aggregate shapes with the least cross-engine risk).
-    "bigram_perplexity",
-    "bpe_train_merges",
-    "bfs_distances",
-    "trimmed_mean_price",
-    "source_gini",
-    "cross_source_span_matrix",
-    # added in round-8 batch 8 (5) — new-query-gets-a-row; displaced
-    # five more simple-shape window/aggregate queries from batches 1-2
-    # (orders_yoy_growth, supplier_balance_percentiles,
-    # views_before_purchase, rfm_segmentation, customer_ltv_pareto —
-    # all green in this session's sf0.01 driver-sim replay and the
-    # sf0.001 differential).
-    "q1_from_orc",
-    "schema_evolution_census",
-    "association_rules",
-    "incremental_agg_merge",
-    "table_diff",
-    # added in round-8 batch 9 (3) — new-query-gets-a-row; displaced
-    # sequence_packing / trigram_topk / source_mix_weights (batch-1
-    # shapes, green in this session's sf0.01 driver-sim replay and the
-    # sf0.001 differential).
-    "pareto_frontier_parts",
-    "nucleus_token_cut",
-    "trailing_30d_revenue",
-    # added in round-8 batch 10 (2) — the CSV/JSONL connector parity
-    # queries (these proved out a real microsecond-truncation fix in
-    # files.py, so their driver row matters); displaced bpe_pair_counts
-    # (its iterative successor bpe_train_merges holds a slot) and
-    # event_transition_matrix (batch-1 shape, sim-replay green).
-    "weekday_orders_from_csv",
-    "latest_event_from_jsonl",
-    # added in round-8 batch 11 (1) — the streaming-IVM drain (a real
-    # availableNow foreachBatch fold, the only streaming-sink path with
-    # a driver-visible oracle row); displaced market_basket_pairs
-    # (batch-1 shape whose derived metrics successor association_rules
-    # holds a slot; sim-replay green).
-    "stream_ivm_user_totals",
-]
+# Historical windows: the r8/r9/r10/r12/r13 _WINDOW lists (and their
+# per-round rotation rationale) live in git history — see the round
+# closing commits (r13: 0503cb5, r14: 2b59de0) rather than retained
+# parallel lists an edit could land in by mistake (ADVICE r14).
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
