@@ -451,6 +451,44 @@ def _ref_hll_counts(rows: list, sf_dir: str) -> dict:
     }
 
 
+def _exact_types_and_distinct_users(sf_dir: str) -> tuple[int, int]:
+    import duckdb
+
+    con = duckdb.connect()
+    n_types, n_users = con.execute(
+        f"SELECT count(DISTINCT event_type), count(DISTINCT user_id)"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    con.close()
+    return n_types, n_users
+
+
+def _ref_merge_proof_factory(sigma: float, kind: str):
+    """Shared reference for the HLL/KMV merge proofs: ONE row, the
+    bit-identity flag true, n_sketches_merged == the exact type count,
+    and the merged estimate within 4σ of the exact global
+    COUNT(DISTINCT user_id) (HLL m=256 → σ≈6.5%; KMV K=256 → σ≈6.3%)."""
+
+    def check(rows: list, sf_dir: str) -> dict:
+        n_types, n_users = _exact_types_and_distinct_users(sf_dir)
+        ok = (
+            len(rows) == 1
+            and rows[0]["merge_matches_onebuild"]
+            and rows[0]["n_sketches_merged"] == n_types
+            and abs(rows[0]["approx_users"] - n_users) <= 4 * sigma * n_users
+        )
+        return {
+            "reference": f"merge flag + exact COUNT(DISTINCT) (DuckDB), "
+            f"4-sigma envelope ({kind})",
+            "rel_err": abs(rows[0]["approx_users"] - n_users) / n_users
+            if rows
+            else float("inf"),
+            "reference_match": bool(ok),
+        }
+
+    return check
+
+
 def _ref_gk_quantiles(rows: list, sf_dir: str) -> dict:
     """percentile_approx(accuracy=10000) is a rank sketch: the returned
     value must be an element whose rank is within ±(n/accuracy + 1) of
@@ -1142,6 +1180,10 @@ REFERENCE_CHECKS = {
     "ddsketch_quantiles_by_type": _ref_dd_by_type,
     "stream_ddsketch_by_type": _ref_dd_by_type,
     "ddsketch_merge_proof": _ref_dd_merge,
+    "hll_merge_proof": _ref_merge_proof_factory(1.04 / 256 ** 0.5, "HLL m=256"),
+    "kmv_merge_proof": _ref_merge_proof_factory(
+        1.0 / 255 ** 0.5, "KMV K=256"
+    ),
     "rolling_28d_users_hll": _ref_hll_rolling,
     "stream_hll_rolling_28d": _ref_hll_rolling,
     "kmv_event_user_overlap": _ref_kmv_overlap,

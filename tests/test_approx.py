@@ -81,6 +81,25 @@ def test_cms_heavy_hitters_exact_even_under_collisions(spark, duck):
     assert_df_matches_oracle(tiny, duck, CMS_HEAVY_HITTERS_ORACLE)
 
 
+def test_cms_grouped_exact_even_under_collisions(spark, duck):
+    """The grouped variant keeps the same exactness-under-collisions
+    law: the (source, word) composite keys share one counter space, and
+    a deliberately tiny 1×8 grid forces nearly every composite to
+    collide — the exact-verified output must still equal the plain
+    per-source HAVING query."""
+    from tp1_distribuidos_mapreduce_spark.plans.approx import (
+        CMS_HEAVY_HITTERS_BY_SOURCE_ORACLE,
+        cms_heavy_hitters_by_source,
+    )
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    from conftest import SF_SMOKE, assert_df_matches_oracle
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    tiny = cms_heavy_hitters_by_source(documents, threshold=50, depth=1, width=8)
+    assert_df_matches_oracle(tiny, duck, CMS_HEAVY_HITTERS_BY_SOURCE_ORACLE)
+
+
 def test_rolling_hll_within_error_envelope(spark, duck):
     """The merged-sketch rolling 28d distinct must track the EXACT
     rolling distinct within HLL's error envelope for m=256 (rsd 6.5%):
@@ -326,3 +345,59 @@ def test_ddsketch_merge_proof_all_flags_true_and_bit_identical(spark):
     for r in proof:
         assert r["n_rows"] == one[r["percent"]]["n_rows"]
         assert r["approx_value"] == one[r["percent"]]["approx_value"]
+
+
+def test_hll_and_kmv_merge_proofs_on_fixture(spark):
+    """The r15 merge proofs' own contracts on the fixture: ONE row each,
+    the bit-identity flag true (per-type sketches folded by max / by
+    union-truncate reproduce the independent one-build exactly),
+    n_sketches_merged == the type count, and the merged estimate within
+    the sketch's 4σ envelope of the exact global distinct-user count
+    (HLL m=256 → σ≈6.5%; KMV K=256 → σ≈6.3% — at fixture cardinality
+    KMV is unsaturated, so its estimate must be EXACT)."""
+    from pyspark.sql import functions as F2
+
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_types, n_users = ev.agg(
+        F2.countDistinct("event_type"), F2.countDistinct("user_id")
+    ).collect()[0]
+    hll = AX.hll_merge_proof(ev).collect()
+    kmv = AX.kmv_merge_proof(ev).collect()
+    for got, sigma in ((hll, 1.04 / 16), (kmv, 1 / 255 ** 0.5)):
+        assert len(got) == 1
+        assert got[0]["merge_matches_onebuild"]
+        assert got[0]["n_sketches_merged"] == n_types
+        assert abs(got[0]["approx_users"] - n_users) <= 4 * sigma * n_users
+    assert n_users < AX.KMV_K and kmv[0]["approx_users"] == n_users
+
+
+def test_merge_proofs_hold_when_sketches_saturated(spark):
+    """The merge laws where truncation actually bites: 60k users split
+    into two overlapping types, so every per-type bottom-K is SATURATED
+    (the union-truncate merge genuinely discards hashes) and the HLL
+    registers leave the linear-counting regime. Bit-identity flags must
+    still be true — the pigeonhole / max-merge laws are
+    saturation-independent — and estimates stay within 4σ of 60,000."""
+    from datetime import datetime
+
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+
+    ts = datetime(2024, 1, 1, 12, 0)
+    rows = [(u, "alpha") for u in range(0, 30_000)]
+    rows += [(u, "beta") for u in range(20_000, 60_000)]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "{}") for i, (u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    n_users = 60_000
+    hll = AX.hll_merge_proof(ev).collect()
+    kmv = AX.kmv_merge_proof(ev).collect()
+    for got, sigma in ((hll, 1.04 / 16), (kmv, 1 / 255 ** 0.5)):
+        assert len(got) == 1
+        assert got[0]["merge_matches_onebuild"], got
+        assert got[0]["n_sketches_merged"] == 2
+        assert abs(got[0]["approx_users"] - n_users) <= 4 * sigma * n_users, got

@@ -387,3 +387,31 @@ def test_ddsketch_grouped_scales_linearly(spark):
         r["merge_matches_onebuild"]
         for r in AX.ddsketch_merge_proof(big).collect()
     )
+
+
+def test_sketch_merge_proofs_scale_linearly(spark):
+    """The r15 merge proofs: both are two hash-aggregate sketch builds
+    plus a constant-size compare, so 10 verbatim copies of (event_type,
+    user_id) must cost ~linear. Verbatim duplication leaves the DISTINCT
+    user set per type unchanged, so the register arrays and bottom-K
+    arrays are IDENTICAL at 10× (HLL folding and bottom-K truncation are
+    idempotent under duplicates) — the whole proof row must be
+    bit-identical at both scales with flags true."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+
+    ev = load_table(spark, SF_BENCH, "events").select("event_type", "user_id")
+    copies_df = spark.range(COPIES).select(F.col("id").alias("cp"))
+    small = ev.localCheckpoint(eager=True)
+    big = (
+        ev.crossJoin(F.broadcast(copies_df)).drop("cp").localCheckpoint(
+            eager=True
+        )
+    )
+    results: list = []
+    _drill("hll_merge_proof", AX.hll_merge_proof, small, big, results)
+    _drill("kmv_merge_proof", AX.kmv_merge_proof, small, big, results)
+    for fn in (AX.hll_merge_proof, AX.kmv_merge_proof):
+        r1 = fn(small).collect()[0]
+        r10 = fn(big).collect()[0]
+        assert r1["merge_matches_onebuild"] and r10["merge_matches_onebuild"]
+        assert tuple(r1) == tuple(r10)  # duplicate-idempotent: identical

@@ -280,6 +280,8 @@ PYTHON_ALLOWED = {
                                            # build; merge/estimate are Catalyst
     "bpe_encode_stats",                    # Arrow-batched merge-fold encoder
                                            # over the distinct-word table
+    "hll_merge_proof",                     # the same Arrow-batched register
+                                           # build, keyed by type + constant
 }
 
 # Non-equi / cross joins allowed ONLY where the semantics are all-pairs by
@@ -289,6 +291,8 @@ NESTED_LOOP_ALLOWED = {
     "hourly_event_gapfill",  # hours × event_types calendar, both tiny
     "bloom_pruned_join",     # single-row broadcast of the 32 KB bloom bitmap
     "cms_heavy_hitters",     # single-row broadcast of the 64 KB CMS grid
+    "cms_heavy_hitters_by_source",  # same single-row grid broadcast,
+                                    # (source, word)-composite keys (r15)
     "idle_customers_opportunity",  # single-row broadcast scalar aggregate
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate
@@ -355,6 +359,9 @@ NESTED_LOOP_ALLOWED = {
     "event_value_quartiles_by_type",  # 3-row percent-spec broadcast
                                    # over the (type, cent)-cell
                                    # cumulative (r14)
+    "hll_merge_proof",             # 1-row broadcast of the independent
+                                   # one-build sketch (r15)
+    "kmv_merge_proof",             # same 1-row one-build broadcast (r15)
 }
 
 

@@ -51,90 +51,88 @@ _STREAM_Q_SEQ = itertools.count()
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
-    # ---- round-14 window (exactly 50 names), rotated per VERDICT r13
+    # ---- round-15 window (exactly 50 names), rotated per VERDICT r14
     # "Next round" #1: keep paying the freshness rotation. After the
-    # r13 rows the oracled freshness map is r8×14, r9×42, r11×41,
-    # r12×42, r13×50 — this window refreshes ALL 14 r8-era members
-    # (the VERDICT r13 front-of-line list, verbatim) and 29 of the 42
-    # r9-era members, with new oracled additions capped at 1 (the
-    # grouped-DDSketch exact twin; the sketch trio (grouped batch,
-    # merge proof, grouped streaming fold) is rows-only
-    # and never takes window slots). Composition, in order:
+    # r14 rows the oracled freshness map is r9×13, r11×41, r12×42,
+    # r13×44, r14×50 — this window refreshes ALL 13 deferred r9-era
+    # members (the VERDICT r14 front-of-line list, verbatim) and 31 of
+    # the 41 r11-era members, with new oracled additions capped at 1
+    # (the grouped CMS; the r15 HLL/KMV merge proofs are rows-only and
+    # never take window slots). Composition, in order:
     # 1) the 5 reference-parity pins (always);
-    # 2) the 1 query whose CODE changed this round after its r13
-    #    green: quantity_price_spearman (r14 centered-rank rewrite —
-    #    exact integer mean N+1 cancels the closing 4N⁴ products,
-    #    ceiling lifted 10⁹ → 4·10¹², guard now reachable past
-    #    overflow per ADVICE r13);
-    # 3) the 1 round-14 oracled addition:
-    #    event_value_quartiles_by_type (exact per-type ceil-rank
-    #    quartiles — the grouped DDSketch pair's oracle anchor);
-    # 4) ALL 14 r8-era stale members;
-    # 5) 29 of the 42 r9-era members, biased toward money/float,
-    #    connector/layout, and streaming shapes. The 13 deferred r9
-    #    members (bpe_pair_counts, event_transition_matrix,
-    #    hard_negative_mining, market_basket_pairs,
-    #    props_variant_census, purchases_by_browsing_state,
-    #    sequence_packing, top_event_paths, triangle_count,
-    #    trigram_topk, url_domain_stats, views_before_purchase,
-    #    weighted_token_sample) are integer-count/set shapes, every
+    # 2) no oracled query's code changed after its newest green row
+    #    this round (the r15 diff touches sketch rows-only paths and
+    #    adds new queries), so tier 2 is empty;
+    # 3) the 1 round-15 oracled addition: cms_heavy_hitters_by_source
+    #    (grouped count-min prune + exact per-source verify — the
+    #    frequency member's grouped story, VERDICT r14 #7);
+    # 4) ALL 13 deferred r9-era members;
+    # 5) 31 of the 41 r11-era members, higher-risk shapes first
+    #    (money/float arithmetic, rank/as-of/calendar windows, SQL-
+    #    authored oracles, connector/layout). The 10 deferred r11
+    #    members (bloom_pruned_join, brand_stats_having,
+    #    cms_heavy_hitters — its grouped successor holds the tier-3
+    #    slot —, dedup_embedding_cosine, dedup_jaccard_prefix,
+    #    dedup_ngram_jaccard, dedup_survivors, knn_bruteforce,
+    #    language_rebalance, published_events_census) are exact
+    #    integer/set shapes or reference-tier-pinned kernels, every
     #    one differential-covered at sf0.001 each pytest run, at
     #    sf0.01 each driver-sim replay, and at sf0.1 in
-    #    DIFFERENTIAL_r14.json — they are r15's front of line.
+    #    DIFFERENTIAL_r15.json — they are r16's front of line with
+    #    the r12 cohort.
     "wc",
     "wc_textfiles",
     "ii",
     "mr_wc",
     "mr_ii",
-    # tier 2: code changed after its newest driver row (r14 change)
-    "quantity_price_spearman",
-    # tier 3: round-14 oracled addition
-    "event_value_quartiles_by_type",
-    # tier 4: the 14 r8-era stale members (VERDICT r13 #1, verbatim)
-    "association_rules",
-    "benchmark_contamination",
-    "bfs_distances",
-    "cross_source_span_matrix",
-    "dedup_clusters",
-    "degree_distribution",
-    "funnel_conversion",
-    "incremental_dedup_bloom",
-    "language_confusion",
-    "pareto_frontier_parts",
-    "pii_scrub",
-    "prefix_duplicates",
-    "source_vocab_overlap",
-    "user_state_islands",
-    # tier 5: 29 of the 42 r9-era members, higher-risk shapes first
-    "cohort_retention",
-    "corpus_card",
-    "corpus_curation",
-    "customer_ltv_pareto",
-    "data_quality_checks",
-    "detgen_bucket_stats",
-    "lang_fertility_stats",
-    "linear_attribution",
-    "monthly_metrics_unpivot",
-    "numeric_histogram",
-    "open_orders_by_month",
-    "orders_yoy_growth",
-    "q14_promo_effect",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "repeat_purchase_intervals",
-    "rfm_segmentation",
-    "source_mix_weights",
-    "star_revenue_rollup",
-    "stream_ivm_user_totals",
-    "supplier_balance_percentiles",
-    "table_profile",
-    "time_to_convert_stats",
-    "type_widening_census",
-    "weighted_median_price",
-    "weighted_p90_price",
+    # tier 3: round-15 oracled addition
+    "cms_heavy_hitters_by_source",
+    # tier 4: the 13 deferred r9-era members (VERDICT r14 #1, verbatim)
+    "bpe_pair_counts",
+    "event_transition_matrix",
+    "hard_negative_mining",
+    "market_basket_pairs",
+    "props_variant_census",
+    "purchases_by_browsing_state",
+    "sequence_packing",
+    "top_event_paths",
+    "triangle_count",
+    "trigram_topk",
+    "url_domain_stats",
+    "views_before_purchase",
+    "weighted_token_sample",
+    # tier 5: 31 of the 41 r11-era members, higher-risk shapes first
+    "benford_price_audit",
+    "brand_qty_price_corr",
+    "daily_revenue_moving_avg",
+    "monthly_order_stats",
+    "order_price_quantiles",
+    "order_value_deciles",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "returned_item_revenue",
+    "revenue_autocorrelation",
+    "time_weighted_value",
+    "top_parts_by_revenue",
+    "weekday_order_stats",
+    "idle_customers_opportunity",
+    "customer_order_gaps",
+    "hourly_event_gapfill",
+    "purchase_asof_last_click",
+    "top_customers_per_nation",
+    "sql_revenue_by_region",
+    "sql_top_balances_per_nation",
+    "sql_grouping_sets",
+    "cube_order_status_priority",
+    "rollup_lineitem_flags",
+    "subtree_rollup",
+    "rowdir_pruned_scan",
+    "rowdir_roundtrip",
+    "rowdir_time_travel",
+    "bucketed_colocated_join",
+    "events_json_stats",
 ]
 
 # Historical windows: the r8/r9/r10/r12/r13 _WINDOW lists (and their
@@ -693,6 +691,19 @@ def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("cms_heavy_hitters", oracle=AX.CMS_HEAVY_HITTERS_ORACLE)
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AX.cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cms_heavy_hitters_by_source", oracle=AX.CMS_HEAVY_HITTERS_BY_SOURCE_ORACLE
+)
+def q_cms_heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED CMS heavy hitters (plans/approx.py, VERDICT r14 #7):
+    per-source words with exact count >= 50, found via ONE fixed-size
+    count-min sketch keyed by the (source, word) composite — the grouped
+    story for the frequency member. Overestimate-only pruning keeps the
+    answer EXACT, so this carries a full DuckDB oracle (per-source word
+    count with HAVING) like its global anchor cms_heavy_hitters."""
+    return AX.cms_heavy_hitters_by_source(load_table(spark, sf_dir, "documents"))
 
 
 @register("bitmap_distinct_users", oracle=AX.BITMAP_DISTINCT_ORACLE)
@@ -2469,3 +2480,28 @@ def q_ddsketch_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded by addition). Rows-only; every merge_matches_onebuild flag
     must be true (also pinned in tests/test_approx.py)."""
     return AX.ddsketch_merge_proof(load_table(spark, sf_dir, "events"))
+
+
+@register("hll_merge_proof")
+def q_hll_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL merge proof (plans/approx.py, VERDICT r14 #3): per-event-type
+    register sketches max-merged must reproduce an INDEPENDENTLY built
+    global sketch's registers AND estimate bit-identically — register
+    max-merge is idempotent (replay-safe without a fence), the contrast
+    to the DD fold's additive merge. Rows-only; one row whose
+    merge_matches_onebuild flag must be true (pinned in
+    tests/test_approx.py; estimate enveloped vs exact COUNT(DISTINCT)
+    in differential.py)."""
+    return AX.hll_merge_proof(load_table(spark, sf_dir, "events"))
+
+
+@register("kmv_merge_proof")
+def q_kmv_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV merge proof (plans/approx.py, VERDICT r14 #3): per-event-type
+    bottom-K sketches union-truncate-merged must reproduce an
+    INDEPENDENTLY built global bottom-K bit-identically (the
+    order-statistics pigeonhole: every global bottom-K hash is in its
+    type's bottom-K). Rows-only; one row whose merge_matches_onebuild
+    flag must be true (pinned in tests/test_approx.py; estimate
+    enveloped vs exact COUNT(DISTINCT) in differential.py)."""
+    return AX.kmv_merge_proof(load_table(spark, sf_dir, "events"))
