@@ -489,6 +489,74 @@ def _ref_merge_proof_factory(sigma: float, kind: str):
     return check
 
 
+def _ref_cms_merge(rows: list, sf_dir: str) -> dict:
+    """Merge flag + the EXACT identity: each token occurrence lands in
+    exactly one cell per depth row, so total_count == CMS_DEPTH × the
+    exact corpus token count (DuckDB, the wc oracle's own tokenizer);
+    n_cells is bounded by the grid."""
+    import duckdb
+
+    from tp1_distribuidos_mapreduce_spark.plans.approx import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    con = duckdb.connect()
+    n_tokens = con.execute(
+        rf"""SELECT count(*) FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^\p{{L}}]+')) AS w
+          FROM '{sf_dir}/documents.parquet') WHERE w <> ''"""
+    ).fetchone()[0]
+    con.close()
+    ok = (
+        len(rows) == 1
+        and rows[0]["merge_matches_onebuild"]
+        and rows[0]["total_count"] == CMS_DEPTH * n_tokens
+        and rows[0]["n_cells"] <= CMS_DEPTH * CMS_WIDTH
+    )
+    return {
+        "reference": "merge flag + exact token-count identity "
+        "(total_count == depth × DuckDB corpus tokens)",
+        "n_tokens_exact": n_tokens,
+        "reference_match": bool(ok),
+    }
+
+
+def _ref_bloom_merge(rows: list, sf_dir: str) -> dict:
+    """Merge flag + occupancy envelope: for n exact distinct keys
+    (DuckDB) and K = N_HASHES·n uniform bit draws into M_BITS, the
+    expected popcount is m·(1−(1−1/m)^K); xxhash64's quasi-uniform
+    allocation concentrates within a fraction of a percent of it, so a
+    1%-of-m band catches any systematic build error (dropped keys,
+    wrong seed fan-out) while never flaking. Also pins popcount ≤ K
+    (each key sets at most N_HASHES bits) and n_words ≤ M_BITS/64."""
+    import duckdb
+
+    from tp1_distribuidos_mapreduce_spark.plans.bloom import M_BITS, N_HASHES
+
+    con = duckdb.connect()
+    n_keys = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    con.close()
+    expected = M_BITS * (1.0 - (1.0 - 1.0 / M_BITS) ** (N_HASHES * n_keys))
+    got = rows[0] if rows else {}
+    ok = (
+        len(rows) == 1
+        and got["merge_matches_onebuild"]
+        and got["n_set_bits"] <= N_HASHES * n_keys
+        and abs(got["n_set_bits"] - expected) <= 0.01 * M_BITS
+        and got["n_words"] <= M_BITS // 64
+    )
+    return {
+        "reference": "merge flag + expected-occupancy envelope vs exact "
+        "COUNT(DISTINCT) (DuckDB), 1%-of-m band",
+        "expected_set_bits": round(expected, 1),
+        "got_set_bits": got.get("n_set_bits"),
+        "reference_match": bool(ok),
+    }
+
+
 def _ref_gk_quantiles(rows: list, sf_dir: str) -> dict:
     """percentile_approx(accuracy=10000) is a rank sketch: the returned
     value must be an element whose rank is within ±(n/accuracy + 1) of
@@ -1184,6 +1252,8 @@ REFERENCE_CHECKS = {
     "kmv_merge_proof": _ref_merge_proof_factory(
         1.0 / 255 ** 0.5, "KMV K=256"
     ),
+    "cms_merge_proof": _ref_cms_merge,
+    "bloom_merge_proof": _ref_bloom_merge,
     "rolling_28d_users_hll": _ref_hll_rolling,
     "stream_hll_rolling_28d": _ref_hll_rolling,
     "kmv_event_user_overlap": _ref_kmv_overlap,

@@ -374,6 +374,42 @@ def test_hll_and_kmv_merge_proofs_on_fixture(spark):
     assert n_users < AX.KMV_K and kmv[0]["approx_users"] == n_users
 
 
+def test_cms_and_bloom_merge_proofs_on_fixture(spark):
+    """The additive (CMS) and OR (Bloom) merge proofs on the fixture:
+    ONE row each, flag true, and the exact structural identities —
+    CMS total_count == depth × the corpus token count (each occurrence
+    lands in exactly one cell per depth row); Bloom popcount ≤
+    N_HASHES × distinct keys with equality exactly when no two (key,
+    seed) draws collide (true at fixture cardinality: 15 users × 5
+    hashes into 2^18 bits)."""
+    from pyspark.sql import functions as F2
+
+    from tp1_distribuidos_mapreduce_spark.functions.tokenize import words_from
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.plans import bloom as BL
+    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_tokens = words_from(docs, "text").count()
+    n_sources = docs.select("source").distinct().count()
+    n_types, n_users = ev.agg(
+        F2.countDistinct("event_type"), F2.countDistinct("user_id")
+    ).collect()[0]
+
+    cms = AX.cms_merge_proof(docs).collect()
+    assert len(cms) == 1 and cms[0]["merge_matches_onebuild"]
+    assert cms[0]["n_sketches_merged"] == n_sources
+    assert cms[0]["total_count"] == AX.CMS_DEPTH * n_tokens
+    assert cms[0]["n_cells"] <= AX.CMS_DEPTH * AX.CMS_WIDTH
+
+    blm = BL.bloom_merge_proof(ev).collect()
+    assert len(blm) == 1 and blm[0]["merge_matches_onebuild"]
+    assert blm[0]["n_sketches_merged"] == n_types
+    assert blm[0]["n_set_bits"] == BL.N_HASHES * n_users  # no collisions
+    assert blm[0]["n_words"] <= BL.M_BITS // 64
+
+
 def test_merge_proofs_hold_when_sketches_saturated(spark):
     """The merge laws where truncation actually bites: 6k users split
     into two overlapping types, so every per-type bottom-K is SATURATED

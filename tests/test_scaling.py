@@ -410,8 +410,27 @@ def test_sketch_merge_proofs_scale_linearly(spark):
     results: list = []
     _drill("hll_merge_proof", AX.hll_merge_proof, small, big, results)
     _drill("kmv_merge_proof", AX.kmv_merge_proof, small, big, results)
-    for fn in (AX.hll_merge_proof, AX.kmv_merge_proof):
+    from tp1_distribuidos_mapreduce_spark.plans import bloom as BL
+
+    _drill("bloom_merge_proof", BL.bloom_merge_proof, small, big, results)
+    for fn in (AX.hll_merge_proof, AX.kmv_merge_proof, BL.bloom_merge_proof):
         r1 = fn(small).collect()[0]
         r10 = fn(big).collect()[0]
         assert r1["merge_matches_onebuild"] and r10["merge_matches_onebuild"]
         assert tuple(r1) == tuple(r10)  # duplicate-idempotent: identical
+    # the ADDITIVE member drills on documents: verbatim ×10 copies
+    # multiply every cell count (and so total_count) exactly ×10 while
+    # the cell SET — and the merge flag — is unchanged
+    docs = load_table(spark, SF_BENCH, "documents")
+    d_small = docs.localCheckpoint(eager=True)
+    d_big = (
+        docs.crossJoin(F.broadcast(copies_df))
+        .drop("cp")
+        .localCheckpoint(eager=True)
+    )
+    _drill("cms_merge_proof", AX.cms_merge_proof, d_small, d_big, results)
+    c1 = AX.cms_merge_proof(d_small).collect()[0]
+    c10 = AX.cms_merge_proof(d_big).collect()[0]
+    assert c1["merge_matches_onebuild"] and c10["merge_matches_onebuild"]
+    assert c10["n_cells"] == c1["n_cells"]
+    assert c10["total_count"] == COPIES * c1["total_count"]

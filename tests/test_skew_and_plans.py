@@ -362,6 +362,9 @@ NESTED_LOOP_ALLOWED = {
     "hll_merge_proof",             # 1-row broadcast of the independent
                                    # one-build sketch (r15)
     "kmv_merge_proof",             # same 1-row one-build broadcast (r15)
+    "cms_merge_proof",             # 1-row broadcast group-count tally
+                                   # over the 1-row compare frame (r15)
+    "bloom_merge_proof",           # same two-1-row-tallies cross (r15)
 }
 
 

@@ -294,6 +294,80 @@ ORDER BY source, word
 """
 
 
+def _cms_cell_structs(key, depth: int, width: int):
+    """The depth hash positions of a sketch key as an array of (d, pos)
+    structs, ready to explode — shared by the global/grouped builds and
+    the merge proof so a geometry edit can't desynchronize them."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).alias("pos"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_merge_proof(
+    documents: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """End-to-end MERGEABILITY proof for the frequency sketch (r15,
+    completing the family: DD additive, HLL max, KMV union-truncate,
+    CMS additive, Bloom OR): per-SOURCE count-min cell tables of the
+    word stream are MERGED by per-(d, pos) count addition — CMS cells
+    are additive like DD buckets, so a streaming fold of this sketch
+    would need the same batch-id fence, unlike the idempotent HLL/KMV/
+    Bloom folds — and compared cell-for-cell against an INDEPENDENTLY
+    built global sketch (a second tokenize scan with no group key,
+    sharing no plan nodes). Rows: ONE (n_sketches_merged, n_cells,
+    total_count, merge_matches_onebuild); the flag requires every cell
+    count identical in a full-outer compare. total_count carries an
+    EXACT cross-engine identity — each token occurrence lands in
+    exactly one cell per depth row, so total_count = depth × the exact
+    corpus token count (the differential's reference). At 100 TB this
+    is how per-slice frequency sketches fold: depth×width bounded cell
+    frames summed per cell, never the vocabulary crossing the wire."""
+    from ..functions.tokenize import words_from
+
+    by_source = (
+        words_from(documents, "text", "source")
+        .select(
+            "source", F.explode(_cms_cell_structs(F.col("word"), depth, width)).alias("c")
+        )
+        .groupBy("source", F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    merged = by_source.groupBy("d", "pos").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    n_sources = by_source.agg(
+        F.countDistinct("source").cast("long").alias("n_sketches_merged")
+    )
+    onebuild = (
+        words_from(documents, "text")
+        .select(F.explode(_cms_cell_structs(F.col("word"), depth, width)).alias("c"))
+        .groupBy(F.col("c.d").alias("d2"), F.col("c.pos").alias("pos2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    )
+    cmp = merged.join(
+        onebuild,
+        (merged["d"] == onebuild["d2"]) & (merged["pos"] == onebuild["pos2"]),
+        "full_outer",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("total_count"),
+        F.every(
+            F.col("d").isNotNull()
+            & F.col("d2").isNotNull()
+            & (F.col("n") == F.col("n2"))
+        ).alias("merge_matches_onebuild"),
+    )
+    return F.broadcast(n_sources).crossJoin(cmp).select(
+        "n_sketches_merged", "n_cells", "total_count", "merge_matches_onebuild"
+    )
+
+
 HLL_M = 256  # registers (b=8 bucket bits) → rsd ≈ 1.04/√256 = 6.5%
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 ROLLING_HLL_DAYS = 28

@@ -37,33 +37,84 @@ def _probe(key: F.Column, seed: int) -> F.Column:
     return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(M_BITS))
 
 
-def build_bloom_bitmap(keys: DataFrame, key_col: str) -> list[int]:
-    """Aggregate the key set into a dense Bloom bit array, JVM-side.
-
-    Each key contributes N_HASHES bit positions; positions group into
-    64-bit words via bit_or — one shuffle whose cardinality is bounded by
-    M_BITS/64 = 4,096 words, NEVER by the key count. The driver collect is
-    likewise bitmap-bounded (same contract as knn_ivf's fixed training
-    sample: a constant-size driver transfer, not a data-sized one).
-    """
-    words = (
+def _bloom_words(keys: DataFrame, key_col: str, *group_cols: str) -> DataFrame:
+    """The Bloom filter as a sparse (word, bits) TABLE, optionally keyed
+    by ``group_cols`` (one filter per group). Each key contributes
+    N_HASHES bit positions; positions group into 64-bit words via bit_or
+    — one shuffle whose cardinality is bounded by groups × M_BITS/64 =
+    4,096 words, NEVER by the key count. bit_or is associative,
+    commutative, and IDEMPOTENT, so per-group word tables OR-merged
+    reproduce the global table exactly (bloom_merge_proof pins it)."""
+    return (
         keys.select(
+            *group_cols,
             F.explode(
                 F.array(*[_probe(F.col(key_col), i) for i in range(N_HASHES)])
-            ).alias("pos")
+            ).alias("pos"),
         )
         .select(
+            *group_cols,
             F.floor(F.col("pos") / 64).cast("int").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
         )
-        .groupBy("word")
+        .groupBy(*group_cols, "word")
         .agg(F.bit_or("bit").alias("bits"))
-        .collect()
     )
+
+
+def build_bloom_bitmap(keys: DataFrame, key_col: str) -> list[int]:
+    """Aggregate the key set into a dense Bloom bit array, JVM-side.
+
+    The driver collect is bitmap-bounded (same contract as knn_ivf's
+    fixed training sample: a constant-size driver transfer, not a
+    data-sized one).
+    """
+    words = _bloom_words(keys, key_col).collect()
     bitmap = [0] * (M_BITS // 64)
     for r in words:
         bitmap[r["word"]] = r["bits"]
     return bitmap
+
+
+def bloom_merge_proof(events: DataFrame) -> DataFrame:
+    """End-to-end MERGEABILITY proof for the membership sketch (r15,
+    completing the family: DD additive, HLL max, KMV union-truncate,
+    CMS additive, Bloom OR): per-event-type Bloom word tables over the
+    user-id key set are OR-MERGED — bit_or is idempotent, so like
+    HLL/KMV (and unlike the DD/CMS additive folds) a replayed partial
+    changes nothing — and compared word-for-word against an
+    INDEPENDENTLY built global filter (a second scan with no group key,
+    sharing no plan nodes). Rows: ONE (n_sketches_merged, n_words,
+    n_set_bits, merge_matches_onebuild); the flag requires every 64-bit
+    word identical in a full-outer compare (a word present on one side
+    only fails). n_set_bits is the popcount the differential's
+    occupancy-envelope reference checks against the exact distinct-key
+    count. At 100 TB this is how join-pruning filters are built:
+    per-slice word tables folded by OR, ≤ 4,096 words per group
+    crossing the wire."""
+    keyed = events.select("event_type", "user_id")
+    typed = _bloom_words(keyed, "user_id", "event_type")
+    merged = typed.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    n_types = typed.agg(
+        F.countDistinct("event_type").cast("long").alias("n_sketches_merged")
+    )
+    onebuild = _bloom_words(events.select("user_id"), "user_id").select(
+        F.col("word").alias("word2"), F.col("bits").alias("bits2")
+    )
+    cmp = merged.join(
+        onebuild, merged["word"] == onebuild["word2"], "full_outer"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.bit_count("bits")).cast("long").alias("n_set_bits"),
+        F.every(
+            F.col("word").isNotNull()
+            & F.col("word2").isNotNull()
+            & (F.col("bits") == F.col("bits2"))
+        ).alias("merge_matches_onebuild"),
+    )
+    return F.broadcast(n_types).crossJoin(cmp).select(
+        "n_sketches_merged", "n_words", "n_set_bits", "merge_matches_onebuild"
+    )
 
 
 def bloom_prune(fact: DataFrame, key_col: str, bitmap: list[int]) -> DataFrame:

@@ -2505,3 +2505,29 @@ def q_kmv_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag must be true (pinned in tests/test_approx.py; estimate
     enveloped vs exact COUNT(DISTINCT) in differential.py)."""
     return AX.kmv_merge_proof(load_table(spark, sf_dir, "events"))
+
+
+@register("cms_merge_proof")
+def q_cms_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS merge proof (plans/approx.py, r15): per-source count-min cell
+    tables summed per (d, pos) must reproduce an INDEPENDENTLY built
+    global sketch cell-for-cell (additive merge, the DD law for the
+    frequency member). Rows-only; one row whose merge_matches_onebuild
+    flag must be true, and whose total_count carries the exact identity
+    depth × corpus token count (checked vs DuckDB in differential.py;
+    pinned in tests/test_approx.py)."""
+    return AX.cms_merge_proof(load_table(spark, sf_dir, "documents"))
+
+
+@register("bloom_merge_proof")
+def q_bloom_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom merge proof (plans/bloom.py, r15): per-event-type Bloom
+    word tables OR-merged must reproduce an INDEPENDENTLY built global
+    filter word-for-word (bit_or is idempotent — replay-safe like
+    HLL/KMV, unlike the additive DD/CMS folds). Completes the
+    mergeable-sketch family's end-to-end merge proofs: DD additive,
+    HLL max, KMV union-truncate, CMS additive, Bloom OR. Rows-only;
+    one row whose merge_matches_onebuild flag must be true (pinned in
+    tests/test_approx.py; popcount occupancy enveloped vs exact
+    COUNT(DISTINCT) in differential.py)."""
+    return B.bloom_merge_proof(load_table(spark, sf_dir, "events"))
