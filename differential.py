@@ -540,7 +540,8 @@ def _ref_bloom_merge(rows: list, sf_dir: str) -> dict:
     ).fetchone()[0]
     con.close()
     expected = M_BITS * (1.0 - (1.0 - 1.0 / M_BITS) ** (N_HASHES * n_keys))
-    got = rows[0] if rows else {}
+    # pyspark Row has no .get — go through a plain dict
+    got = rows[0].asDict() if rows else {}
     ok = (
         len(rows) == 1
         and got["merge_matches_onebuild"]
