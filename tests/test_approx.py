@@ -327,87 +327,101 @@ def test_ddsketch_by_type_within_alpha_of_exact_per_group(spark):
         assert r["exact_value"] == cents[rank - 1] / 100.0
 
 
-def test_ddsketch_merge_proof_all_flags_true_and_bit_identical(spark):
+def test_ddsketch_merge_proof_all_flags_true_and_bit_identical(
+    rows_only_results,
+):
     """The merge-proof query's own contract: every per-percent flag is
     true, and its (percent, n_rows, approx_value) triples equal the
     one-shot global build's EXACTLY — per-type builds folded by count
-    addition reproduce the global sketch bit-identically."""
+    addition reproduce the global sketch bit-identically. Consumes the
+    pooled rows_only_results collections (r15 suite-time consolidation);
+    tuple positions are the queries' declared column orders."""
     from tp1_distribuidos_mapreduce_spark.plans import approx as AX
-    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
 
-    ev = load_table(spark, SF_SMOKE, "events")
-    proof = AX.ddsketch_merge_proof(ev).collect()
+    proof, _ = rows_only_results["ddsketch_merge_proof"]
+    one_rows, _ = rows_only_results["ddsketch_event_quantiles"]
+    assert not isinstance(proof, str), proof
+    assert not isinstance(one_rows, str), one_rows
+    # columns: (percent, n_rows, approx_value, merge_matches_onebuild)
     assert len(proof) == len(AX.DD_PERCENTS)
-    assert all(r["merge_matches_onebuild"] for r in proof)
-    one = {
-        r["percent"]: r for r in AX.ddsketch_event_quantiles(ev).collect()
-    }
-    for r in proof:
-        assert r["n_rows"] == one[r["percent"]]["n_rows"]
-        assert r["approx_value"] == one[r["percent"]]["approx_value"]
+    assert all(r[3] for r in proof)
+    one = {r[0]: r for r in one_rows}  # (percent, n_rows, approx_value)
+    for pct, n_rows, approx, _flag in proof:
+        assert n_rows == one[pct][1]
+        assert approx == one[pct][2]
 
 
-def test_hll_and_kmv_merge_proofs_on_fixture(spark):
+def test_hll_and_kmv_merge_proofs_on_fixture(rows_only_results, duck):
     """The r15 merge proofs' own contracts on the fixture: ONE row each,
     the bit-identity flag true (per-type sketches folded by max / by
     union-truncate reproduce the independent one-build exactly),
     n_sketches_merged == the type count, and the merged estimate within
     the sketch's 4σ envelope of the exact global distinct-user count
     (HLL m=256 → σ≈6.5%; KMV K=256 → σ≈6.3% — at fixture cardinality
-    KMV is unsaturated, so its estimate must be EXACT)."""
-    from pyspark.sql import functions as F2
-
+    KMV is unsaturated, so its estimate must be EXACT). Exact counts
+    come from DuckDB; Spark rows from the pooled fixture."""
     from tp1_distribuidos_mapreduce_spark.plans import approx as AX
-    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
 
-    ev = load_table(spark, SF_SMOKE, "events")
-    n_types, n_users = ev.agg(
-        F2.countDistinct("event_type"), F2.countDistinct("user_id")
-    ).collect()[0]
-    hll = AX.hll_merge_proof(ev).collect()
-    kmv = AX.kmv_merge_proof(ev).collect()
-    for got, sigma in ((hll, 1.04 / 16), (kmv, 1 / 255 ** 0.5)):
+    n_types, n_users = duck.execute(
+        "SELECT count(DISTINCT event_type), count(DISTINCT user_id)"
+        " FROM events"
+    ).fetchone()
+    # columns: (n_sketches_merged, approx_users, merge_matches_onebuild)
+    for name, sigma in (
+        ("hll_merge_proof", 1.04 / 16),
+        ("kmv_merge_proof", 1 / 255 ** 0.5),
+    ):
+        got, _ = rows_only_results[name]
+        assert not isinstance(got, str), got
         assert len(got) == 1
-        assert got[0]["merge_matches_onebuild"]
-        assert got[0]["n_sketches_merged"] == n_types
-        assert abs(got[0]["approx_users"] - n_users) <= 4 * sigma * n_users
-    assert n_users < AX.KMV_K and kmv[0]["approx_users"] == n_users
+        n_merged, approx_users, flag = got[0]
+        assert flag
+        assert n_merged == n_types
+        assert abs(approx_users - n_users) <= 4 * sigma * n_users
+    kmv, _ = rows_only_results["kmv_merge_proof"]
+    assert n_users < AX.KMV_K and kmv[0][1] == n_users
 
 
-def test_cms_and_bloom_merge_proofs_on_fixture(spark):
+def test_cms_and_bloom_merge_proofs_on_fixture(rows_only_results, duck):
     """The additive (CMS) and OR (Bloom) merge proofs on the fixture:
     ONE row each, flag true, and the exact structural identities —
     CMS total_count == depth × the corpus token count (each occurrence
     lands in exactly one cell per depth row); Bloom popcount ≤
     N_HASHES × distinct keys with equality exactly when no two (key,
     seed) draws collide (true at fixture cardinality: 15 users × 5
-    hashes into 2^18 bits)."""
-    from pyspark.sql import functions as F2
-
-    from tp1_distribuidos_mapreduce_spark.functions.tokenize import words_from
+    hashes into 2^18 bits). Exact counts from DuckDB (the wc oracle's
+    own tokenizer); Spark rows from the pooled fixture."""
     from tp1_distribuidos_mapreduce_spark.plans import approx as AX
     from tp1_distribuidos_mapreduce_spark.plans import bloom as BL
-    from tp1_distribuidos_mapreduce_spark.sources.tables import load_table
 
-    docs = load_table(spark, SF_SMOKE, "documents")
-    ev = load_table(spark, SF_SMOKE, "events")
-    n_tokens = words_from(docs, "text").count()
-    n_sources = docs.select("source").distinct().count()
-    n_types, n_users = ev.agg(
-        F2.countDistinct("event_type"), F2.countDistinct("user_id")
-    ).collect()[0]
+    n_tokens = duck.execute(
+        r"""SELECT count(*) FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}]+')) AS w
+          FROM documents) WHERE w <> ''"""
+    ).fetchone()[0]
+    n_sources = duck.execute(
+        "SELECT count(DISTINCT source) FROM documents"
+    ).fetchone()[0]
+    n_types, n_users = duck.execute(
+        "SELECT count(DISTINCT event_type), count(DISTINCT user_id)"
+        " FROM events"
+    ).fetchone()
 
-    cms = AX.cms_merge_proof(docs).collect()
-    assert len(cms) == 1 and cms[0]["merge_matches_onebuild"]
-    assert cms[0]["n_sketches_merged"] == n_sources
-    assert cms[0]["total_count"] == AX.CMS_DEPTH * n_tokens
-    assert cms[0]["n_cells"] <= AX.CMS_DEPTH * AX.CMS_WIDTH
+    cms, _ = rows_only_results["cms_merge_proof"]
+    assert not isinstance(cms, str), cms
+    # columns: (n_sketches_merged, n_cells, total_count, merge_matches_onebuild)
+    assert len(cms) == 1 and cms[0][3]
+    assert cms[0][0] == n_sources
+    assert cms[0][2] == AX.CMS_DEPTH * n_tokens
+    assert cms[0][1] <= AX.CMS_DEPTH * AX.CMS_WIDTH
 
-    blm = BL.bloom_merge_proof(ev).collect()
-    assert len(blm) == 1 and blm[0]["merge_matches_onebuild"]
-    assert blm[0]["n_sketches_merged"] == n_types
-    assert blm[0]["n_set_bits"] == BL.N_HASHES * n_users  # no collisions
-    assert blm[0]["n_words"] <= BL.M_BITS // 64
+    blm, _ = rows_only_results["bloom_merge_proof"]
+    assert not isinstance(blm, str), blm
+    # columns: (n_sketches_merged, n_words, n_set_bits, merge_matches_onebuild)
+    assert len(blm) == 1 and blm[0][3]
+    assert blm[0][0] == n_types
+    assert blm[0][2] == BL.N_HASHES * n_users  # no collisions at 15 keys
+    assert blm[0][1] <= BL.M_BITS // 64
 
 
 def test_merge_proofs_hold_when_sketches_saturated(spark):

@@ -101,58 +101,11 @@ def test_window_names_all_registered_and_sized():
     assert not missing, f"ghost window entries: {missing}"
 
 
-ROWS_ONLY_NAMES = sorted(set(registry.queries()) - set(registry.oracle_sql()))
+# The rows_only_results fixture lives in conftest.py (r15: shared with
+# the merge-proof pins in test_approx.py).
+from conftest import _rows_only_names  # noqa: E402
 
-
-@pytest.fixture(scope="session")
-def rows_only_results(spark, request):
-    """Both evaluations of every SELECTED rows-only query, collected
-    ONCE concurrently (r14 suite-time consolidation, VERDICT r13 #5):
-    the per-query no-NULL scans below used to re-collect each query
-    serially on top of the determinism test's own two pooled runs —
-    three collects per query, ~20s of serial wall. One fixture now
-    feeds both checks from the same two runs. Rows are sorted by repr
-    (total order even if a NULL sneaks into a mixed column — the scan
-    must REPORT that, not die sorting)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    qs = registry.queries()
-    det_selected = any(
-        item.function.__name__ == "test_rows_only_queries_are_deterministic"
-        for item in request.session.items
-    )
-    if det_selected:
-        names = list(ROWS_ONLY_NAMES)  # determinism always checks ALL
-    else:
-        selected = {
-            item.callspec.params["name"]
-            for item in request.session.items
-            if getattr(item, "callspec", None) is not None
-            and item.function.__name__ == "test_rows_only_queries_emit_no_nulls"
-        }
-        names = [n for n in ROWS_ONLY_NAMES if n in selected] or list(
-            ROWS_ONLY_NAMES
-        )
-
-    def run_once(name):
-        try:
-            return name, sorted(
-                map(tuple, qs[name](spark, SF_SMOKE).collect()), key=repr
-            )
-        except Exception as ex:
-            return name, f"{type(ex).__name__}: {str(ex)[:120]}"
-
-    # both evaluations of every query are INDEPENDENT pool tasks (r13:
-    # one task per query ran its two evaluations serially, making the
-    # wall 2× the slowest iterative query; /tmp artifacts are
-    # build_once-locked so concurrent first-builds are safe)
-    jobs = [n for n in names for _ in (0, 1)]
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        results = list(pool.map(run_once, jobs))
-    return {
-        results[i][0]: (results[i][1], results[i + 1][1])
-        for i in range(0, len(results), 2)
-    }
+ROWS_ONLY_NAMES = _rows_only_names()
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
