@@ -451,7 +451,11 @@ def _ref_hll_counts(rows: list, sf_dir: str) -> dict:
     }
 
 
+@functools.lru_cache(maxsize=2)
 def _exact_types_and_distinct_users(sf_dir: str) -> tuple[int, int]:
+    """Shared by the HLL/KMV/Bloom merge-proof references — cached per
+    sf_dir so the sweep scans events.parquet once, not three times
+    (the _emb_ground_truth convention)."""
     import duckdb
 
     con = duckdb.connect()
@@ -530,15 +534,9 @@ def _ref_bloom_merge(rows: list, sf_dir: str) -> dict:
     1%-of-m band catches any systematic build error (dropped keys,
     wrong seed fan-out) while never flaking. Also pins popcount ≤ K
     (each key sets at most N_HASHES bits) and n_words ≤ M_BITS/64."""
-    import duckdb
-
     from tp1_distribuidos_mapreduce_spark.plans.bloom import M_BITS, N_HASHES
 
-    con = duckdb.connect()
-    n_keys = con.execute(
-        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
-    ).fetchone()[0]
-    con.close()
+    n_keys = _exact_types_and_distinct_users(sf_dir)[1]
     expected = M_BITS * (1.0 - (1.0 - 1.0 / M_BITS) ** (N_HASHES * n_keys))
     # pyspark Row has no .get — go through a plain dict
     got = rows[0].asDict() if rows else {}

@@ -119,6 +119,23 @@ def test_rows_only_queries_emit_no_nulls(rows_only_results, name):
     assert not nulls, f"{name} emitted NULLs: {nulls[:3]}"
 
 
+def test_minhash_lsh_emits_pairs_on_the_corpus_fixture(rows_only_results):
+    """Non-emptiness guard for the LSH pipeline on the REAL corpus (not
+    just constructed near-dups): the sf0.001 fixture is known to emit
+    candidate pairs (28 as generated; sf0.1 emits 256), so a banding/
+    bucketing regression that collapses the candidate set reads as a
+    failure HERE — the differential's envelope check deliberately
+    treats zero pairs as vacuous rather than failing (ADVICE r14), so
+    this pin is the compensating signal. Zero extra collects: consumes
+    the pooled fixture rows."""
+    rows, _ = rows_only_results["dedup_minhash_lsh"]
+    assert not isinstance(rows, str), rows
+    assert len(rows) > 0, (
+        "dedup_minhash_lsh emitted no candidate pairs on the corpus "
+        "fixture — banding/bucketing regression?"
+    )
+
+
 def test_rows_only_queries_are_deterministic(rows_only_results):
     """The rows-only queries — the set with NO oracle differential —
     must return identical rows when run twice in the same session.

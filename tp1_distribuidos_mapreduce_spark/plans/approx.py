@@ -97,59 +97,67 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1 << 11
 
 
-def cms_heavy_hitters(
-    documents: DataFrame,
-    threshold: int = 100,
-    depth: int = CMS_DEPTH,
-    width: int = CMS_WIDTH,
-) -> DataFrame:
-    """Heavy-hitter words (exact count >= threshold) found via a count-min
-    sketch prune + exact verification — the CMS companion to
-    plans/bloom.py's bitmap prune, same epistemic shape: the sketch can
-    only OVERestimate, so est >= threshold is a provable superset of the
-    true heavy hitters, and the exact count over that pruned candidate set
-    is the EXACT answer (oracle: plain word count with HAVING).
-
-    Build: one token pass explodes (row, position) cells; partial
-    aggregation bounds the shuffle at depth x width rows per upstream
-    partition REGARDLESS of vocabulary size. The driver collect is the
-    4x2048 cell grid, never data-sized, and rides back in as a broadcast
-    single-row frame (same transport as the Bloom bitmap).
-
-    Scope of the pruning (ADVICE r3): only the exact-count AGGREGATION is
-    CMS-pruned — candidate enumeration below still runs a vocabulary-sized
-    ``words.distinct()`` shuffle (of bare words, with map-side partials).
-    What the sketch removes is the per-candidate exact counting work and
-    the HAVING-style full groupBy of token OCCURRENCES; a vocabulary too
-    large even to distinct() cheaply needs sketch-only answers (accepting
-    overestimates) rather than this exact formulation.
-    """
-    import numpy as np
-
-    from ..functions.tokenize import words_from
-
-    spark = documents.sparkSession
-    # The three consumers below (sketch build, candidate distinct, exact
-    # verify) each re-derive this tokenize pipeline — Catalyst never CSEs
-    # across actions. A localCheckpoint here was MEASURED at sf0.1 and
-    # rejected: warm 1.79s→1.38s but first-call 2.97s→5.08s (the
-    # materialization + extra codegen dominates); unlike the jaccard
-    # self-join the re-derived pass is cheap relative to checkpoint cost.
-    words = words_from(documents, "text")
-
-    cell_structs = F.array(
+def _cms_cell_structs(keys: list, depth: int, width: int):
+    """The depth hash positions of a sketch key (one or more columns,
+    hashed jointly by the variadic xxhash64) as an array of (d, pos)
+    structs, ready to explode — THE single definition of the sketch's
+    hash layout, shared by the heavy-hitter builds (global + grouped),
+    their probe expressions, and the merge proof, so a geometry edit
+    cannot desynchronize any pair of them."""
+    return F.array(
         *[
             F.struct(
                 F.lit(d).alias("d"),
-                F.pmod(F.xxhash64(F.col("word"), F.lit(d)), F.lit(width)).alias(
-                    "pos"
-                ),
+                F.pmod(F.xxhash64(*keys, F.lit(d)), F.lit(width)).alias("pos"),
             )
             for d in range(depth)
         ]
     )
+
+
+def _cms_pruned_exact_counts(
+    words: DataFrame,
+    key_cols: list[str],
+    threshold: int,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Shared CMS prune + exact verify over a word frame keyed by
+    ``key_cols`` (the composite sketch key — [word] for the global
+    build, [source, word] for the grouped one; both wrappers and the
+    oracle semantics are exact, the sketch only prunes).
+
+    Build: one pass explodes (row, position) cells via the shared cell
+    structs; partial aggregation bounds the shuffle at depth × width
+    rows per upstream partition REGARDLESS of key cardinality. The
+    driver collect is the depth×width cell grid, never data-sized, and
+    rides back in as a broadcast single-row frame (same transport as
+    the Bloom bitmap). CMS can only OVERestimate, so est >= threshold
+    is a provable superset of the true heavy keys, and the exact count
+    over that pruned candidate set is the EXACT answer.
+
+    Scope of the pruning (ADVICE r3): only the exact-count AGGREGATION
+    is CMS-pruned — candidate enumeration below still runs a
+    key-cardinality ``distinct()`` shuffle (of bare keys, with map-side
+    partials). What the sketch removes is the per-candidate exact
+    counting work and the HAVING-style full groupBy of token
+    OCCURRENCES; a key space too large even to distinct() cheaply
+    needs sketch-only answers (accepting overestimates) rather than
+    this exact formulation.
+
+    The three consumers (sketch build, candidate distinct, exact
+    verify) each re-derive the upstream tokenize — Catalyst never CSEs
+    across actions. A localCheckpoint here was MEASURED at sf0.1 and
+    rejected: warm 1.79s→1.38s but first-call 2.97s→5.08s (the
+    materialization + extra codegen dominates); unlike the jaccard
+    self-join the re-derived pass is cheap relative to checkpoint cost.
+    """
+    import numpy as np
+
+    spark = words.sparkSession
+    keys = [F.col(c) for c in key_cols]
     cells = (
-        words.select(F.explode(cell_structs).alias("c"))
+        words.select(F.explode(_cms_cell_structs(keys, depth, width)).alias("c"))
         .groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
         .agg(F.count("*").alias("n"))
         .collect()
@@ -161,12 +169,13 @@ def cms_heavy_hitters(
     sketch_df = spark.createDataFrame(
         [([list(map(int, row)) for row in grid],)], "grid array<array<bigint>>"
     )
+    # probe: least over the depth rows, positions from the SAME shared
+    # cell structs (element n of the array is depth row n's (d, pos))
+    probe_structs = _cms_cell_structs(keys, depth, width)
     ests = [
         F.element_at(
             F.element_at("grid", d + 1),
-            (F.pmod(F.xxhash64(F.col("word"), F.lit(d)), F.lit(width)) + 1).cast(
-                "int"
-            ),
+            (F.get(probe_structs, d)["pos"] + 1).cast("int"),
         )
         for d in range(depth)
     ]
@@ -175,14 +184,32 @@ def cms_heavy_hitters(
         words.distinct()
         .crossJoin(F.broadcast(sketch_df))
         .where(est >= threshold)
-        .select("word")
+        .select(*key_cols)
     )
     return (
-        words.join(F.broadcast(candidates), "word", "left_semi")
-        .groupBy("word")
+        words.join(F.broadcast(candidates), key_cols, "left_semi")
+        .groupBy(*key_cols)
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= threshold)
-        .orderBy("word")
+        .orderBy(*key_cols)
+    )
+
+
+def cms_heavy_hitters(
+    documents: DataFrame,
+    threshold: int = 100,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Heavy-hitter words (exact count >= threshold) found via a count-min
+    sketch prune + exact verification — the CMS companion to
+    plans/bloom.py's bitmap prune, same epistemic shape (oracle: plain
+    word count with HAVING). Thin wrapper over the shared builder
+    (_cms_pruned_exact_counts) keyed by [word]."""
+    from ..functions.tokenize import words_from
+
+    return _cms_pruned_exact_counts(
+        words_from(documents, "text"), ["word"], threshold, depth, width
     )
 
 
@@ -207,78 +234,21 @@ def cms_heavy_hitters_by_source(
     threshold — via ONE count-min sketch whose key is the (source, word)
     COMPOSITE (VERDICT r14 #7: the grouped story for the frequency
     member, the way r14's grouped DDSketch did it for quantiles). The
-    sketch stays the same fixed 4×2048 grid however many groups exist:
-    composite keys share the counter space, and since CMS only
-    OVERestimates, est >= threshold still yields a provable SUPERSET of
-    the true per-source heavy hitters; the exact count over the pruned
-    candidates is the EXACT answer (oracle: per-source word count with
-    HAVING). Like the DD bucket counts, CMS cells are ADDITIVE — partial
-    aggregation bounds the shuffle at depth×width rows per upstream
-    partition regardless of (sources × vocabulary), and per-slice grids
-    merged by cell sum reproduce the one-shot grid exactly (same law
-    ddsketch_merge_proof pins; here both the build's map-side combine
-    and the driver fold already ARE that merge). Same candidate-scope
-    caveat as the global query: enumeration runs a (source, word)
-    distinct; the sketch removes the per-candidate exact counting and
-    the full occurrence groupBy."""
-    import numpy as np
-
+    sketch stays the same fixed depth×width grid however many groups
+    exist: composite keys share the counter space, and overestimate-only
+    pruning keeps the answer EXACT (oracle: per-source word count with
+    HAVING). Like the DD bucket counts, CMS cells are ADDITIVE — per-
+    slice grids merged by cell sum reproduce the one-shot grid exactly
+    (cms_merge_proof pins the law end-to-end). Thin wrapper over the
+    shared builder keyed by [source, word]."""
     from ..functions.tokenize import words_from
 
-    spark = documents.sparkSession
-    words = words_from(documents, "text", "source")
-
-    cell_structs = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                F.pmod(
-                    F.xxhash64(F.col("source"), F.col("word"), F.lit(d)),
-                    F.lit(width),
-                ).alias("pos"),
-            )
-            for d in range(depth)
-        ]
-    )
-    cells = (
-        words.select(F.explode(cell_structs).alias("c"))
-        .groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    grid = np.zeros((depth, width), dtype=np.int64)
-    for r in cells:
-        grid[r["d"], r["pos"]] = r["n"]
-
-    sketch_df = spark.createDataFrame(
-        [([list(map(int, row)) for row in grid],)], "grid array<array<bigint>>"
-    )
-    ests = [
-        F.element_at(
-            F.element_at("grid", d + 1),
-            (
-                F.pmod(
-                    F.xxhash64(F.col("source"), F.col("word"), F.lit(d)),
-                    F.lit(width),
-                )
-                + 1
-            ).cast("int"),
-        )
-        for d in range(depth)
-    ]
-    est = ests[0] if len(ests) == 1 else F.least(*ests)
-    candidates = (
-        words.distinct()
-        .crossJoin(F.broadcast(sketch_df))
-        .where(est >= threshold)
-        .select("source", "word")
-    )
-    return (
-        words.join(F.broadcast(candidates), ["source", "word"], "left_semi")
-        .groupBy("source", "word")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= threshold)
-        .orderBy("source", "word")
+    return _cms_pruned_exact_counts(
+        words_from(documents, "text", "source"),
+        ["source", "word"],
+        threshold,
+        depth,
+        width,
     )
 
 
@@ -292,21 +262,6 @@ GROUP BY source, word
 HAVING count(*) >= 50
 ORDER BY source, word
 """
-
-
-def _cms_cell_structs(key, depth: int, width: int):
-    """The depth hash positions of a sketch key as an array of (d, pos)
-    structs, ready to explode — shared by the global/grouped builds and
-    the merge proof so a geometry edit can't desynchronize them."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).alias("pos"),
-            )
-            for d in range(depth)
-        ]
-    )
 
 
 def cms_merge_proof(
@@ -333,7 +288,7 @@ def cms_merge_proof(
     by_source = (
         words_from(documents, "text", "source")
         .select(
-            "source", F.explode(_cms_cell_structs(F.col("word"), depth, width)).alias("c")
+            "source", F.explode(_cms_cell_structs([F.col("word")], depth, width)).alias("c")
         )
         .groupBy("source", F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -346,7 +301,7 @@ def cms_merge_proof(
     )
     onebuild = (
         words_from(documents, "text")
-        .select(F.explode(_cms_cell_structs(F.col("word"), depth, width)).alias("c"))
+        .select(F.explode(_cms_cell_structs([F.col("word")], depth, width)).alias("c"))
         .groupBy(F.col("c.d").alias("d2"), F.col("c.pos").alias("pos2"))
         .agg(F.count(F.lit(1)).cast("long").alias("n2"))
     )
@@ -371,6 +326,17 @@ def cms_merge_proof(
 HLL_M = 256  # registers (b=8 bucket bits) → rsd ≈ 1.04/√256 = 6.5%
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 ROLLING_HLL_DAYS = 28
+
+
+def _hll_zero():
+    """The all-zero m-register array literal."""
+    return F.array_repeat(F.lit(0), HLL_M)
+
+
+def _hll_zipmax(acc, x):
+    """Register-wise max — THE HLL merge, one definition for every fold
+    site (daily build, rolling reader, type build, merge proof)."""
+    return F.zip_with(acc, x, lambda a, b: F.greatest(a, b))
 
 
 def _fold_users_into_regs(regs, users) -> None:
@@ -457,15 +423,11 @@ def daily_hll_sketches(events: DataFrame) -> DataFrame:
     is associative, commutative, and IDEMPOTENT, so daily sketches
     built from any partitioning of the stream — including replayed
     micro-batches — are bit-identical to the one-shot build."""
-    zero = F.array_repeat(F.lit(0), HLL_M)
-    zipmax = lambda acc, x: F.zip_with(  # noqa: E731
-        acc, x, lambda a, b: F.greatest(a, b)
-    )
     partials = events.select(
         F.to_date("ts").alias("day"), "user_id"
     ).mapInPandas(_hll_partial_mapper(), "day date, regs array<int>")
     return partials.groupBy("day").agg(
-        F.aggregate(F.collect_list("regs"), zero, zipmax).alias("regs")
+        F.aggregate(F.collect_list("regs"), _hll_zero(), _hll_zipmax).alias("regs")
     )
 
 
@@ -477,10 +439,6 @@ def rolling_estimates_from_sketches(
     Catalyst, then the HLL estimator with linear-counting correction.
     ``max_day`` is a 1-row (max_day DATE) frame giving the window-end
     cutoff (the exact twin's gap-day convention)."""
-    zero = F.array_repeat(F.lit(0), HLL_M)
-    zipmax = lambda acc, x: F.zip_with(  # noqa: E731
-        acc, x, lambda a, b: F.greatest(a, b)
-    )
     contrib = (
         daily.select(
             F.explode(
@@ -497,7 +455,7 @@ def rolling_estimates_from_sketches(
         .drop("max_day")
     )
     merged = contrib.groupBy("window_end").agg(
-        F.aggregate(F.collect_list("regs"), zero, zipmax).alias("regs")
+        F.aggregate(F.collect_list("regs"), _hll_zero(), _hll_zipmax).alias("regs")
     )
     return (
         merged.select(
@@ -535,15 +493,11 @@ def hll_type_sketches(events: DataFrame) -> DataFrame:
     reduced build as the daily table, keyed by event_type: one m-register
     array per (type, partition) partial, per-type register max-merge.
     This is the grouped deployment shape hll_merge_proof folds up."""
-    zero = F.array_repeat(F.lit(0), HLL_M)
-    zipmax = lambda acc, x: F.zip_with(  # noqa: E731
-        acc, x, lambda a, b: F.greatest(a, b)
-    )
     partials = events.select("event_type", "user_id").mapInPandas(
         _hll_partial_mapper("event_type"), "event_type string, regs array<int>"
     )
     return partials.groupBy("event_type").agg(
-        F.aggregate(F.collect_list("regs"), zero, zipmax).alias("regs")
+        F.aggregate(F.collect_list("regs"), _hll_zero(), _hll_zipmax).alias("regs")
     )
 
 
@@ -562,13 +516,9 @@ def hll_merge_proof(events: DataFrame) -> DataFrame:
     requires the register ARRAYS bit-identical, not just the estimates.
     At 100 TB this is exactly how the sketch deploys: per-slice builds
     folded by max, one 256-int array per group crossing the wire."""
-    zero = F.array_repeat(F.lit(0), HLL_M)
-    zipmax = lambda acc, x: F.zip_with(  # noqa: E731
-        acc, x, lambda a, b: F.greatest(a, b)
-    )
     merged = hll_type_sketches(events).agg(
         F.count(F.lit(1)).cast("long").alias("n_sketches_merged"),
-        F.aggregate(F.collect_list("regs"), zero, zipmax).alias("regs"),
+        F.aggregate(F.collect_list("regs"), _hll_zero(), _hll_zipmax).alias("regs"),
     )
     onebuild = (
         events.select(F.lit("__all__").alias("event_type"), "user_id")
@@ -577,7 +527,7 @@ def hll_merge_proof(events: DataFrame) -> DataFrame:
             "event_type string, regs array<int>",
         )
         .groupBy("event_type")
-        .agg(F.aggregate(F.collect_list("regs"), zero, zipmax).alias("regs2"))
+        .agg(F.aggregate(F.collect_list("regs"), _hll_zero(), _hll_zipmax).alias("regs2"))
         .drop("event_type")
     )
     return merged.crossJoin(F.broadcast(onebuild)).select(
@@ -585,13 +535,10 @@ def hll_merge_proof(events: DataFrame) -> DataFrame:
         F.round(_hll_estimate(F.col("regs"))).cast("long").alias(
             "approx_users"
         ),
-        (
-            (F.col("regs") == F.col("regs2"))
-            & (
-                F.round(_hll_estimate(F.col("regs")))
-                == F.round(_hll_estimate(F.col("regs2")))
-            )
-        ).alias("merge_matches_onebuild"),
+        # array equality alone is the full claim: the estimator is a
+        # pure function of the register array, so equal registers give
+        # bit-identical estimates by construction
+        (F.col("regs") == F.col("regs2")).alias("merge_matches_onebuild"),
     )
 
 
@@ -768,6 +715,15 @@ def kmv_event_user_overlap(events: DataFrame) -> DataFrame:
     return overlap_from_kmv_sketches(kmv_type_sketches(events))
 
 
+def _kmv_hash(col):
+    """THE 60-bit KMV hash (conv of the first 15 md5 hex chars) — one
+    definition for the type build, the global build, and therefore the
+    merge proof's two sides; an edit moves every consumer together."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def kmv_type_sketches(events: DataFrame) -> DataFrame:
     """The KMV sketch-TABLE build: one bottom-K hash array per event
     type — partial bottom-K per (type, partition), K-array merge per
@@ -777,10 +733,7 @@ def kmv_type_sketches(events: DataFrame) -> DataFrame:
     (streaming/sinks.py write_stream_kmv_sketches) — are bit-identical
     to the one-shot build."""
     hashed = events.select(
-        "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+        "event_type", _kmv_hash(F.col("user_id")).alias("h")
     )
     partials = (
         hashed.groupBy("event_type", F.spark_partition_id().alias("pid"))
@@ -833,11 +786,7 @@ def kmv_global_sketch(events: DataFrame) -> DataFrame:
     """Global bottom-K sketch of the user-id hash — the kmv_type_sketches
     build without the group key: partial bottom-K per partition, one
     K-array union-truncate merge. 1 row: (sk array<bigint>)."""
-    hashed = events.select(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    hashed = events.select(_kmv_hash(F.col("user_id")).alias("h"))
     partials = hashed.groupBy(F.spark_partition_id().alias("pid")).agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("pk")
     )
@@ -878,13 +827,9 @@ def kmv_merge_proof(events: DataFrame) -> DataFrame:
     return merged.crossJoin(F.broadcast(onebuild)).select(
         "n_sketches_merged",
         F.round(_kmv_est(F.col("sk"))).cast("long").alias("approx_users"),
-        (
-            (F.col("sk") == F.col("sk2"))
-            & (
-                F.round(_kmv_est(F.col("sk")))
-                == F.round(_kmv_est(F.col("sk2")))
-            )
-        ).alias("merge_matches_onebuild"),
+        # hash-array equality alone is the full claim: the estimator is
+        # a pure function of the array (see _hll_estimate's twin note)
+        (F.col("sk") == F.col("sk2")).alias("merge_matches_onebuild"),
     )
 
 

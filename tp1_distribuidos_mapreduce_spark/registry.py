@@ -60,19 +60,27 @@ _WINDOW: list[str] = [
     # (the grouped CMS; the r15 HLL/KMV merge proofs are rows-only and
     # never take window slots). Composition, in order:
     # 1) the 5 reference-parity pins (always);
-    # 2) no oracled query's code changed after its newest green row
-    #    this round (the r15 diff touches sketch rows-only paths and
-    #    adds new queries), so tier 2 is empty;
+    # 2) the 2 oracled queries whose CODE changed this round after
+    #    their newest green rows: bloom_pruned_join and
+    #    incremental_dedup_bloom — both route through plans/bloom.py's
+    #    build_bloom_bitmap, refactored in r15 over the shared
+    #    _bloom_words table builder (plan-equivalent — empty group_cols
+    #    produces the identical aggregate — but the tier-2 rule is
+    #    "code changed → driver re-confirmation", no exemptions without
+    #    a recorded byte-identity argument);
     # 3) the 1 round-15 oracled addition: cms_heavy_hitters_by_source
     #    (grouped count-min prune + exact per-source verify — the
     #    frequency member's grouped story, VERDICT r14 #7);
     # 4) ALL 13 deferred r9-era members;
-    # 5) 31 of the 41 r11-era members, higher-risk shapes first
+    # 5) 29 of the 41 r11-era members, higher-risk shapes first
     #    (money/float arithmetic, rank/as-of/calendar windows, SQL-
-    #    authored oracles, connector/layout). The 10 deferred r11
-    #    members (bloom_pruned_join, brand_stats_having,
-    #    cms_heavy_hitters — its grouped successor holds the tier-3
-    #    slot —, dedup_embedding_cosine, dedup_jaccard_prefix,
+    #    authored oracles, connector/layout) — bloom_pruned_join's
+    #    tier-2 slot refreshes a 30th. The 11 deferred r11 members
+    #    (brand_stats_having, cms_heavy_hitters — its grouped
+    #    successor holds the tier-3 slot —, cube_order_status_priority
+    #    and subtree_rollup — their rollup/grouping-set siblings
+    #    rollup_lineitem_flags + sql_grouping_sets hold slots —,
+    #    dedup_embedding_cosine, dedup_jaccard_prefix,
     #    dedup_ngram_jaccard, dedup_survivors, knn_bruteforce,
     #    language_rebalance, published_events_census) are exact
     #    integer/set shapes or reference-tier-pinned kernels, every
@@ -85,6 +93,10 @@ _WINDOW: list[str] = [
     "ii",
     "mr_wc",
     "mr_ii",
+    # tier 2: code changed after their newest driver row (r15 bloom
+    # refactor)
+    "bloom_pruned_join",
+    "incremental_dedup_bloom",
     # tier 3: round-15 oracled addition
     "cms_heavy_hitters_by_source",
     # tier 4: the 13 deferred r9-era members (VERDICT r14 #1, verbatim)
@@ -125,9 +137,7 @@ _WINDOW: list[str] = [
     "sql_revenue_by_region",
     "sql_top_balances_per_nation",
     "sql_grouping_sets",
-    "cube_order_status_priority",
     "rollup_lineitem_flags",
-    "subtree_rollup",
     "rowdir_pruned_scan",
     "rowdir_roundtrip",
     "rowdir_time_travel",
