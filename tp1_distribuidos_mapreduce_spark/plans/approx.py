@@ -292,6 +292,13 @@ def cms_merge_proof(
         )
         .groupBy("source", F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # (groups × grid)-bounded checkpoint: the merge rollup AND the
+        # group-count tally both consume this frame, and Catalyst never
+        # CSEs across consumers — unpinned, the grouped build's corpus
+        # scan ran twice (plan audit: 3 source scans, now 2 — the
+        # independent one-build plus this one). Eager at construction,
+        # the DD readers' documented convention.
+        .localCheckpoint()
     )
     merged = by_source.groupBy("d", "pos").agg(
         F.sum("n").cast("long").alias("n")

@@ -93,7 +93,12 @@ def bloom_merge_proof(events: DataFrame) -> DataFrame:
     per-slice word tables folded by OR, ≤ 4,096 words per group
     crossing the wire."""
     keyed = events.select("event_type", "user_id")
-    typed = _bloom_words(keyed, "user_id", "event_type")
+    # (groups × 4096)-bounded checkpoint: the OR-merge AND the
+    # sketch-count tally both consume the typed word table, and
+    # Catalyst never CSEs across consumers — unpinned, the grouped
+    # build's events scan ran twice (plan audit: 3 source scans, now
+    # 2). Eager at construction, the DD readers' documented convention.
+    typed = _bloom_words(keyed, "user_id", "event_type").localCheckpoint()
     merged = typed.groupBy("word").agg(F.bit_or("bits").alias("bits"))
     n_types = typed.agg(
         F.countDistinct("event_type").cast("long").alias("n_sketches_merged")
