@@ -1364,11 +1364,35 @@ def main() -> int:
     ro_bad = [n for n in rows_only if n not in ro_ok]
     ref_ok = [n for n, r in ref_results.items() if r.get("reference_match")]
     ref_bad = [n for n in ref_names if n not in ref_ok]
+    # Honest commit stamp (VERDICT r15 #3): the r15 artifact recorded the
+    # pre-fix HEAD while being generated on a post-fix dirty tree, so the
+    # recorded commit predated the code it validated. Record HEAD plus an
+    # explicit dirty marker computed from `git status --porcelain` filtered
+    # to the code the differential actually exercises (the package,
+    # differential.py itself, and the driver entry) — driver artifacts and
+    # docs in the worktree don't taint the stamp.
+    repo_dir = os.path.dirname(os.path.abspath(__file__)) or "."
     try:
         commit = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".",
+            capture_output=True, text=True, cwd=repo_dir,
         ).stdout.strip()
+        status = subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, cwd=repo_dir,
+        ).stdout.splitlines()
+        code_prefixes = (
+            "tp1_distribuidos_mapreduce_spark/", "differential.py",
+            "__spark_entry__.py",
+        )
+        dirty_code = sorted(
+            path
+            for line in status
+            for path in [line[3:].split(" -> ")[-1].strip()]
+            if path.startswith(code_prefixes)
+        )
+        if dirty_code:
+            commit = f"{commit}+dirty({','.join(dirty_code)})"
     except Exception:
         commit = "unknown"
     artifact = {

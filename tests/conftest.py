@@ -35,11 +35,18 @@ def _rows_only_names():
     return sorted(set(registry.queries()) - set(registry.oracle_sql()))
 
 
-# Tests OUTSIDE test_relational.py that consume rows_only_results rows
-# instead of re-collecting their queries (r15 suite-time consolidation):
-# test name → the fixture keys it needs. A targeted run of just these
-# tests then collects only these queries, not all 35 rows-only.
-MERGE_PROOF_CONSUMERS = {
+# Non-parametrized tests (anywhere in the suite) that consume
+# rows_only_results rows instead of re-collecting their queries (r15
+# suite-time consolidation): test name → the fixture keys it needs. A
+# targeted run of just these tests then collects only these queries,
+# not all 35 rows-only. EVERY non-parametrized consumer must be listed
+# here (ADVICE r15: an omission makes a targeted `-k` selection that
+# includes the test but not its keys fail with KeyError instead of its
+# real check; full-suite and solo runs fall back to collecting all).
+FIXTURE_CONSUMERS = {
+    "test_minhash_lsh_emits_pairs_on_the_corpus_fixture": [
+        "dedup_minhash_lsh",
+    ],
     "test_ddsketch_merge_proof_all_flags_true_and_bit_identical": [
         "ddsketch_merge_proof",
         "ddsketch_event_quantiles",
@@ -87,7 +94,7 @@ def rows_only_results(spark, request):
             and item.function.__name__ == "test_rows_only_queries_emit_no_nulls"
         }
         for item in request.session.items:
-            selected.update(MERGE_PROOF_CONSUMERS.get(item.function.__name__, []))
+            selected.update(FIXTURE_CONSUMERS.get(item.function.__name__, []))
         names = [n for n in all_names if n in selected] or list(all_names)
 
     def run_once(name):

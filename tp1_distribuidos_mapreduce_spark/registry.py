@@ -51,98 +51,85 @@ _STREAM_Q_SEQ = itertools.count()
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
-    # ---- round-15 window (exactly 50 names), rotated per VERDICT r14
-    # "Next round" #1: keep paying the freshness rotation. After the
-    # r14 rows the oracled freshness map is r9×13, r11×41, r12×42,
-    # r13×44, r14×50 — this window refreshes ALL 13 deferred r9-era
-    # members (the VERDICT r14 front-of-line list, verbatim) and 31 of
-    # the 41 r11-era members, with new oracled additions capped at 1
-    # (the grouped CMS; the r15 HLL/KMV merge proofs are rows-only and
-    # never take window slots). Composition, in order:
+    # ---- round-16 window (exactly 50 names), rotated per VERDICT r15
+    # "Next round" #1. After the r15 rows the oracled freshness map is
+    # r11×11, r12×42, r13×44, r14×44, r15×50 — this window refreshes
+    # ALL 11 deferred r11-era members (the VERDICT r15 front-of-line
+    # list, verbatim) and 34 of the 42 r12-era members, with ZERO new
+    # oracled additions this round (VERDICT r15 caps adds at 1–2 and
+    # says the rotation wins any slot conflict; the r16 streaming CMS
+    # fold is rows-only and never takes a window slot). Composition:
     # 1) the 5 reference-parity pins (always);
-    # 2) the 2 oracled queries whose CODE changed this round after
-    #    their newest green rows: bloom_pruned_join and
-    #    incremental_dedup_bloom — both route through plans/bloom.py's
-    #    build_bloom_bitmap, refactored in r15 over the shared
-    #    _bloom_words table builder (plan-equivalent — empty group_cols
-    #    produces the identical aggregate — but the tier-2 rule is
-    #    "code changed → driver re-confirmation", no exemptions without
-    #    a recorded byte-identity argument);
-    # 3) the 1 round-15 oracled addition: cms_heavy_hitters_by_source
-    #    (grouped count-min prune + exact per-source verify — the
-    #    frequency member's grouped story, VERDICT r14 #7);
-    # 4) ALL 13 deferred r9-era members;
-    # 5) 29 of the 41 r11-era members, higher-risk shapes first
-    #    (money/float arithmetic, rank/as-of/calendar windows, SQL-
-    #    authored oracles, connector/layout) — bloom_pruned_join's
-    #    tier-2 slot refreshes a 30th. The 11 deferred r11 members
-    #    (brand_stats_having, cms_heavy_hitters — its grouped
-    #    successor holds the tier-3 slot —, cube_order_status_priority
-    #    and subtree_rollup — their rollup/grouping-set siblings
-    #    rollup_lineitem_flags + sql_grouping_sets hold slots —,
-    #    dedup_embedding_cosine, dedup_jaccard_prefix,
-    #    dedup_ngram_jaccard, dedup_survivors, knn_bruteforce,
-    #    language_rebalance, published_events_census) are exact
-    #    integer/set shapes or reference-tier-pinned kernels, every
-    #    one differential-covered at sf0.001 each pytest run, at
-    #    sf0.01 each driver-sim replay, and at sf0.1 in
-    #    DIFFERENTIAL_r15.json — they are r16's front of line with
-    #    the r12 cohort.
+    # 2) no tier-2 members: no oracled query's code changed this round
+    #    after its newest green row (r16 touches tests/, differential
+    #    tooling, and the rows-only streaming fold only — verified by
+    #    diffing the round's touched files against every registered
+    #    oracled query's import closure before closing the window);
+    # 3) ALL 11 deferred r11-era members (VERDICT r15 #1, verbatim);
+    # 4) 34 of the 42 r12-era members, keeping the higher-risk shapes
+    #    per VERDICT r15 #1 (money/float arithmetic, stats-model
+    #    floats, window/session/streaming shapes, connector/layout).
+    #    The 8 deferred r12 members (brand_type_vocabulary,
+    #    customer_set_ops, dedup_exact, k_anonymity_census,
+    #    max_concurrent_sessions, repetition_stats,
+    #    skewed_distinct_users, token_stats) are exact integer-count /
+    #    set-semantic shapes — no float, money, calendar, or connector
+    #    surface — every one differential-covered at sf0.001 each
+    #    pytest run, at sf0.01 each driver-sim replay, and at sf0.1 in
+    #    DIFFERENTIAL_r16.json; they are r17's front of line with the
+    #    44-member r13 cohort.
     "wc",
     "wc_textfiles",
     "ii",
     "mr_wc",
     "mr_ii",
-    # tier 2: code changed after their newest driver row (r15 bloom
-    # refactor)
-    "bloom_pruned_join",
-    "incremental_dedup_bloom",
-    # tier 3: round-15 oracled addition
-    "cms_heavy_hitters_by_source",
-    # tier 4: the 13 deferred r9-era members (VERDICT r14 #1, verbatim)
-    "bpe_pair_counts",
-    "event_transition_matrix",
-    "hard_negative_mining",
-    "market_basket_pairs",
-    "props_variant_census",
-    "purchases_by_browsing_state",
-    "sequence_packing",
-    "top_event_paths",
-    "triangle_count",
-    "trigram_topk",
-    "url_domain_stats",
-    "views_before_purchase",
-    "weighted_token_sample",
-    # tier 5: 31 of the 41 r11-era members, higher-risk shapes first
-    "benford_price_audit",
-    "brand_qty_price_corr",
-    "daily_revenue_moving_avg",
-    "monthly_order_stats",
-    "order_price_quantiles",
-    "order_value_deciles",
-    "q15_top_supplier",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "returned_item_revenue",
-    "revenue_autocorrelation",
-    "time_weighted_value",
-    "top_parts_by_revenue",
-    "weekday_order_stats",
-    "idle_customers_opportunity",
-    "customer_order_gaps",
-    "hourly_event_gapfill",
-    "purchase_asof_last_click",
-    "top_customers_per_nation",
-    "sql_revenue_by_region",
-    "sql_top_balances_per_nation",
-    "sql_grouping_sets",
-    "rollup_lineitem_flags",
-    "rowdir_pruned_scan",
-    "rowdir_roundtrip",
-    "rowdir_time_travel",
-    "bucketed_colocated_join",
-    "events_json_stats",
+    # tier 3: the 11 deferred r11-era members (VERDICT r15 #1, verbatim)
+    "brand_stats_having",
+    "cms_heavy_hitters",
+    "cube_order_status_priority",
+    "dedup_embedding_cosine",
+    "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard",
+    "dedup_survivors",
+    "knn_bruteforce",
+    "language_rebalance",
+    "published_events_census",
+    "subtree_rollup",
+    # tier 4: 34 of the 42 r12-era members, higher-risk shapes kept
+    "anova_price_by_priority",
+    "bm25_top_terms",
+    "click_purchase_attribution",
+    "disjunctive_brand_revenue",
+    "event_type_entropy",
+    "event_weekday_chi2",
+    "event_weekday_mutual_info",
+    "fuzzy_part_match",
+    "kaplan_meier_repurchase",
+    "ks_returned_price",
+    "mannwhitney_quantity",
+    "merge_upsert_orders",
+    "nation_revenue_trend",
+    "nation_trend_significance",
+    "order_priority_pivot",
+    "partitioned_pruned_daily",
+    "parts_above_brand_avg",
+    "priorities_with_big_items",
+    "promo_revenue_by_month",
+    "rolling_28d_users_exact",
+    "session_window_stats",
+    "sessionize_events",
+    "shared_span_pairs",
+    "sliding_event_stats",
+    "stream_dedup_counts",
+    "stream_static_enrichment",
+    "supplier_activity",
+    "text_quality",
+    "tfidf_top_terms",
+    "value_outliers",
+    "waiting_suppliers",
+    "weekday_seasonality_index",
+    "welch_price_ttest",
+    "zorder_pruned_scan",
 ]
 
 # Historical windows: the r8/r9/r10/r12/r13 _WINDOW lists (and their
