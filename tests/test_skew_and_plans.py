@@ -368,9 +368,28 @@ NESTED_LOOP_ALLOWED = {
 }
 
 
-def test_registry_wide_plan_audit(spark):
-    from tp1_distribuidos_mapreduce_spark.sources.tables import TABLE_NAMES  # noqa: F401
+@pytest.fixture(scope="session")
+def registry_plans(spark):
+    """Executed-plan strings for EVERY registered query at SF_SMOKE,
+    built once on a shared pool and consumed by both the registry-wide
+    audit and the documented scan-count pins — one construction pass,
+    zero per-test re-derivation. Iterative operators RUN (their
+    localCheckpoints) at plan-construction time, so building all 220+
+    plans serially dominated the suite (42s); Spark's scheduler is
+    thread-safe and the Python-datasource thread-local pin lives in
+    register_* (pydatasource). 16 threads (r13 suite-time trim, was 8):
+    plan construction is py4j/Catalyst-bound; measured 22.9s → ~12s."""
+    from concurrent.futures import ThreadPoolExecutor
 
+    def plan_of(item):
+        name, fn = item
+        return name, fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return dict(pool.map(plan_of, registry.queries().items()))
+
+
+def test_registry_wide_plan_audit(registry_plans):
     py_markers = (
         "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
         "FlatMapGroupsInPandas", "PythonUDTF",
@@ -382,22 +401,8 @@ def test_registry_wide_plan_audit(spark):
         "tests/test_skew_and_plans.py) — with a justification comment. "
         "Anything else is a genuine plan regression: fix the query."
     )
-    from concurrent.futures import ThreadPoolExecutor
-
-    def plan_of(item):
-        name, fn = item
-        # iterative operators RUN (localCheckpoints) at plan-construction
-        # time, so building all 180+ plans serially dominated the suite
-        # (42s); Spark's scheduler is thread-safe and the Python-
-        # datasource thread-local pin lives in register_* (pydatasource)
-        return name, fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-
     violations = []
-    # 16 threads (r13 suite-time trim, was 8): plan construction is
-    # py4j/Catalyst-bound and thread-safe; measured 22.9s → ~12s.
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        plans = list(pool.map(plan_of, registry.queries().items()))
-    for name, plan in plans:
+    for name, plan in registry_plans.items():
         if any(m in plan for m in py_markers) and name not in PYTHON_ALLOWED:
             violations.append(f"{name}: unexpected Python eval node")
         if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_ALLOWED:
@@ -405,6 +410,57 @@ def test_registry_wide_plan_audit(spark):
         if "CartesianProduct" in plan:
             violations.append(f"{name}: cartesian product")
     assert not violations, f"{violations}\n{triage}"
+
+
+# Documented final-job source-scan counts for the multi-consumer query
+# class (VERDICT r15 #7). Each of these queries documents in its plan
+# code how many FileScans its FINAL job performs: every other consumer
+# of its shared frame rides a domain-bounded eager localCheckpoint
+# (which prints as `Scan ExistingRDD`, its one build scan having already
+# happened at construction). The FileScan count of the executed plan is
+# the regression tell — the r15 CMS/Bloom merge proofs initially
+# re-derived their grouped table and scanned the corpus 3× instead of
+# 2×, caught only by a manual plan read (commit 1200645); this pin makes
+# that class impossible to reintroduce silently. Counts are of the
+# final-plan string only, so "2 scans documented" for the additive
+# proofs = 1 checkpoint-build scan (not in this plan) + 1 here.
+DOCUMENTED_SCAN_COUNTS = {
+    # additive merge proofs: grouped cell/word table checkpointed
+    # (plans/approx.py cms_merge_proof, plans/bloom.py
+    # bloom_merge_proof), the independent one-build pays its one
+    # deliberate scan in the final job
+    "cms_merge_proof": 1,
+    "bloom_merge_proof": 1,
+    # idempotent merge proofs: no multi-consumer frame to pin — both
+    # sides are deliberately independent full scans in the final job
+    # (plan-node sharing would make the proof circular)
+    "hll_merge_proof": 2,
+    "kmv_merge_proof": 2,
+    # DD readers: the bucket frame is checkpointed inside
+    # quantiles_from_dd_buckets*, so the cumulative/total/estimator
+    # consumers all ride the pin and the final job scans NO source
+    "ddsketch_merge_proof": 0,
+    "ddsketch_event_quantiles": 0,
+    # spearman cell collapse: the (x, y, n) cell frame is checkpointed
+    # (plans/stats.py) and feeds the quantity map, price map, N scalar,
+    # and closing weighted Pearson — one fact scan total, at build
+    "quantity_price_spearman": 0,
+}
+
+
+def test_documented_scan_counts_hold(registry_plans):
+    bad = []
+    for name, want in sorted(DOCUMENTED_SCAN_COUNTS.items()):
+        got = registry_plans[name].count("FileScan")
+        if got != want:
+            bad.append(f"{name}: {got} FileScans in final plan, documented {want}")
+    assert not bad, (
+        f"{bad}\nA count above the documented number means a shared frame "
+        "lost its localCheckpoint (or grew a consumer that re-derives the "
+        "source); below means a deliberate independent scan got fused — "
+        "either way, re-read the query's scan-count comment before touching "
+        "this table."
+    )
 
 
 def test_stats_single_pass_scans_prune_columns(spark):
