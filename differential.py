@@ -526,6 +526,33 @@ def _ref_cms_merge(rows: list, sf_dir: str) -> dict:
     }
 
 
+def _ref_stream_cms_hh(rows: list, sf_dir: str) -> dict:
+    """The streaming fold's heavy hitters are EXACT by contract (the
+    persisted grid only prunes candidates; CMS only overestimates, and
+    the exact verify recounts), so the independent reference is the
+    full exact answer: DuckDB word counts with HAVING cnt >= 100 over
+    the same corpus — the batch cms_heavy_hitters oracle, recomputed
+    here against the STREAM-folded state's output."""
+    import duckdb
+
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            rf"""SELECT w, CAST(count(*) AS BIGINT) FROM (
+              SELECT unnest(regexp_split_to_array(lower(text), '[^\p{{L}}]+')) AS w
+              FROM '{sf_dir}/documents.parquet') WHERE w <> ''
+            GROUP BY w HAVING count(*) >= 100"""
+        ).fetchall()
+    )
+    con.close()
+    got = {r["word"]: r["cnt"] for r in rows}
+    return {
+        "reference": "exact DuckDB heavy-hitter counts (HAVING >= 100)",
+        "n_heavy_exact": len(want),
+        "reference_match": bool(got == want and want),
+    }
+
+
 def _ref_bloom_merge(rows: list, sf_dir: str) -> dict:
     """Merge flag + occupancy envelope: for n exact distinct keys
     (DuckDB) and K = N_HASHES·n uniform bit draws into M_BITS, the
@@ -1252,6 +1279,7 @@ REFERENCE_CHECKS = {
         1.0 / 255 ** 0.5, "KMV K=256"
     ),
     "cms_merge_proof": _ref_cms_merge,
+    "stream_cms_heavy_hitters": _ref_stream_cms_hh,
     "bloom_merge_proof": _ref_bloom_merge,
     "rolling_28d_users_hll": _ref_hll_rolling,
     "stream_hll_rolling_28d": _ref_hll_rolling,

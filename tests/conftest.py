@@ -110,7 +110,9 @@ def rows_only_results(spark, request):
     # wall 2× the slowest iterative query; /tmp artifacts are
     # build_once-locked so concurrent first-builds are safe)
     jobs = [n for n in names for _ in (0, 1)]
-    with ThreadPoolExecutor(max_workers=16) as pool:
+    # 24 threads (r16 suite-time trim, was 16): the pool is dominated by
+    # the streaming-drain queries' fixed per-query latency, not CPU
+    with ThreadPoolExecutor(max_workers=24) as pool:
         results = list(pool.map(run_once, jobs))
     return {
         results[i][0]: (results[i][1], results[i + 1][1])

@@ -16,13 +16,26 @@ from conftest import SF_SMOKE
 
 def test_hll_distinct_within_rsd(spark):
     events = load_table(spark, SF_SMOKE, "events")
-    approx = {r.event_type: r.approx_users for r in approx_user_counts(events).collect()}
-    exact = {
-        r.event_type: r.n
-        for r in events.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
+    # the approx (mapInPandas sketch) and exact (countDistinct) collects
+    # are independent — overlap them (r16 suite-time trim, 6.7s → ~4s)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_approx = pool.submit(
+            lambda: {
+                r.event_type: r.approx_users
+                for r in approx_user_counts(events).collect()
+            }
+        )
+        f_exact = pool.submit(
+            lambda: {
+                r.event_type: r.n
+                for r in events.groupBy("event_type")
+                .agg(F.countDistinct("user_id").alias("n"))
+                .collect()
+            }
+        )
+        approx, exact = f_approx.result(), f_exact.result()
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(0.05 * n, 2), (t, approx[t], n)

@@ -293,6 +293,8 @@ NESTED_LOOP_ALLOWED = {
     "cms_heavy_hitters",     # single-row broadcast of the 64 KB CMS grid
     "cms_heavy_hitters_by_source",  # same single-row grid broadcast,
                                     # (source, word)-composite keys (r15)
+    "stream_cms_heavy_hitters",     # same single-row grid broadcast, the
+                                    # grid read from the fold state (r16)
     "idle_customers_opportunity",  # single-row broadcast scalar aggregate
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate

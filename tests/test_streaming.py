@@ -925,3 +925,74 @@ def test_stream_dd_by_type_equal_batch_build_exactly(spark, tmp_path):
         for r in spark.read.parquet(f"{state2}/v1").collect()
     )
     assert doubled == [(t, i, 2 * c) for t, i, c in first]
+
+
+def test_stream_cms_cells_equal_batch_build_exactly(spark, tmp_path):
+    """write_stream_cms_cells folded across micro-batches must yield
+    heavy hitters IDENTICAL to the one-shot batch cms_heavy_hitters
+    (cell-count addition over a partition of the documents is exact,
+    and the read path probes the persisted grid through the batch
+    query's own kernel), and a same-checkpoint rerun is a no-op — the
+    checkpoint, not the fold algebra, carries that (addition is NOT
+    idempotent)."""
+    from tp1_distribuidos_mapreduce_spark.plans import approx as AX
+    from tp1_distribuidos_mapreduce_spark.sources.tables import (
+        stream_documents,
+    )
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "cms_src")
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    # 2 files × max_files_per_trigger=1 → two micro-batches: the
+    # smallest shape that still exercises a cross-batch fold
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+
+    SK.write_stream_cms_cells(
+        stream_documents(spark, src, max_files_per_trigger=1), state, ckpt
+    )
+    got = norm(SK.read_cms_heavy_hitters(spark, state, docs).collect())
+    want = norm(AX.cms_heavy_hitters(docs).collect())
+    assert got == want and got  # non-vacuous: the fixture has heavy words
+
+    SK.write_stream_cms_cells(
+        stream_documents(spark, src, max_files_per_trigger=1), state, ckpt
+    )
+    assert norm(SK.read_cms_heavy_hitters(spark, state, docs).collect()) == want
+
+
+def test_stream_cms_replayed_batch_fenced(spark, tmp_path):
+    """Injected at-least-once replay through the CMS fold: the batch-id
+    fence MUST skip it — like the DD fold and unlike the HLL/KMV
+    max-merges, a re-fold would DOUBLE-COUNT every cell. State must be
+    byte-identical after the replay, and a genuinely new epoch with the
+    SAME rows must still fold (every cell count doubles — additivity,
+    the same law the batch cms_merge_proof pins for the merge)."""
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    state = str(tmp_path / "cms_state2")
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+
+    SK._cms_fold(docs, 0, state)
+    first = sorted(
+        (r["d"], r["pos"], r["n"])
+        for r in spark.read.parquet(f"{state}/v0").collect()
+    )
+    SK._cms_fold(docs, 0, state)  # replay: fenced, NOT re-added
+    assert SK._read_ivm_pointer(state) == {"dir": "v0", "batch_id": 0}
+    again = sorted(
+        (r["d"], r["pos"], r["n"])
+        for r in spark.read.parquet(f"{state}/v0").collect()
+    )
+    assert again == first
+
+    # a new batch_id with the SAME rows must fold (counts double) —
+    # proving the fence keys on the epoch, not the data
+    SK._cms_fold(docs, 1, state)
+    doubled = sorted(
+        (r["d"], r["pos"], r["n"])
+        for r in spark.read.parquet(f"{state}/v1").collect()
+    )
+    assert doubled == [(d, p, 2 * n) for d, p, n in first]

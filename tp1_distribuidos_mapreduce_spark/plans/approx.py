@@ -152,23 +152,64 @@ def _cms_pruned_exact_counts(
     materialization + extra codegen dominates); unlike the jaccard
     self-join the re-derived pass is cheap relative to checkpoint cost.
     """
-    import numpy as np
+    cells = _cms_cell_counts(words, key_cols, depth, width).collect()
+    grid = _cms_grid_from_cells(cells, depth, width)
+    return _cms_exact_counts_from_grid(
+        words, key_cols, grid, threshold, depth, width
+    )
 
-    spark = words.sparkSession
+
+def _cms_cell_counts(
+    words: DataFrame, key_cols: list[str], depth: int, width: int
+) -> DataFrame:
+    """The (d, pos, n) cell-count frame of a CMS build over ``words``
+    keyed by ``key_cols`` — one explode + one partial-aggregated hash
+    aggregate, shuffle bounded at depth × width rows per upstream
+    partition regardless of key cardinality. Shared by the batch
+    prune (_cms_pruned_exact_counts) and the streaming fold's per-batch
+    delta (streaming/sinks.py _cms_fold), so the two builds cannot
+    desynchronize; the hash layout itself lives in _cms_cell_structs."""
     keys = [F.col(c) for c in key_cols]
-    cells = (
+    return (
         words.select(F.explode(_cms_cell_structs(keys, depth, width)).alias("c"))
         .groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
-        .agg(F.count("*").alias("n"))
-        .collect()
+        .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def _cms_grid_from_cells(cells, depth: int, width: int):
+    """Collected (d, pos, n) rows → the dense depth×width numpy grid
+    (absent cells are zero)."""
+    import numpy as np
+
     grid = np.zeros((depth, width), dtype=np.int64)
     for r in cells:
         grid[r["d"], r["pos"]] = r["n"]
+    return grid
 
+
+def _cms_exact_counts_from_grid(
+    words: DataFrame,
+    key_cols: list[str],
+    grid,
+    threshold: int,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Probe + exact-verify half of the CMS prune, over an
+    already-built dense grid (numpy depth×width): broadcast the grid as
+    a single-row frame, estimate each distinct key via least-over-depth
+    probes built from the SAME shared cell structs as every build, keep
+    est >= threshold (a provable superset — CMS only overestimates),
+    and exact-count just those candidates. Split out of
+    _cms_pruned_exact_counts (r16) so the streaming read path
+    (streaming/sinks.py read_cms_heavy_hitters) can probe a PERSISTED
+    fold state with the identical kernel instead of a re-derivation."""
+    spark = words.sparkSession
     sketch_df = spark.createDataFrame(
         [([list(map(int, row)) for row in grid],)], "grid array<array<bigint>>"
     )
+    keys = [F.col(c) for c in key_cols]
     # probe: least over the depth rows, positions from the SAME shared
     # cell structs (element n of the array is depth row n's (d, pos))
     probe_structs = _cms_cell_structs(keys, depth, width)

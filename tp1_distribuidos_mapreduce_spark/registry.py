@@ -60,18 +60,23 @@ _WINDOW: list[str] = [
     # says the rotation wins any slot conflict; the r16 streaming CMS
     # fold is rows-only and never takes a window slot). Composition:
     # 1) the 5 reference-parity pins (always);
-    # 2) no tier-2 members: no oracled query's code changed this round
-    #    after its newest green row (r16 touches tests/, differential
-    #    tooling, and the rows-only streaming fold only — verified by
-    #    diffing the round's touched files against every registered
-    #    oracled query's import closure before closing the window);
+    # 2) ONE tier-2 member: cms_heavy_hitters_by_source — the r16
+    #    streaming-CMS read path split _cms_pruned_exact_counts into
+    #    build + probe kernels (plans/approx.py), so both oracled CMS
+    #    queries' code changed after their newest green rows. The
+    #    refactor is plan-equivalent (verified vs oracle at sf0.01
+    #    before the window closed), but the tier-2 rule is "code
+    #    changed → driver re-confirmation", no silent exemptions; the
+    #    other changed query, cms_heavy_hitters, already holds a tier-3
+    #    slot below. No other oracled query's code changed this round;
     # 3) ALL 11 deferred r11-era members (VERDICT r15 #1, verbatim);
-    # 4) 34 of the 42 r12-era members, keeping the higher-risk shapes
+    # 4) 33 of the 42 r12-era members, keeping the higher-risk shapes
     #    per VERDICT r15 #1 (money/float arithmetic, stats-model
     #    floats, window/session/streaming shapes, connector/layout).
-    #    The 8 deferred r12 members (brand_type_vocabulary,
+    #    The 9 deferred r12 members (brand_type_vocabulary,
     #    customer_set_ops, dedup_exact, k_anonymity_census,
-    #    max_concurrent_sessions, repetition_stats,
+    #    max_concurrent_sessions, order_priority_pivot —
+    #    displaced by the tier-2 slot — repetition_stats,
     #    skewed_distinct_users, token_stats) are exact integer-count /
     #    set-semantic shapes — no float, money, calendar, or connector
     #    surface — every one differential-covered at sf0.001 each
@@ -83,6 +88,9 @@ _WINDOW: list[str] = [
     "ii",
     "mr_wc",
     "mr_ii",
+    # tier 2: code changed after its newest driver row (r16 CMS kernel
+    # split for the streaming read path)
+    "cms_heavy_hitters_by_source",
     # tier 3: the 11 deferred r11-era members (VERDICT r15 #1, verbatim)
     "brand_stats_having",
     "cms_heavy_hitters",
@@ -110,7 +118,6 @@ _WINDOW: list[str] = [
     "merge_upsert_orders",
     "nation_revenue_trend",
     "nation_trend_significance",
-    "order_priority_pivot",
     "partitioned_pruned_daily",
     "parts_above_brand_avg",
     "priorities_with_big_items",
@@ -701,6 +708,51 @@ def q_cms_heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     answer EXACT, so this carries a full DuckDB oracle (per-source word
     count with HAVING) like its global anchor cms_heavy_hitters."""
     return AX.cms_heavy_hitters_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@register("stream_cms_heavy_hitters")
+def q_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min-at-ingest end-to-end (streaming/sinks.py
+    write_stream_cms_cells, r16 — VERDICT r15 #6): an availableNow
+    drain folds each micro-batch of documents' (d, pos) cell counts
+    into a persisted sketch table (versioned dirs + atomic pointer +
+    batch-id fence — the fence is LOAD-BEARING here: cell-count
+    addition is not idempotent, the DD fold's contrast to the HLL/KMV
+    max-merges), and the returned heavy hitters — candidate-pruned by
+    the PERSISTED grid through the identical probe kernel as the batch
+    query — equal the one-shot batch cms_heavy_hitters EXACTLY (pinned
+    across a multi-batch replay in tests/test_streaming.py; the
+    differential's independent reference is the exact DuckDB heavy-
+    hitter count at sf0.1). Rows-only (streaming drain; the batch twin
+    cms_heavy_hitters carries the DuckDB oracle)."""
+    import os
+    import shutil
+
+    from .sources.artifacts import build_once
+    from .sources.tables import fixture_cache_tag, stream_documents
+    from .streaming import sinks as SK
+
+    tag = fixture_cache_tag(sf_dir, "documents", "stream-src-v1")
+    src = f"/tmp/tp1_spark_stream_documents_{tag}"
+    build_once(
+        src,
+        lambda: load_table(spark, sf_dir, "documents")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src),
+    )
+    # per-invocation suffix — the lazy-DataFrame reasoning of the
+    # HLL/KMV/DD streaming queries (ADVICE r12).
+    work = f"/tmp/tp1_spark_cms_q_{tag}_{os.getpid()}_g{next(_STREAM_Q_SEQ)}"
+    shutil.rmtree(work, ignore_errors=True)
+    SK.write_stream_cms_cells(
+        stream_documents(spark, src, max_files_per_trigger=2),
+        f"{work}/state",
+        f"{work}/ckpt",
+    )
+    return SK.read_cms_heavy_hitters(
+        spark, f"{work}/state", load_table(spark, sf_dir, "documents")
+    )
 
 
 @register("bitmap_distinct_users", oracle=AX.BITMAP_DISTINCT_ORACLE)

@@ -153,6 +153,24 @@ def stream_events(
     return _normalize_ts(reader.parquet(src))
 
 
+def stream_documents(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a documents parquet path (file or
+    directory) — the ingest side of the streaming CMS fold
+    (streaming/sinks.py write_stream_cms_cells). Documents carry no
+    timestamp column, so unlike stream_events there is no NANOS
+    conversion or watermark dtype concern; the schema is read from the
+    batch footer so batch and streaming plans see an identical shape.
+    ``max_files_per_trigger`` splits a bounded replay into micro-batches
+    (tests use it to exercise the cross-batch fold)."""
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
