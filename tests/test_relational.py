@@ -47,9 +47,9 @@ def oracle_results(spark, request):
         except Exception as ex:  # surfaced by the owning param test
             return (None, None, ex)
 
-    # 24 threads (r13, was 16): the collects are executor-bound on 32
-    # cores; measured 24s → ~18s for the 189-query sweep.
-    with ThreadPoolExecutor(max_workers=24) as pool:
+    # 32 threads (r16, was 24): the collects are executor-bound on 32
+    # cores but each has py4j/planning dead time a deeper pool overlaps.
+    with ThreadPoolExecutor(max_workers=32) as pool:
         return dict(zip(names, pool.map(run, names)))
 
 

@@ -379,15 +379,16 @@ def registry_plans(spark):
     localCheckpoints) at plan-construction time, so building all 220+
     plans serially dominated the suite (42s); Spark's scheduler is
     thread-safe and the Python-datasource thread-local pin lives in
-    register_* (pydatasource). 16 threads (r13 suite-time trim, was 8):
-    plan construction is py4j/Catalyst-bound; measured 22.9s → ~12s."""
+    register_* (pydatasource). 32 threads (r16 suite-time trim, was 16 —
+    plan construction is py4j/Catalyst-bound, so threads scale past the
+    core count; r13 measured 22.9s → ~12s at 16)."""
     from concurrent.futures import ThreadPoolExecutor
 
     def plan_of(item):
         name, fn = item
         return name, fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
 
-    with ThreadPoolExecutor(max_workers=16) as pool:
+    with ThreadPoolExecutor(max_workers=32) as pool:
         return dict(pool.map(plan_of, registry.queries().items()))
 
 

@@ -72,6 +72,18 @@ def get_spark(app_name: str = "tp1-mapreduce-spark") -> SparkSession:
         .config("spark.speculation.quantile", "0.9")
         .config("spark.task.maxFailures", "4")
     )
+    # Opt-in cap on spark.default.parallelism (tests/conftest.py sets 8):
+    # local-mode defaultParallelism equals the core count, so
+    # createDataFrame/parallelize of a 3-row literal fixture schedules 32
+    # tasks — each a Python-worker round trip on the Arrow path. Measured
+    # on the tiny-fixture MapReduce suite: warm run_mapreduce collect
+    # 1.9s → 1.0s, word_count 3.7s → 1.9s at parallelism 8. Unset for
+    # bench/driver sessions: parquet-scan split counts and shuffle
+    # parallelism (the sf0.1 cost drivers) don't depend on it, but the
+    # perf envelope stays byte-identical to prior rounds by default.
+    dp = os.environ.get("SPARK_GRAFT_DEFAULT_PARALLELISM")
+    if dp:
+        builder = builder.config("spark.default.parallelism", dp)
     return builder.getOrCreate()
 
 
