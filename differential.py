@@ -553,6 +553,37 @@ def _ref_stream_cms_hh(rows: list, sf_dir: str) -> dict:
     }
 
 
+def _ref_stream_bloom_pruned(rows: list, sf_dir: str) -> dict:
+    """The streaming Bloom fold's pruned join is EXACT by contract (the
+    persisted filter only prunes; false positives die in the exact
+    semi-join), so the independent reference is the full exact answer:
+    the batch bloom_pruned_join's own DuckDB oracle, recomputed here
+    against the STREAM-folded state's output."""
+    import duckdb
+
+    from tp1_distribuidos_mapreduce_spark.plans.bloom import (
+        BLOOM_PRUNED_JOIN_ORACLE,
+    )
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    want = sorted(map(tuple, con.execute(BLOOM_PRUNED_JOIN_ORACLE).fetchall()))
+    con.close()
+    got = sorted(
+        (r["l_returnflag"], r["l_linestatus"], r["n_items"], r["revenue"])
+        for r in rows
+    )
+    return {
+        "reference": "exact DuckDB semi-join revenue "
+        "(the batch bloom_pruned_join oracle)",
+        "n_groups_exact": len(want),
+        "reference_match": bool(got == want and want),
+    }
+
+
 def _ref_bloom_merge(rows: list, sf_dir: str) -> dict:
     """Merge flag + occupancy envelope: for n exact distinct keys
     (DuckDB) and K = N_HASHES·n uniform bit draws into M_BITS, the
@@ -1281,6 +1312,7 @@ REFERENCE_CHECKS = {
     "cms_merge_proof": _ref_cms_merge,
     "stream_cms_heavy_hitters": _ref_stream_cms_hh,
     "bloom_merge_proof": _ref_bloom_merge,
+    "stream_bloom_pruned_join": _ref_stream_bloom_pruned,
     "rolling_28d_users_hll": _ref_hll_rolling,
     "stream_hll_rolling_28d": _ref_hll_rolling,
     "kmv_event_user_overlap": _ref_kmv_overlap,

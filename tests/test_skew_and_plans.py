@@ -295,6 +295,9 @@ NESTED_LOOP_ALLOWED = {
                                     # (source, word)-composite keys (r15)
     "stream_cms_heavy_hitters",     # same single-row grid broadcast, the
                                     # grid read from the fold state (r16)
+    "stream_bloom_pruned_join",     # same 32 KB single-row bitmap
+                                    # broadcast, the words read from the
+                                    # fold state (r16)
     "idle_customers_opportunity",  # single-row broadcast scalar aggregate
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate

@@ -996,3 +996,86 @@ def test_stream_cms_replayed_batch_fenced(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/v1").collect()
     )
     assert doubled == [(d, p, 2 * n) for d, p, n in first]
+
+
+def test_stream_bloom_words_equal_batch_join_exactly(spark, tmp_path):
+    """write_stream_bloom_words folded across micro-batches must yield a
+    pruned-join result IDENTICAL to the one-shot batch bloom_pruned_join
+    (bit OR over a partition of the key set builds the same filter, and
+    the read path probes the persisted words through the batch query's
+    own bloom_prune kernel + exact semi-join), and a same-checkpoint
+    rerun is a no-op."""
+    from tp1_distribuidos_mapreduce_spark.plans import bloom as B
+    from tp1_distribuidos_mapreduce_spark.sources.tables import stream_parquet
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "bloom_src")
+    state = str(tmp_path / "bloom_state")
+    ckpt = str(tmp_path / "bloom_ckpt")
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    # 2 files × max_files_per_trigger=1 → two micro-batches: the
+    # smallest shape that still exercises a cross-batch OR fold
+    orders.repartition(2).write.mode("overwrite").parquet(src)
+
+    def drain():
+        SK.write_stream_bloom_words(
+            stream_parquet(spark, src, max_files_per_trigger=1)
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey"),
+            "o_orderkey",
+            state,
+            ckpt,
+        )
+
+    drain()
+    got = norm(
+        SK.read_bloom_pruned_revenue(spark, state, lineitem, orders).collect()
+    )
+    want = norm(B.bloom_pruned_join(orders, lineitem).collect())
+    assert got == want and got  # non-vacuous: the fixture has urgent orders
+
+    drain()  # same-checkpoint rerun: no new batches, state unchanged
+    assert norm(
+        SK.read_bloom_pruned_revenue(spark, state, lineitem, orders).collect()
+    ) == want
+
+
+def test_stream_bloom_refold_idempotent_past_fence(spark, tmp_path):
+    """The Bloom fold's distinguishing algebra vs the additive CMS/DD
+    folds: bit OR is IDEMPOTENT, so even a re-fold FORCED PAST the
+    batch-id fence (a new epoch carrying verbatim-duplicate keys) leaves
+    the word table byte-identical — the fence only keeps the pointer's
+    batch_id truthful. Also pins the fenced replay no-op itself."""
+    from tp1_distribuidos_mapreduce_spark.streaming import sinks as SK
+
+    state = str(tmp_path / "bloom_state2")
+    keys = (
+        load_table(spark, SF_SMOKE, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .limit(200)
+    )
+
+    SK._bloom_fold(keys, "o_orderkey", 0, state)
+    first = sorted(
+        (r["word"], r["bits"])
+        for r in spark.read.parquet(f"{state}/v0").collect()
+    )
+    assert first  # non-vacuous
+
+    SK._bloom_fold(keys, "o_orderkey", 0, state)  # replay: fenced no-op
+    assert SK._read_ivm_pointer(state) == {"dir": "v0", "batch_id": 0}
+    assert sorted(
+        (r["word"], r["bits"])
+        for r in spark.read.parquet(f"{state}/v0").collect()
+    ) == first
+
+    # new epoch, SAME keys, past the fence: OR idempotence keeps every
+    # word bit-identical (the CMS twin DOUBLES here — additive contrast)
+    SK._bloom_fold(keys, "o_orderkey", 1, state)
+    assert sorted(
+        (r["word"], r["bits"])
+        for r in spark.read.parquet(f"{state}/v1").collect()
+    ) == first

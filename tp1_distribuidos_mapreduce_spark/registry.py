@@ -755,6 +755,58 @@ def q_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_bloom_pruned_join")
+def q_stream_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming membership-sketch-at-ingest end-to-end (streaming/
+    sinks.py write_stream_bloom_words, r16 — the last sketch family
+    member whose production ingest shape existed only as a batch merge
+    proof): an availableNow drain folds each micro-batch of urgent-order
+    keys into a persisted sparse Bloom word table (versioned dirs +
+    atomic pointer + batch-id fence — NOT load-bearing here: bit OR is
+    idempotent like the HLL/KMV merges, pinned by a forced re-fold in
+    tests/test_streaming.py), and the returned revenue — lineitem
+    pruned by the PERSISTED filter through the identical probe kernel,
+    false positives removed by the exact semi-join — equals the
+    one-shot batch bloom_pruned_join EXACTLY. Rows-only (streaming
+    drain; the batch twin bloom_pruned_join carries the DuckDB oracle,
+    and the differential's independent reference replays that oracle at
+    sf0.1)."""
+    import os
+    import shutil
+
+    from .sources.artifacts import build_once
+    from .sources.tables import fixture_cache_tag, stream_parquet
+    from .streaming import sinks as SK
+
+    tag = fixture_cache_tag(sf_dir, "orders", "stream-src-v1")
+    src = f"/tmp/tp1_spark_stream_orders_{tag}"
+    build_once(
+        src,
+        lambda: load_table(spark, sf_dir, "orders")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src),
+    )
+    # per-invocation suffix — the lazy-DataFrame reasoning of the
+    # HLL/KMV/DD/CMS streaming queries (ADVICE r12).
+    work = f"/tmp/tp1_spark_bloom_q_{tag}_{os.getpid()}_g{next(_STREAM_Q_SEQ)}"
+    shutil.rmtree(work, ignore_errors=True)
+    urgent_keys = (
+        stream_parquet(spark, src, max_files_per_trigger=2)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    SK.write_stream_bloom_words(
+        urgent_keys, "o_orderkey", f"{work}/state", f"{work}/ckpt"
+    )
+    return SK.read_bloom_pruned_revenue(
+        spark,
+        f"{work}/state",
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 @register("bitmap_distinct_users", oracle=AX.BITMAP_DISTINCT_ORACLE)
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AX.bitmap_distinct_users(load_table(spark, sf_dir, "events"))

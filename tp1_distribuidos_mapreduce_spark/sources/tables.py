@@ -171,6 +171,23 @@ def stream_documents(
     return reader.parquet(path)
 
 
+def stream_parquet(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over any NANOS-free parquet path — the generic
+    ingest reader for tables without a timestamp column (orders feeds the
+    streaming Bloom fold, streaming/sinks.py write_stream_bloom_words).
+    events must keep going through stream_events (NANOS→micros handling);
+    the schema is read from the batch footer so batch and streaming plans
+    see an identical shape. ``max_files_per_trigger`` splits a bounded
+    replay into micro-batches (tests exercise the cross-batch fold)."""
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -751,6 +751,144 @@ def _cms_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
             shutil.rmtree(os.path.join(state_path, dd), ignore_errors=True)
 
 
+def write_stream_bloom_words(
+    stream_df: DataFrame,
+    key_col: str,
+    state_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming membership-sketch-at-ingest (r16, completing the
+    sketch-ingest family: HLL = rolling distinct, KMV = set operations,
+    DDSketch = quantiles, CMS = frequency, Bloom = MEMBERSHIP): fold
+    each micro-batch of join keys into a persisted sparse (word, bits)
+    Bloom table. Join-pruning reads then probe facts against the
+    persisted filter (read_bloom_pruned_revenue) instead of rebuilding
+    it from the landed dimension.
+
+    Per batch: the batch's word table (plans/bloom.py _bloom_words —
+    the SAME kernel as the batch build, so the fold and the one-shot
+    bitmap cannot desynchronize) merges into the current state with a
+    word-keyed full-outer bitwise OR; the commit is the IVM sink's
+    versioned-dir + atomic pointer + batch-id fence. bit OR is
+    associative, commutative, and IDEMPOTENT, so like the HLL/KMV folds
+    (and unlike the additive DD/CMS ones) the fence only keeps the
+    pointer's batch_id truthful — a double-fold would be a no-op on the
+    bits (pinned in tests/test_streaming.py by forcing a re-fold past
+    the fence). This is the filter's 100 TB ingest shape: per-slice
+    word tables folded by OR, ≤ M_BITS/64 = 4,096 rows per fold
+    crossing the wire, never the key set."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _bloom_fold(batch_df, key_col, batch_id, state_path)
+
+    (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _bloom_fold(
+    batch_df: DataFrame, key_col: str, batch_id: int, state_path: str
+) -> None:
+    """One idempotent OR fold: fence (pointer truthfulness only — the
+    merge algebra tolerates replays), word-keyed bitwise-OR merge,
+    atomic versioned commit (the _kmv_fold convention)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..plans.bloom import _bloom_words
+
+    spark = batch_df.sparkSession
+    os.makedirs(state_path, exist_ok=True)
+    committed = _read_ivm_pointer(state_path)
+    if committed is not None and batch_id <= committed["batch_id"]:
+        return  # replayed epoch — fenced (and the OR merge is idempotent)
+    delta = _bloom_words(batch_df.select(key_col), key_col)
+    if committed is not None:
+        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        b = cur.select(
+            F.col("word").alias("b_w"), F.col("bits").alias("b_bits")
+        )
+        d = delta.select(
+            F.col("word").alias("d_w"), F.col("bits").alias("d_bits")
+        )
+        merged = b.join(d, b["b_w"] == d["d_w"], "full_outer").select(
+            F.coalesce(b["b_w"], d["d_w"]).alias("word"),
+            F.expr(
+                "coalesce(b_bits, 0L) | coalesce(d_bits, 0L)"
+            ).alias("bits"),
+        )
+    else:
+        merged = delta
+    new_dir = f"v{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _commit_ivm_pointer(state_path, new_dir, batch_id)
+    keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
+    for dd in os.listdir(state_path):
+        if dd.startswith("v") and dd not in keep:
+            shutil.rmtree(os.path.join(state_path, dd), ignore_errors=True)
+
+
+def read_bloom_pruned_revenue(
+    spark: SparkSession,
+    state_path: str,
+    lineitem: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """Urgent-order revenue with the lineitem scan pruned by the
+    PERSISTED streaming Bloom state: the committed word table (≤ 4,096
+    rows — the filter, never the key set) densifies driver-side exactly
+    as plans/bloom.py build_bloom_bitmap does, the probe runs through
+    the identical bloom_prune kernel, and the exact semi-join against
+    the landed urgent orders removes the false positives — so a
+    fully-drained fold answers EXACTLY like the one-shot batch
+    bloom_pruned_join (equality pinned in tests/test_streaming.py; the
+    differential's independent reference is that query's own DuckDB
+    oracle at sf0.1)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.bloom import M_BITS, bloom_prune
+
+    committed = _read_ivm_pointer(state_path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed sketch state under {state_path}")
+    words = spark.read.parquet(
+        os.path.join(state_path, committed["dir"])
+    ).collect()
+    bitmap = [0] * (M_BITS // 64)
+    for r in words:
+        bitmap[r["word"]] = r["bits"]
+    pruned = bloom_prune(lineitem, "l_orderkey", bitmap)
+    urgent = orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    exact = pruned.join(
+        urgent, pruned["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    )
+    # same aggregate shape as the batch bloom_pruned_join — kept textually
+    # separate (touching plans/bloom.py would re-open that oracled query's
+    # driver window slot); the exact-equality pin in tests/test_streaming.py
+    # is what keeps the two from desynchronizing
+    return (
+        exact.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def read_cms_heavy_hitters(
     spark: SparkSession,
     state_path: str,
