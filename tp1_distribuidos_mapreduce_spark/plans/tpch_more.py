@@ -823,3 +823,102 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+# --------------------------------------------------------------------------
+# Q9: product-type profit — the partsupp query, with ps_supplycost DERIVED
+# --------------------------------------------------------------------------
+
+
+def q9_product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Profit on 'red' parts by supplier nation and order year — TPC-H Q9
+    ('%green%' adapted to the fixture's color vocabulary; reference scope:
+    the reference has no joins at all, SURVEY.md §2 — this extends the
+    TPC-H family past the partsupp gap).
+
+    The fixture set carries NO partsupp table (TESTDATA.md), which is
+    what capped the TPC-H tier at the partsupp-free queries. Q9 needs
+    partsupp ONLY for ps_supplycost keyed by (partkey, suppkey) — and
+    lineitem already carries l_suppkey — so the cost dimension is
+    DERIVED as a pure deterministic function of the key pair:
+    supplycost_cents = 100 + hash4("pk:sk"), where hash4 is the
+    engine-portable first-4-hex-chars-of-md5 bucket
+    (operators/pipeline.py _hash_bucket, verified digit-identical in
+    DuckDB via the instr() hex decode). Both engines derive the cost
+    INDEPENDENTLY — no /tmp artifact, no ordering dependency between
+    the Spark run and the oracle.
+
+    Plan shape: the selective p_name filter broadcasts into the
+    lineitem scan first (kills ~87% of rows before anything else),
+    supplier⨝nation broadcasts next, and the ONLY fact-sized shuffle is
+    lineitem⨝orders on the order key — the canonical Q9 plan at 100 TB
+    (part and supplier are always broadcastable; orders co-shuffles
+    once). Exactness: per-row profit in integer 10^-4-dollar units
+    (cents × cents-scale discount minus cents-cost × integral quantity
+    × 100), summed as BIGINT and divided ONCE by 10^4 — no float
+    partial-sum order, no rounding ties (profit can be negative, so the
+    (u+50) div 100 half-up device is NOT used: Spark div truncates
+    toward zero while DuckDB // floors, and they disagree below zero).
+    BIGINT headroom: |amount_u| < 10^9 per row leaves ~9·10^9 rows per
+    (nation, year) group before 2^63 — past that, cast the sum to
+    DECIMAL(38,0) on both sides."""
+    red_parts = part.where(F.col("p_name").like("%red%")).select("p_partkey")
+    supp_nat = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    hex4 = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("l_partkey"), F.col("l_suppkey")
+            ).cast("binary")
+        ),
+        1,
+        4,
+    )
+    sc_cents = F.conv(hex4, 16, 10).cast("long") + 100
+    amount_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ) - sc_cents * F.round(F.col("l_quantity")).cast("long") * 100
+    return (
+        lineitem.join(
+            F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(amount_u).cast("double") / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_ORACLE = """
+SELECT nation, o_year, CAST(sum(amount_u) AS DOUBLE) / 10000.0 AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+         - (100 + CAST(((instr('0123456789abcdef', substr(md5(l_partkey::VARCHAR || ':' || l_suppkey::VARCHAR),1,1)) - 1) * 4096
+                      + (instr('0123456789abcdef', substr(md5(l_partkey::VARCHAR || ':' || l_suppkey::VARCHAR),2,1)) - 1) * 256
+                      + (instr('0123456789abcdef', substr(md5(l_partkey::VARCHAR || ':' || l_suppkey::VARCHAR),3,1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(md5(l_partkey::VARCHAR || ':' || l_suppkey::VARCHAR),4,1)) - 1)) AS BIGINT))
+           * CAST(round(l_quantity) AS BIGINT) * 100 AS amount_u
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%red%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""

@@ -73,10 +73,11 @@ _WINDOW: list[str] = [
     # 4) 33 of the 42 r12-era members, keeping the higher-risk shapes
     #    per VERDICT r15 #1 (money/float arithmetic, stats-model
     #    floats, window/session/streaming shapes, connector/layout).
-    #    The 9 deferred r12 members (brand_type_vocabulary,
+    #    The 10 deferred r12 members (brand_type_vocabulary,
     #    customer_set_ops, dedup_exact, k_anonymity_census,
     #    max_concurrent_sessions, order_priority_pivot —
-    #    displaced by the tier-2 slot — repetition_stats,
+    #    displaced by the tier-2 slot — priorities_with_big_items —
+    #    displaced by the new-oracled q9 slot — repetition_stats,
     #    skewed_distinct_users, token_stats) are exact integer-count /
     #    set-semantic shapes — no float, money, calendar, or connector
     #    surface — every one differential-covered at sf0.001 each
@@ -120,8 +121,14 @@ _WINDOW: list[str] = [
     "nation_trend_significance",
     "partitioned_pruned_daily",
     "parts_above_brand_avg",
-    "priorities_with_big_items",
     "promo_revenue_by_month",
+    # new oracled r16 (the VERDICT r15 #1 cap allows 1-2): TPC-H Q9 with
+    # the derived supplycost hash — new money arithmetic + a new
+    # cross-engine hash site, exactly the class that needs a driver row
+    # the round it lands. Takes priorities_with_big_items's slot (exact
+    # integer EXISTS count, the deferral class): that member joins the
+    # r17 front-of-line list below.
+    "q9_product_type_profit",
     "rolling_28d_users_exact",
     "session_window_stats",
     "sessionize_events",
@@ -1878,6 +1885,24 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("q9_product_type_profit", oracle=TM.Q9_ORACLE)
+def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (plans/tpch_more.py, r16): the
+    partsupp query, unlocked by deriving ps_supplycost as a pure
+    engine-portable hash function of (partkey, suppkey) — the fixture
+    set has no partsupp table, and lineitem already carries l_suppkey.
+    Broadcast part filter + broadcast supplier⨝nation; the only
+    fact-sized shuffle is lineitem⨝orders. Exact BIGINT profit units
+    divided once — no float partial-sum order, no rounding tie."""
+    return TM.q9_product_type_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
     )
 
