@@ -299,6 +299,9 @@ NESTED_LOOP_ALLOWED = {
                                     # broadcast, the words read from the
                                     # fold state (r16)
     "idle_customers_opportunity",  # single-row broadcast scalar aggregate
+    "q2_min_cost_supplier",        # single-row broadcast supplier-count
+                                   # frame feeding the derived-partsupp
+                                   # hash modulus (r16)
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate
     "rolling_7d_active_users",     # single-row broadcast max-day aggregate

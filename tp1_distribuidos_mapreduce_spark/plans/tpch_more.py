@@ -922,3 +922,162 @@ FROM (
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
 """
+
+
+# --------------------------------------------------------------------------
+# Derived partsupp + Q2: minimum-cost supplier (correlated-min join-back)
+# --------------------------------------------------------------------------
+
+
+def _hash4(key: F.Column) -> F.Column:
+    """First-4-hex-chars-of-md5 as a BIGINT in [0, 65536) — the
+    engine-portable deterministic hash (operators/pipeline.py
+    _hash_bucket without the modulus; DuckDB reproduces it with the
+    instr() hex decode, verified digit-identical). Shared by the q9
+    supplycost derivation and the derived partsupp pair/cost builders
+    so the cost function cannot drift between the queries."""
+    return F.conv(
+        F.substring(F.md5(key.cast("binary")), 1, 4), 16, 10
+    ).cast("long")
+
+
+def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """The partsupp relation the fixture set lacks, DERIVED: each part is
+    supplied by (up to) 4 suppliers chosen as hash4("pk:i") mod n_supp
+    for i in 0..3 (0-based supplier keys, matching the fixture; hash
+    collisions across i collapse via distinct, so a part carries 1-4
+    distinct suppliers), each pair costed at
+    ps_supplycost_cents = 100 + hash4("pk:sk") — the SAME cost function
+    q9 applies to lineitem's own (l_partkey, l_suppkey) pairs. Both
+    engines derive the relation independently (pure key arithmetic — no
+    /tmp artifact, no ordering dependency). n_supp rides in as a
+    broadcast 1-row count frame, so the build stays fully distributed:
+    |part| × 4 generated rows, one distinct shuffle bounded by the part
+    dimension, never a fact-sized anything."""
+    n_supp = supplier.agg(F.count("*").cast("long").alias("__n_supp"))
+    pairs = (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(n_supp))
+        .select(
+            "p_partkey",
+            "__n_supp",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.pmod(
+                _hash4(F.concat_ws(":", F.col("p_partkey"), F.col("__i"))),
+                F.col("__n_supp"),
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "ps_supplycost_cents",
+        _hash4(F.concat_ws(":", F.col("ps_partkey"), F.col("ps_suppkey")))
+        + 100,
+    )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Minimum-cost EUROPE supplier for every STANDARD part — TPC-H Q2
+    (size-15/'%BRASS' adapted to the fixture's type vocabulary; p_mfgr
+    → p_brand) over the derived partsupp relation.
+
+    The TPC-H trap is the correlated subquery (the min must range over
+    REGION suppliers only, then the outer row must tie back on cost
+    equality). Plan: region-filtered supplier⨝nation broadcasts into
+    the derived pair table, the per-part min is ONE part-bounded
+    aggregate broadcast back as an equi-join (never a recompute, never
+    a window over the candidate table — the q15 discipline), and the
+    LIMIT rides a fully tie-broken sort (s_acctbal DESC, n_name,
+    s_name, p_partkey — unique per candidate row since s_name is
+    unique and pairs are distinct), so the cut is deterministic in both
+    engines. Every frame here is dimension-bounded; at 100 TB this
+    whole query never touches a fact table."""
+    ps = derived_partsupp(part, supplier)
+    eur = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    std = part.where(F.col("p_type") == "STANDARD").select(
+        "p_partkey", "p_brand"
+    )
+    cand = ps.join(
+        F.broadcast(std), F.col("ps_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey"))
+    mins = cand.groupBy(F.col("p_partkey").alias("__mk")).agg(
+        F.min("ps_supplycost_cents").alias("__min_cost")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("__mk"))
+            & (F.col("ps_supplycost_cents") == F.col("__min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("ps_supplycost_cents") / 100.0).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_PS_HASH4 = """((instr('0123456789abcdef', substr(md5({k}),1,1)) - 1) * 4096
+              + (instr('0123456789abcdef', substr(md5({k}),2,1)) - 1) * 256
+              + (instr('0123456789abcdef', substr(md5({k}),3,1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5({k}),4,1)) - 1))"""
+
+Q2_ORACLE = f"""
+WITH ps AS (
+  SELECT DISTINCT p_partkey AS ps_partkey,
+         CAST({_PS_HASH4.format(k="p_partkey::VARCHAR || ':' || i::VARCHAR")}
+              % (SELECT count(*) FROM supplier) AS BIGINT) AS ps_suppkey
+  FROM part, range(4) t(i)
+),
+psc AS (
+  SELECT ps_partkey, ps_suppkey,
+         100 + CAST({_PS_HASH4.format(k="ps_partkey::VARCHAR || ':' || ps_suppkey::VARCHAR")}
+                    AS BIGINT) AS ps_supplycost_cents
+  FROM ps
+),
+eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, ps_supplycost_cents
+  FROM part JOIN psc ON p_partkey = ps_partkey
+            JOIN eur ON ps_suppkey = s_suppkey
+  WHERE p_type = 'STANDARD'
+),
+mins AS (
+  SELECT p_partkey AS mk, min(ps_supplycost_cents) AS min_cost
+  FROM cand GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS supplycost
+FROM cand JOIN mins ON p_partkey = mk AND ps_supplycost_cents = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""

@@ -73,11 +73,12 @@ _WINDOW: list[str] = [
     # 4) 33 of the 42 r12-era members, keeping the higher-risk shapes
     #    per VERDICT r15 #1 (money/float arithmetic, stats-model
     #    floats, window/session/streaming shapes, connector/layout).
-    #    The 10 deferred r12 members (brand_type_vocabulary,
+    #    The 11 deferred r12 members (brand_type_vocabulary,
     #    customer_set_ops, dedup_exact, k_anonymity_census,
     #    max_concurrent_sessions, order_priority_pivot —
-    #    displaced by the tier-2 slot — priorities_with_big_items —
-    #    displaced by the new-oracled q9 slot — repetition_stats,
+    #    displaced by the tier-2 slot — priorities_with_big_items and
+    #    supplier_activity — displaced by the new-oracled q9/q2 slots —
+    #    repetition_stats,
     #    skewed_distinct_users, token_stats) are exact integer-count /
     #    set-semantic shapes — no float, money, calendar, or connector
     #    surface — every one differential-covered at sf0.001 each
@@ -136,7 +137,13 @@ _WINDOW: list[str] = [
     "sliding_event_stats",
     "stream_dedup_counts",
     "stream_static_enrichment",
-    "supplier_activity",
+    # new oracled r16 #2 (the VERDICT r15 #1 cap allows 1-2): TPC-H Q2
+    # over the derived partsupp relation — a new derived-dimension
+    # builder, a second cross-engine hash site, and a LIMIT-under-sort
+    # determinism surface. Takes supplier_activity's slot (exact
+    # integer EXISTS counts, the deferral class): that member joins the
+    # r17 front-of-line list above.
+    "q2_min_cost_supplier",
     "text_quality",
     "tfidf_top_terms",
     "value_outliers",
@@ -1904,6 +1911,23 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part"),
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("q2_min_cost_supplier", oracle=TM.Q2_ORACLE)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (plans/tpch_more.py, r16): the
+    correlated-min join-back over the DERIVED partsupp relation
+    (hash-chosen supplier pairs + the q9 cost function — both engines
+    derive it independently). Region-filtered dims broadcast; the
+    per-part min is one part-bounded aggregate equi-joined back; the
+    LIMIT rides a fully tie-broken sort so the cut is deterministic.
+    Dimension-bounded end to end — no fact table touched."""
+    return TM.q2_min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
     )
 
 
