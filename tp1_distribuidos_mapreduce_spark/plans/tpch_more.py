@@ -872,16 +872,9 @@ def q9_product_type_profit(
     supp_nat = supplier.join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", F.col("n_name").alias("nation"))
-    hex4 = F.substring(
-        F.md5(
-            F.concat_ws(
-                ":", F.col("l_partkey"), F.col("l_suppkey")
-            ).cast("binary")
-        ),
-        1,
-        4,
+    sc_cents = (
+        _hash4(F.concat_ws(":", F.col("l_partkey"), F.col("l_suppkey"))) + 100
     )
-    sc_cents = F.conv(hex4, 16, 10).cast("long") + 100
     amount_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     ) - sc_cents * F.round(F.col("l_quantity")).cast("long") * 100
