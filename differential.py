@@ -576,11 +576,21 @@ def _ref_stream_bloom_pruned(rows: list, sf_dir: str) -> dict:
         (r["l_returnflag"], r["l_linestatus"], r["n_items"], r["revenue"])
         for r in rows
     )
+    # Group keys and counts compare exactly; revenue within 0.011
+    # (ADVICE r16: each engine independently computes
+    # round(sum(price*(1-disc)), 2), and differing partial-sum orders
+    # can land the pre-round double on opposite sides of a .005
+    # boundary — a 1-cent flip both engines are entitled to. Everything
+    # above a cent is still a real mismatch.)
+    ok = len(got) == len(want) and all(
+        g[:3] == w[:3] and abs(g[3] - w[3]) <= 0.011
+        for g, w in zip(got, want)
+    )
     return {
         "reference": "exact DuckDB semi-join revenue "
-        "(the batch bloom_pruned_join oracle)",
+        "(the batch bloom_pruned_join oracle; revenue to the cent)",
         "n_groups_exact": len(want),
-        "reference_match": bool(got == want and want),
+        "reference_match": bool(ok and want),
     }
 
 

@@ -946,7 +946,15 @@ def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
     /tmp artifact, no ordering dependency). n_supp rides in as a
     broadcast 1-row count frame, so the build stays fully distributed:
     |part| × 4 generated rows, one distinct shuffle bounded by the part
-    dimension, never a fact-sized anything."""
+    dimension, never a fact-sized anything.
+
+    Degenerate-input divergence (ADVICE r16, not reachable on the
+    shipped fixtures): on an EMPTY supplier table Spark's
+    pmod(x, 0) yields NULL — every pair silently vanishes and the
+    Spark result is empty — while the oracle's ``% (SELECT count(*)
+    FROM supplier)`` raises a division-by-zero in DuckDB. A future
+    fixture change that empties supplier fails loudly on the oracle
+    side, not silently on this one."""
     n_supp = supplier.agg(F.count("*").cast("long").alias("__n_supp"))
     pairs = (
         part.select("p_partkey")
