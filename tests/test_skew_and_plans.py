@@ -302,6 +302,10 @@ NESTED_LOOP_ALLOWED = {
     "q2_min_cost_supplier",        # single-row broadcast supplier-count
                                    # frame feeding the derived-partsupp
                                    # hash modulus (r16)
+    "q11_important_stock",         # the same derived-partsupp 1-row
+                                   # modulus broadcast, plus the 1-row
+                                   # global-total frame the HAVING
+                                   # fraction compares against (r17)
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate
     "rolling_7d_active_users",     # single-row broadcast max-day aggregate
@@ -454,6 +458,18 @@ DOCUMENTED_SCAN_COUNTS = {
     # (plans/stats.py) and feeds the quantity map, price map, N scalar,
     # and closing weighted Pearson — one fact scan total, at build
     "quantity_price_spearman": 0,
+    # streaming sketch read paths (VERDICT r16 #7): the persisted fold
+    # state is collected driver-side at construction (the grid / the
+    # ≤4,096-row word table — the sketch, never data), so it never
+    # appears as a FileScan; the final job's scans are exactly the
+    # landed-source reads. CMS: 2 corpus scans (the grid-pruned
+    # candidate pass + the exact-verify recount — the documented
+    # division of labor in streaming/sinks.py read_cms_heavy_hitters).
+    # Bloom: 2 fact-side scans (the bitmap-pruned lineitem probe + the
+    # urgent-orders semi-join build in the shared
+    # plans/bloom.py urgent_pruned_revenue kernel).
+    "stream_cms_heavy_hitters": 2,
+    "stream_bloom_pruned_join": 2,
 }
 
 

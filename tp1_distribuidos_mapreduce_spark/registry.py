@@ -51,106 +51,111 @@ _STREAM_Q_SEQ = itertools.count()
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
-    # ---- round-16 window (exactly 50 names), rotated per VERDICT r15
-    # "Next round" #1. After the r15 rows the oracled freshness map is
-    # r11×11, r12×42, r13×44, r14×44, r15×50 — this window refreshes
-    # ALL 11 deferred r11-era members (the VERDICT r15 front-of-line
-    # list, verbatim) and 34 of the 42 r12-era members, with ZERO new
-    # oracled additions this round (VERDICT r15 caps adds at 1–2 and
-    # says the rotation wins any slot conflict; the r16 streaming CMS
-    # fold is rows-only and never takes a window slot). Composition:
+    # ---- round-17 window (exactly 50 names), rotated per VERDICT r16
+    # "Next round" #1. After the r16 rows the oracled freshness map is
+    # r12×11, r13×44, r14×44, r15×44, r16×50 — this window refreshes
+    # ALL 11 deferred r12-era members (the VERDICT r16 front-of-line
+    # list, verbatim) and 31 of the 44 r13-era members, with TWO new
+    # oracled additions (VERDICT r16 #2 caps adds at 1-2 and names
+    # them: TPC-H Q11 + Q20, completing the derived-partsupp tier bar
+    # Q16). Composition:
     # 1) the 5 reference-parity pins (always);
-    # 2) ONE tier-2 member: cms_heavy_hitters_by_source — the r16
-    #    streaming-CMS read path split _cms_pruned_exact_counts into
-    #    build + probe kernels (plans/approx.py), so both oracled CMS
-    #    queries' code changed after their newest green rows. The
-    #    refactor is plan-equivalent (verified vs oracle at sf0.01
-    #    before the window closed), but the tier-2 rule is "code
-    #    changed → driver re-confirmation", no silent exemptions; the
-    #    other changed query, cms_heavy_hitters, already holds a tier-3
-    #    slot below. No other oracled query's code changed this round;
-    # 3) ALL 11 deferred r11-era members (VERDICT r15 #1, verbatim);
-    # 4) 33 of the 42 r12-era members, keeping the higher-risk shapes
-    #    per VERDICT r15 #1 (money/float arithmetic, stats-model
-    #    floats, window/session/streaming shapes, connector/layout).
-    #    The 11 deferred r12 members (brand_type_vocabulary,
-    #    customer_set_ops, dedup_exact, k_anonymity_census,
-    #    max_concurrent_sessions, order_priority_pivot —
-    #    displaced by the tier-2 slot — priorities_with_big_items and
-    #    supplier_activity — displaced by the new-oracled q9/q2 slots —
-    #    repetition_stats,
-    #    skewed_distinct_users, token_stats) are exact integer-count /
-    #    set-semantic shapes — no float, money, calendar, or connector
-    #    surface — every one differential-covered at sf0.001 each
-    #    pytest run, at sf0.01 each driver-sim replay, and at sf0.1 in
-    #    DIFFERENTIAL_r16.json; they are r17's front of line with the
-    #    44-member r13 cohort.
+    # 2) ONE tier-2 member: bloom_pruned_join — its semi-join + revenue
+    #    rollup moved into the shared plans/bloom.py
+    #    urgent_pruned_revenue kernel this round (VERDICT r16 #3
+    #    unification with the streaming read path). Plan-equivalent
+    #    (verified vs oracle at sf0.001/sf0.01 before the window
+    #    closed), but the tier-2 rule is "code changed -> driver
+    #    re-confirmation", no silent exemptions. It is also r15-era, so
+    #    the slot doubles as rotation. No other oracled query's code
+    #    changed this round: q2/q9's paths are byte-identical (Q11/Q20
+    #    are NEW functions in the same file; derived_partsupp gained a
+    #    docstring-only degenerate-input note per ADVICE r16 — zero
+    #    code lines);
+    # 3) ALL 11 deferred r12-era members (VERDICT r16 #1, verbatim);
+    # 4) 31 of the 44 r13-era members, keeping the higher-risk shapes
+    #    per the rotation rule (money/float arithmetic, stats-model
+    #    floats, window/session/streaming shapes, connector/layout,
+    #    calendar). The 13 deferred r13 members (bitmap_distinct_users,
+    #    chunk_documents, language_id, latest_event_per_user,
+    #    phrase_search, positional_index, q13_custdist, sentence_stats,
+    #    stratified_sample, supplier_part_variety, train_val_test_split,
+    #    trigram_novelty, tumbling_event_counts) are exact integer-count
+    #    / set-semantic / deterministic-token-or-stride shapes — the two
+    #    calendar-adjacent ones (tumbling_event_counts,
+    #    latest_event_per_user) are pure integer counting / tie-broken
+    #    arg-max with no float or money surface — every one
+    #    differential-covered at sf0.001 each pytest run, at sf0.01
+    #    each driver-sim replay, and at sf0.1 in DIFFERENTIAL_r17.json;
+    #    they are r18's front of line with the 44-member r14 cohort.
     "wc",
     "wc_textfiles",
     "ii",
     "mr_wc",
     "mr_ii",
-    # tier 2: code changed after its newest driver row (r16 CMS kernel
-    # split for the streaming read path)
-    "cms_heavy_hitters_by_source",
-    # tier 3: the 11 deferred r11-era members (VERDICT r15 #1, verbatim)
-    "brand_stats_having",
-    "cms_heavy_hitters",
-    "cube_order_status_priority",
-    "dedup_embedding_cosine",
-    "dedup_jaccard_prefix",
-    "dedup_ngram_jaccard",
-    "dedup_survivors",
-    "knn_bruteforce",
-    "language_rebalance",
-    "published_events_census",
-    "subtree_rollup",
-    # tier 4: 34 of the 42 r12-era members, higher-risk shapes kept
-    "anova_price_by_priority",
-    "bm25_top_terms",
-    "click_purchase_attribution",
-    "disjunctive_brand_revenue",
-    "event_type_entropy",
-    "event_weekday_chi2",
-    "event_weekday_mutual_info",
-    "fuzzy_part_match",
-    "kaplan_meier_repurchase",
-    "ks_returned_price",
-    "mannwhitney_quantity",
-    "merge_upsert_orders",
-    "nation_revenue_trend",
-    "nation_trend_significance",
-    "partitioned_pruned_daily",
-    "parts_above_brand_avg",
-    "promo_revenue_by_month",
-    # new oracled r16 (the VERDICT r15 #1 cap allows 1-2): TPC-H Q9 with
-    # the derived supplycost hash — new money arithmetic + a new
-    # cross-engine hash site, exactly the class that needs a driver row
-    # the round it lands. Takes priorities_with_big_items's slot (exact
-    # integer EXISTS count, the deferral class): that member joins the
-    # r17 front-of-line list below.
-    "q9_product_type_profit",
-    "rolling_28d_users_exact",
-    "session_window_stats",
-    "sessionize_events",
-    "shared_span_pairs",
-    "sliding_event_stats",
-    "stream_dedup_counts",
-    "stream_static_enrichment",
-    # new oracled r16 #2 (the VERDICT r15 #1 cap allows 1-2): TPC-H Q2
-    # over the derived partsupp relation — a new derived-dimension
-    # builder, a second cross-engine hash site, and a LIMIT-under-sort
-    # determinism surface. Takes supplier_activity's slot (exact
-    # integer EXISTS counts, the deferral class): that member joins the
-    # r17 front-of-line list above.
-    "q2_min_cost_supplier",
-    "text_quality",
-    "tfidf_top_terms",
-    "value_outliers",
-    "waiting_suppliers",
-    "weekday_seasonality_index",
-    "welch_price_ttest",
-    "zorder_pruned_scan",
+    # tier 2: code changed after its newest driver row (r17 shared
+    # urgent_pruned_revenue kernel, VERDICT r16 #3)
+    "bloom_pruned_join",
+    # tier 3: the 11 deferred r12-era members (VERDICT r16 #1, verbatim)
+    "brand_type_vocabulary",
+    "customer_set_ops",
+    "dedup_exact",
+    "k_anonymity_census",
+    "max_concurrent_sessions",
+    "order_priority_pivot",
+    "priorities_with_big_items",
+    "repetition_stats",
+    "skewed_distinct_users",
+    "supplier_activity",
+    "token_stats",
+    # tier 4: 31 of the 44 r13-era members, higher-risk shapes kept
+    "bigram_perplexity",
+    "cohens_d_returned_price",
+    "copurchase_jaccard",
+    "daily_revenue_anomalies",
+    "event_gap_detection",
+    "event_user_overlap",
+    "geomean_price_by_brand",
+    "incremental_agg_merge",
+    "iqr_price_fences",
+    "label_centroid_cosine",
+    "large_quantity_orders",
+    "latest_event_from_jsonl",
+    "mad_outliers",
+    "median_order_value_by_nation",
+    "nation_trade_flows",
+    "nucleus_token_cut",
+    # new oracled r17 #1 (the VERDICT r16 #2 cap allows 1-2): TPC-H Q11
+    # over the derived partsupp relation — the fraction-of-global-total
+    # HAVING shape (scalar subquery as a broadcast 1-row frame) plus a
+    # third derived dimension (ps_availqty) and therefore a third
+    # cross-engine hash site: exactly the class that needs a driver row
+    # the round it lands. Takes q13_custdist's slot (exact integer
+    # counts, the deferral class): that member joins the r18
+    # front-of-line list above.
+    "q11_important_stock",
+    "q17_small_qty_revenue",
+    "q1_from_orc",
+    # new oracled r17 #2: TPC-H Q20 — the nested semi-join chain with
+    # the correlated half-of-annual-demand threshold, exact-integer
+    # end to end, sharing Q11's _availqty hash on lineitem's own pairs
+    # (the q9 move, documented). Takes sentence_stats's slot (exact
+    # integer-derived UDTF stats, the deferral class): that member
+    # joins the r18 front-of-line list above.
+    "q20_potential_promotion",
+    "q8_market_share",
+    "rolling_7d_active_users",
+    "schema_evolution_census",
+    "source_gini",
+    "source_quality_gates",
+    "table_diff",
+    "theil_sen_revenue_trend",
+    "trailing_30d_revenue",
+    "trimmed_mean_price",
+    "user_event_totals",
+    "weekday_orders_from_csv",
+    "wilson_ci_return_rate",
+    "winsorized_mean_price",
 ]
 
 # Historical windows: the r8/r9/r10/r12/r13 _WINDOW lists (and their
@@ -1928,6 +1933,39 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
+    )
+
+
+@register("q11_important_stock", oracle=TM.Q11_ORACLE)
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (plans/tpch_more.py, r17): the
+    fraction-of-global-total HAVING over the derived partsupp relation
+    with a third derived dimension (ps_availqty, the shared _availqty
+    hash). Per-part values are one part-bounded aggregate; the global
+    total is a broadcast 1-row frame; the threshold compare is pure
+    BIGINT cross-multiplication — no float until the display division.
+    Dimension-bounded end to end — no fact table touched."""
+    return TM.q11_important_stock(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register("q20_potential_promotion", oracle=TM.Q20_ORACLE)
+def q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (plans/tpch_more.py, r17): the
+    nested semi-join chain — name-filtered parts broadcast into the
+    year-pruned lineitem scan, ONE partial-aggregated pair shuffle, the
+    exact-integer half-of-annual-demand threshold (2×availqty > Σqty,
+    the shared _availqty hash on lineitem's own pairs — the q9 move,
+    documented in the plan docstring), then a broadcast supplier⨝nation
+    semi-join. One pruned fact shuffle total."""
+    return TM.q20_potential_promotion(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "lineitem"),
     )
 
 
