@@ -470,6 +470,10 @@ DOCUMENTED_SCAN_COUNTS = {
     # plans/bloom.py urgent_pruned_revenue kernel).
     "stream_cms_heavy_hitters": 2,
     "stream_bloom_pruned_join": 2,
+    # q11: the per-part vals frame feeds two consumers (global total +
+    # HAVING join) and is checkpointed at build, so the final job scans
+    # NO source — the one dimension-scan pass happened at construction
+    "q11_important_stock": 0,
 }
 
 

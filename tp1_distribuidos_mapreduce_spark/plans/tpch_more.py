@@ -1136,6 +1136,12 @@ def q11_important_stock(
         F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey")
+    # vals feeds TWO consumers (the global total and the HAVING join) —
+    # the multi-consumer checkpoint discipline (Catalyst never CSEs
+    # across consumers, so a lazy vals would re-derive the whole
+    # derived-partsupp lineage twice). Eager at construction; the final
+    # job then performs ZERO FileScans (pinned in
+    # tests/test_skew_and_plans.py DOCUMENTED_SCAN_COUNTS).
     vals = (
         ps.join(F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("ps_partkey")
@@ -1144,6 +1150,7 @@ def q11_important_stock(
                 "__vu"
             )
         )
+        .localCheckpoint(eager=True)
     )
     total = vals.agg(F.sum("__vu").alias("__tot"))
     return (
