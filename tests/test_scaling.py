@@ -434,3 +434,75 @@ def test_sketch_merge_proofs_scale_linearly(spark):
     assert c1["merge_matches_onebuild"] and c10["merge_matches_onebuild"]
     assert c10["n_cells"] == c1["n_cells"]
     assert c10["total_count"] == COPIES * c1["total_count"]
+
+
+def _scaled_partsupp_world(spark, copies: int = COPIES):
+    """Jointly key-shifted copies of (part, supplier, lineitem) for the
+    r17 derived-partsupp TPC-H tier: p_partkey/l_partkey shift by
+    cp·pmax and s_suppkey/l_suppkey by cp·smax IN STEP, so every copy
+    is a self-consistent world — the cold-part filter, the pair
+    aggregation, and the supplier semi-join all stay within-copy —
+    while |part|, |supplier|, |lineitem|, and NATION_8's supplier
+    population each scale exactly ×copies. nation is left 1× (a true
+    dimension). The q11 hash modulus sees 10× suppliers, so its pair
+    MAPPING differs from 1× (expected — the drill pins wall-clock
+    slope and non-degenerate output, not row identity)."""
+    part = load_table(spark, SF_BENCH, "part")
+    supp = load_table(spark, SF_BENCH, "supplier")
+    li = load_table(spark, SF_BENCH, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    pmax = part.agg(F.max("p_partkey")).collect()[0][0] + 1
+    smax = supp.agg(F.max("s_suppkey")).collect()[0][0] + 1
+    copies_df = spark.range(copies).select(F.col("id").alias("cp"))
+
+    def shifted(df, shifts):
+        out = df.crossJoin(F.broadcast(copies_df))
+        for c, m in shifts.items():
+            out = out.withColumn(c, F.col(c) + F.col("cp") * m)
+        return out.drop("cp").localCheckpoint(eager=True)
+
+    return (
+        shifted(part, {"p_partkey": pmax}),
+        shifted(supp, {"s_suppkey": smax}),
+        shifted(li, {"l_partkey": pmax, "l_suppkey": smax}),
+    )
+
+
+def test_tpch_partsupp_queries_scale_linearly(spark):
+    """r17 entrants: q20 is the round's only new fact-touching query
+    (one pruned pair-shuffle over lineitem — must scale ~linearly);
+    q11 is dimension-bounded (derived partsupp + two 1-row broadcasts)
+    so its 10× cost is the dimension build, nothing fact-shaped."""
+    from tp1_distribuidos_mapreduce_spark.plans import tpch_more as TM
+
+    nation = load_table(spark, SF_BENCH, "nation")
+    p1, s1, l1 = _scaled_partsupp_world(spark, 1)
+    p10, s10, l10 = _scaled_partsupp_world(spark, COPIES)
+    results: list = []
+    _drill(
+        "q20_potential_promotion",
+        lambda t: TM.q20_potential_promotion(t[0], t[1], nation, t[2]),
+        (p1, s1, l1),
+        (p10, s10, l10),
+        results,
+    )
+    _drill(
+        "q11_important_stock",
+        lambda t: TM.q11_important_stock(t[0], t[1], nation),
+        (p1, s1, l1),
+        (p10, s10, l10),
+        results,
+    )
+    # q20's eligible-supplier rows live in within-copy worlds so 10×
+    # must produce MORE rows. q11's HAVING fraction (1/1000) is
+    # deliberately fixed while the NATION_3 partkey scope grows ×10, so
+    # the threshold moves from ~3× to ~32× the average share and the
+    # output legitimately EMPTIES at 10× — the same reason TPC-H scales
+    # Q11's fraction by 1/SF. The 10× timing is still the full
+    # dimension-build + aggregate cost (the filter is last), so the
+    # slope assertion stands; only the 1× output is pinned non-empty.
+    n20_1 = results[0][4]
+    n20_10 = results[0][5]
+    assert n20_1 > 0 and n20_10 > n20_1
+    assert results[1][4] > 0
