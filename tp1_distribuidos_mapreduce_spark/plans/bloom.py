@@ -156,6 +156,17 @@ def bloom_prune(fact: DataFrame, key_col: str, bitmap: list[int]) -> DataFrame:
     )
 
 
+def _urgent_keys(orders: DataFrame) -> DataFrame:
+    """The ONE definition of the urgent-order key set (ADVICE r17): the
+    bitmap-build predicate in bloom_pruned_join and the exact semi-join
+    predicate inside urgent_pruned_revenue MUST be the same key set —
+    a bloom bitmap built over a DIFFERENT set than the exact join would
+    produce false NEGATIVES (pruning rows the join still wants), which
+    is correctness-breaking, unlike bloom false positives. Sharing the
+    frame-builder makes that drift impossible by construction."""
+    return orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+
 def urgent_pruned_revenue(pruned: DataFrame, orders: DataFrame) -> DataFrame:
     """Shared exact tail of the urgent-revenue pruned join: the semi-join
     against the urgent order keys kills the bloom filter's false
@@ -164,8 +175,10 @@ def urgent_pruned_revenue(pruned: DataFrame, orders: DataFrame) -> DataFrame:
     streaming read_bloom_pruned_revenue (bitmap densified from the
     persisted fold state) — VERDICT r16 #3: the exact-equality pin in
     tests/test_streaming.py now guards the two paths' SEMANTICS (fold
-    state == fresh build), not a textual copy of this aggregate."""
-    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    state == fresh build), not a textual copy of this aggregate. The
+    key set comes from _urgent_keys — the same builder the batch bitmap
+    uses — so the prune predicate and the exact predicate cannot drift."""
+    urgent = _urgent_keys(orders)
     exact = pruned.join(
         urgent, pruned["l_orderkey"] == urgent["o_orderkey"], "left_semi"
     )
@@ -193,7 +206,7 @@ def bloom_pruned_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     broadcast hash semi-join would need the whole key set on every
     executor.
     """
-    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    urgent = _urgent_keys(orders)
     bitmap = build_bloom_bitmap(urgent, "o_orderkey")
     pruned = bloom_prune(lineitem, "l_orderkey", bitmap)
     return urgent_pruned_revenue(pruned, orders)

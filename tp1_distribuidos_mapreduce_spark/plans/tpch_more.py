@@ -1123,9 +1123,14 @@ def q11_important_stock(
     pure BIGINT product summed as BIGINT, and the threshold compare is
     the integer cross-multiplication value×1000 > total — no float
     enters until the final /100.0 display division, so both engines
-    agree to the digit. Headroom: |value| < 6.6e6 per pair → the
-    ×1000 compare needs the global total < 9.2e15, ~1.4e9 derived
-    pairs; past that, cast both sides to DECIMAL(38,0).
+    agree to the digit. The compare itself runs in DECIMAL(38,0) on
+    the Spark side and HUGEINT on the DuckDB side (ADVICE r17): a raw
+    BIGINT ×1000 would wrap silently in Spark's default non-ANSI mode
+    once the global total passes ~9.2e15 (~1.4e9 derived pairs) while
+    DuckDB errors — exactly the scale this plan targets — so the
+    headroom is now enforced branch-free (DECIMAL(38,0) is exact to
+    1e38; a Spark decimal overflow yields NULL, which the > rejects,
+    never a wrapped wrong answer) instead of documented-and-assumed.
 
     At 100 TB this query never touches a fact table: every frame is
     bounded by the part dimension."""
@@ -1155,7 +1160,10 @@ def q11_important_stock(
     total = vals.agg(F.sum("__vu").alias("__tot"))
     return (
         vals.crossJoin(F.broadcast(total))
-        .where(F.col("__vu") * 1000 > F.col("__tot"))
+        .where(
+            F.col("__vu").cast("decimal(38,0)") * 1000
+            > F.col("__tot").cast("decimal(38,0)")
+        )
         .select(
             "ps_partkey",
             (F.col("__vu") / 100.0).alias("stock_value"),
@@ -1190,7 +1198,7 @@ vals AS (
 )
 SELECT ps_partkey, CAST(vu AS DOUBLE) / 100.0 AS stock_value
 FROM vals
-WHERE vu * 1000 > (SELECT sum(vu) FROM vals)
+WHERE CAST(vu AS HUGEINT) * 1000 > (SELECT sum(vu) FROM vals)
 ORDER BY stock_value DESC, ps_partkey
 """
 
