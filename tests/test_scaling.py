@@ -494,6 +494,19 @@ def test_tpch_partsupp_queries_scale_linearly(spark):
         (p10, s10, l10),
         results,
     )
+    # r18 entrant: q16 is dimension-bounded like q11 (derived pairs +
+    # broadcast anti-join + grouped count-distinct; lineitem unused).
+    # Its group cells are the (brand, type, size) vocabulary, which the
+    # key-shifted copies REPLICATE rather than extend, so the output
+    # row count stays cell-bounded at 10× while per-cell supplier
+    # counts grow — pin rows non-empty at both scales, not growth.
+    _drill(
+        "q16_supplier_part_counts",
+        lambda t: TM.q16_supplier_part_counts(t[0], t[1]),
+        (p1, s1, l1),
+        (p10, s10, l10),
+        results,
+    )
     # q20's eligible-supplier rows live in within-copy worlds so 10×
     # must produce MORE rows. q11's HAVING fraction (1/1000) is
     # deliberately fixed while the NATION_3 partkey scope grows ×10, so
@@ -506,3 +519,5 @@ def test_tpch_partsupp_queries_scale_linearly(spark):
     n20_10 = results[0][5]
     assert n20_1 > 0 and n20_10 > n20_1
     assert results[1][4] > 0
+    # q16: non-empty at BOTH scales (cell-bounded output, see above)
+    assert results[2][4] > 0 and results[2][5] > 0

@@ -306,6 +306,10 @@ NESTED_LOOP_ALLOWED = {
                                    # modulus broadcast, plus the 1-row
                                    # global-total frame the HAVING
                                    # fraction compares against (r17)
+    "q16_supplier_part_counts",    # the same 1-row modulus broadcast,
+                                   # plus the 1-row null-key guard that
+                                   # reproduces NOT IN's empty-on-NULL
+                                   # semantics (r18)
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate
     "rolling_7d_active_users",     # single-row broadcast max-day aggregate
@@ -474,6 +478,12 @@ DOCUMENTED_SCAN_COUNTS = {
     # HAVING join) and is checkpointed at build, so the final job scans
     # NO source — the one dimension-scan pass happened at construction
     "q11_important_stock": 0,
+    # q16: dimension scans only — part twice (the pair derivation and
+    # the attribute join-back, both with the full attribute predicate
+    # pushed) and supplier three times (the 1-row modulus count, the
+    # broadcast complaint anti-join build, the 1-row null-key guard).
+    # No fact table at any scale.
+    "q16_supplier_part_counts": 5,
 }
 
 

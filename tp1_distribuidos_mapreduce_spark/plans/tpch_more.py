@@ -1288,3 +1288,103 @@ WHERE n_name = 'NATION_8'
   AND s_suppkey IN (SELECT l_suppkey FROM eligible)
 ORDER BY s_name
 """
+
+
+# --------------------------------------------------------------------------
+# Q16: supplier counts per part-attribute cell (r18 — the LAST member of
+# the derived-partsupp tier: Q2/Q9 r16, Q11/Q20 r17)
+# --------------------------------------------------------------------------
+
+
+def q16_supplier_part_counts(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Distinct-supplier counts per (brand, type, size) cell for parts a
+    customer could still order, excluding complaint suppliers — TPC-H
+    Q16 over the derived partsupp relation.
+
+    Fixture adaptations, documented: ``p_brand <> 'Brand#45'`` →
+    ``'Brand#5'`` (the fixture's brand vocabulary is Brand#0..24);
+    ``p_type NOT LIKE 'MEDIUM POLISHED%'`` → ``NOT LIKE 'MED%'`` (the
+    fixture's six one-word types — keeps the NOT-LIKE-prefix shape and
+    excludes MEDIUM); the eight-value ``p_size IN`` list keeps TPC-H's
+    literal values (fixture sizes span 1..50, all eight present); the
+    complaint predicate ``s_comment LIKE '%Customer%Complaints%'`` →
+    ``s_acctbal < 0`` (the fixture has no comment column; a negative
+    account balance is the problem-supplier analog, ~6% of suppliers).
+
+    The TPC-H traps are (a) the null-aware ``NOT IN`` subquery and (b)
+    the grouped ``count(DISTINCT ps_suppkey)``. (a) a plain LEFT ANTI
+    join is NOT equivalent to ``NOT IN`` when keys can be NULL: one
+    NULL in the subquery empties the whole ``NOT IN`` result, and a
+    NULL probe key never qualifies — an anti-join instead ignores the
+    former and KEEPS the latter. Both key columns here are non-null by
+    construction (fixture key column; pmod of a hash), but the plan
+    reproduces full ``NOT IN`` semantics branch-free anyway: probe
+    rows with a NULL key are dropped explicitly, and the complaint
+    frame's null-key count rides in as a broadcast 1-row guard that
+    empties the result exactly as ``NOT IN`` would — one extra
+    dimension-bounded aggregate buys a plan that stays correct if the
+    keys ever become nullable, instead of an implicit non-null
+    assumption an engine cannot check. (b) ``count(DISTINCT)`` is one
+    part-bounded shuffle — Spark expands it into the standard two-phase
+    (expand + partial-agg) plan automatically.
+
+    Plan shape: the attribute filter prunes part BEFORE the pair
+    derivation (the derivation is pure per-partkey arithmetic, so
+    deriving from the filtered part yields byte-identical pairs to
+    filtering afterward — no correctness tradeoff), the complaint
+    exclusion is a broadcast anti-join, and the attribute join-back is
+    a broadcast. Q16 never touches lineitem or any other fact table at
+    any scale; every frame is bounded by the part dimension."""
+    attrs = part.where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MED%"))
+        & (F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = derived_partsupp(attrs, supplier)
+    compl = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    null_guard = compl.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("__null_keys")
+    )
+    kept = (
+        ps.where(F.col("ps_suppkey").isNotNull())
+        .join(
+            F.broadcast(compl),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(attrs), F.col("ps_partkey") == F.col("p_partkey"))
+    )
+    return (
+        kept.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .crossJoin(F.broadcast(null_guard))
+        .where(F.col("__null_keys") == 0)
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE = f"""
+WITH attrs AS (
+  SELECT p_partkey, p_brand, p_type, p_size
+  FROM part
+  WHERE p_brand <> 'Brand#5'
+    AND p_type NOT LIKE 'MED%'
+    AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+),
+ps AS (
+  SELECT DISTINCT p_partkey AS ps_partkey,
+         CAST({_PS_HASH4.format(k="p_partkey::VARCHAR || ':' || i::VARCHAR")}
+              % (SELECT count(*) FROM supplier) AS BIGINT) AS ps_suppkey
+  FROM attrs, range(4) t(i)
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN attrs ON ps_partkey = p_partkey
+WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""

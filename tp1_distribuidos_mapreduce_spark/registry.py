@@ -1969,6 +1969,22 @@ def q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q16_supplier_part_counts", oracle=TM.Q16_ORACLE)
+def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier-part counts (plans/tpch_more.py, r18): the LAST
+    derived-partsupp tier member — null-aware NOT IN as a broadcast
+    anti-join with an explicit probe-side null drop plus a broadcast
+    1-row null-key guard (full NOT IN semantics branch-free, not an
+    implicit non-null assumption), then grouped count(DISTINCT
+    ps_suppkey). The attribute filter prunes part BEFORE the pair
+    derivation (pure per-partkey arithmetic, so identical pairs).
+    Dimension-bounded end to end — no fact table touched."""
+    return TM.q16_supplier_part_counts(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 @register("q14_promo_effect", oracle=TM.Q14_ORACLE)
 def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion share (plans/tpch_more.py): broadcast part
