@@ -51,117 +51,118 @@ _STREAM_Q_SEQ = itertools.count()
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
-    # ---- round-17 window (exactly 50 names), rotated per VERDICT r16
-    # "Next round" #1. After the r16 rows the oracled freshness map is
-    # r12×11, r13×44, r14×44, r15×44, r16×50 — this window refreshes
-    # ALL 11 deferred r12-era members (the VERDICT r16 front-of-line
-    # list, verbatim) and 31 of the 44 r13-era members, with TWO new
-    # oracled additions (VERDICT r16 #2 caps adds at 1-2 and names
-    # them: TPC-H Q11 + Q20, completing the derived-partsupp tier bar
-    # Q16). Composition:
+    # ---- round-18 window (exactly 50 names), rotated per VERDICT r17
+    # "Next round" #1. After the r17 rows the oracled freshness map is
+    # r13×13, r14×44, r15×43, r16×45, r17×50 — this window refreshes
+    # ALL 13 deferred r13-era members (the VERDICT r17 front-of-line
+    # list, verbatim) and 29 of the 44 r14-era members, with ONE new
+    # oracled addition (VERDICT r17 #2 caps adds at 1-2 and names it:
+    # TPC-H Q16, the LAST derived-partsupp tier member). Composition:
     # 1) the 5 reference-parity pins (always);
-    # 2) ONE tier-2 member: bloom_pruned_join — its semi-join + revenue
-    #    rollup moved into the shared plans/bloom.py
-    #    urgent_pruned_revenue kernel this round (VERDICT r16 #3
-    #    unification with the streaming read path). Plan-equivalent
-    #    (verified vs oracle at sf0.001/sf0.01 before the window
-    #    closed), but the tier-2 rule is "code changed -> driver
-    #    re-confirmation", no silent exemptions. It is also r15-era, so
-    #    the slot doubles as rotation. No other oracled query's code
-    #    changed this round: q2/q9's paths are byte-identical (Q11/Q20
-    #    are NEW functions in the same file; derived_partsupp gained a
-    #    docstring-only degenerate-input note per ADVICE r16 — zero
-    #    code lines);
-    # 3) ALL 11 deferred r12-era members (VERDICT r16 #1, verbatim);
-    # 4) 31 of the 44 r13-era members, keeping the higher-risk shapes
+    # 2) TWO tier-2 members — queries whose code changed after their
+    #    newest driver row ("code changed -> driver re-confirmation",
+    #    no silent exemptions):
+    #    - bloom_pruned_join: the '1-URGENT' key-set predicate moved
+    #      into the shared _urgent_keys builder (ADVICE r17 — the
+    #      bitmap-build predicate and the exact semi-join predicate can
+    #      no longer drift). Plan-equivalent, re-verified vs oracle at
+    #      sf0.001 before the window closed.
+    #    - q11_important_stock: the HAVING threshold compare now runs
+    #      in DECIMAL(38,0) (Spark) / HUGEINT (oracle) per ADVICE r17,
+    #      so the documented BIGINT headroom is enforced branch-free
+    #      instead of assumed. Same rows at every SF, but the predicate
+    #      expression changed — a driver row re-confirms it.
+    #    No other oracled query's code changed this round (Q16 is a NEW
+    #    function in plans/tpch_more.py; the streaming
+    #    read_bloom_pruned_revenue shares the kernel but is rows-only,
+    #    covered by the differential + the exact-equality pin).
+    # 3) ONE new oracled addition: q16_supplier_part_counts — the
+    #    null-aware NOT IN anti-join + grouped count(DISTINCT) shapes
+    #    nothing else covers, landing the round it is written (the
+    #    Q11/Q20 precedent);
+    # 4) ALL 13 deferred r13-era members (VERDICT r17 #1, verbatim);
+    # 5) 29 of the 44 r14-era members, keeping the higher-risk shapes
     #    per the rotation rule (money/float arithmetic, stats-model
     #    floats, window/session/streaming shapes, connector/layout,
-    #    calendar). The 13 deferred r13 members (bitmap_distinct_users,
-    #    chunk_documents, language_id, latest_event_per_user,
-    #    phrase_search, positional_index, q13_custdist, sentence_stats,
-    #    stratified_sample, supplier_part_variety, train_val_test_split,
-    #    trigram_novelty, tumbling_event_counts) are exact integer-count
-    #    / set-semantic / deterministic-token-or-stride shapes — the two
-    #    calendar-adjacent ones (tumbling_event_counts,
-    #    latest_event_per_user) are pure integer counting / tie-broken
-    #    arg-max with no float or money surface — every one
-    #    differential-covered at sf0.001 each pytest run, at sf0.01
-    #    each driver-sim replay, and at sf0.1 in DIFFERENTIAL_r17.json;
-    #    they are r18's front of line with the 44-member r14 cohort.
+    #    calendar). The 15 deferred r14 members (bfs_distances,
+    #    benchmark_contamination, corpus_card, cross_source_span_matrix,
+    #    data_quality_checks, dedup_clusters, degree_distribution,
+    #    detgen_bucket_stats, funnel_conversion, numeric_histogram,
+    #    pareto_frontier_parts, prefix_duplicates, q4_order_priority,
+    #    source_vocab_overlap, user_state_islands) are exact
+    #    integer-count / set-semantic / deterministic shapes — the three
+    #    carrying any float at all (benchmark_contamination,
+    #    corpus_card, funnel_conversion) emit only display ratios
+    #    rounded from exact integer counts, no money aggregation or
+    #    percentile selection — every one differential-covered at
+    #    sf0.001 each pytest run, at sf0.01 each driver-sim replay, and
+    #    at sf0.1 in DIFFERENTIAL_r18.json; they are r19's front of
+    #    line with the 43-member r15 cohort.
     "wc",
     "wc_textfiles",
     "ii",
     "mr_wc",
     "mr_ii",
-    # tier 2: code changed after its newest driver row (r17 shared
-    # urgent_pruned_revenue kernel, VERDICT r16 #3)
+    # tier 2: code changed after the newest driver row (ADVICE r17
+    # fixes: the shared _urgent_keys builder; the DECIMAL(38,0) compare)
     "bloom_pruned_join",
-    # tier 3: the 11 deferred r12-era members (VERDICT r16 #1, verbatim)
-    "brand_type_vocabulary",
-    "customer_set_ops",
-    "dedup_exact",
-    "k_anonymity_census",
-    "max_concurrent_sessions",
-    "order_priority_pivot",
-    "priorities_with_big_items",
-    "repetition_stats",
-    "skewed_distinct_users",
-    "supplier_activity",
-    "token_stats",
-    # tier 4: 31 of the 44 r13-era members, higher-risk shapes kept
-    "bigram_perplexity",
-    "cohens_d_returned_price",
-    "copurchase_jaccard",
-    "daily_revenue_anomalies",
-    "event_gap_detection",
-    "event_user_overlap",
-    "geomean_price_by_brand",
-    "incremental_agg_merge",
-    "iqr_price_fences",
-    "label_centroid_cosine",
-    "large_quantity_orders",
-    "latest_event_from_jsonl",
-    "mad_outliers",
-    "median_order_value_by_nation",
-    "nation_trade_flows",
-    "nucleus_token_cut",
-    # new oracled r17 #1 (the VERDICT r16 #2 cap allows 1-2): TPC-H Q11
-    # over the derived partsupp relation — the fraction-of-global-total
-    # HAVING shape (scalar subquery as a broadcast 1-row frame) plus a
-    # third derived dimension (ps_availqty) and therefore a third
-    # cross-engine hash site: exactly the class that needs a driver row
-    # the round it lands. Takes q13_custdist's slot (exact integer
-    # counts, the deferral class): that member joins the r18
-    # front-of-line list above.
     "q11_important_stock",
-    "q17_small_qty_revenue",
-    "q1_from_orc",
-    # new oracled r17 #2: TPC-H Q20 — the nested semi-join chain with
-    # the correlated half-of-annual-demand threshold, exact-integer
-    # end to end, sharing Q11's _availqty hash on lineitem's own pairs
-    # (the q9 move, documented). Takes sentence_stats's slot (exact
-    # integer-derived UDTF stats, the deferral class): that member
-    # joins the r18 front-of-line list above.
-    "q20_potential_promotion",
-    "q8_market_share",
-    "rolling_7d_active_users",
-    "schema_evolution_census",
-    "source_gini",
-    "source_quality_gates",
-    "table_diff",
-    "theil_sen_revenue_trend",
-    "trailing_30d_revenue",
-    "trimmed_mean_price",
-    "user_event_totals",
-    "weekday_orders_from_csv",
-    "wilson_ci_return_rate",
-    "winsorized_mean_price",
+    # new oracled r18 (the VERDICT r17 #2 cap allows 1-2): TPC-H Q16
+    # over the derived partsupp relation — the null-aware NOT IN
+    # reproduced branch-free and the grouped count(DISTINCT ps_suppkey),
+    # completing the derived-partsupp tier (Q2/Q9 r16, Q11/Q20 r17).
+    "q16_supplier_part_counts",
+    # tier 3: the 13 deferred r13-era members (VERDICT r17 #1, verbatim)
+    "bitmap_distinct_users",
+    "chunk_documents",
+    "language_id",
+    "latest_event_per_user",
+    "phrase_search",
+    "positional_index",
+    "q13_custdist",
+    "sentence_stats",
+    "stratified_sample",
+    "supplier_part_variety",
+    "train_val_test_split",
+    "trigram_novelty",
+    "tumbling_event_counts",
+    # tier 4: 29 of the 44 r14-era members, higher-risk shapes kept
+    "association_rules",
+    "cohort_retention",
+    "corpus_curation",
+    "customer_ltv_pareto",
+    "event_value_quartiles_by_type",
+    "lang_fertility_stats",
+    "language_confusion",
+    "linear_attribution",
+    "monthly_metrics_unpivot",
+    "open_orders_by_month",
+    "orders_yoy_growth",
+    "pii_scrub",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "quantity_price_spearman",
+    "repeat_purchase_intervals",
+    "rfm_segmentation",
+    "source_mix_weights",
+    "star_revenue_rollup",
+    "stream_ivm_user_totals",
+    "supplier_balance_percentiles",
+    "table_profile",
+    "time_to_convert_stats",
+    "type_widening_census",
+    "weighted_median_price",
+    "weighted_p90_price",
 ]
 
-# Historical windows: the r8/r9/r10/r12/r13 _WINDOW lists (and their
-# per-round rotation rationale) live in git history — see the round
-# closing commits (r13: 0503cb5, r14: 2b59de0) rather than retained
-# parallel lists an edit could land in by mistake (ADVICE r14).
+# Historical windows: the r8-r17 _WINDOW lists (and their per-round
+# rotation rationale) live in git history — see the round closing
+# commits (r13: 0503cb5, r14: 2b59de0, r16: 7030070, r17: 7fd2047)
+# rather than retained parallel lists an edit could land in by mistake
+# (ADVICE r14).
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
