@@ -105,3 +105,56 @@ def test_allowlist_entries_still_exist():
         if snippet not in text:
             stale.append(f"{f}: {snippet}")
     assert not stale, "ALLOWED entries no longer present:\n" + "\n".join(stale)
+
+
+def test_q11_threshold_compare_is_wrap_proof_at_overflow_magnitude(spark):
+    """ADVICE r17 regression pin, at TRUE overflow magnitudes (the r14
+    guard lesson: synthetic values, no physical rows needed). Q11's
+    HAVING compare (plans/tpch_more.py q11_important_stock) is
+    value×1000 > total; with BIGINT operands Spark's default non-ANSI
+    mode WRAPS the product silently once value > ~9.2e15/1000, turning
+    a qualifying row into a silently dropped one. The shipped compare
+    casts both sides to DECIMAL(38,0) first, which is exact to 1e38.
+    This pins the EXPRESSION SEMANTICS: at magnitudes where the raw
+    BIGINT product provably wraps (value = 2^60), the decimal compare
+    still agrees with exact Python integer arithmetic — and the test
+    also demonstrates the wrap it guards against, so a future edit that
+    drops the cast fails here, not at 100 TB."""
+    from pyspark.sql import functions as F
+
+    # Both operands are BIGINT in the real plan (q11's __vu/__tot are
+    # BIGINT sums), so tot stays within int64; the overflow lives in the
+    # ×1000 product. Session config pins spark.sql.ansi.enabled=false
+    # (session.py), so the raw product WRAPS rather than errors.
+    rows = [
+        # (vu, tot): vu * 1000 vs tot decided by exact Python ints
+        (1 << 60, 9_000_000_000_000_000_000),  # qualifies (1.15e21 > 9e18);
+                                               # raw product wraps NEGATIVE
+        (10_000_000_000_000_000, 9_000_000_000_000_000_000),  # qualifies
+                                               # (1e19 > 9e18); raw product
+                                               # exceeds int64 max and wraps
+        (9_000_000_000_000_000, 9_100_000_000_000_000_000),  # does not
+                                               # qualify (9e18 < 9.1e18)
+        (1, 10_000),                  # small sanity row: does not qualify
+    ]
+    df = spark.createDataFrame(rows, "vu long, tot long")
+    decimal_kept = (
+        df.where(
+            F.col("vu").cast("decimal(38,0)") * 1000
+            > F.col("tot").cast("decimal(38,0)")
+        )
+        .select("vu", "tot")
+        .collect()
+    )
+    want = {(vu, tot) for vu, tot in rows if vu * 1000 > tot}
+    assert {(r["vu"], r["tot"]) for r in decimal_kept} == want
+    # The hazard is real: the raw BIGINT product of row 1 wraps negative
+    # under non-ANSI mode, so the un-cast compare silently drops it.
+    wrapped = df.where(
+        (F.col("vu") * 1000).cast("long") > F.col("tot")
+    ).count()
+    assert wrapped < len(want), (
+        "expected the raw BIGINT x1000 compare to wrap (and drop rows) "
+        "at 2^60 magnitudes — if Spark now errors or widens instead, "
+        "the DECIMAL cast in q11 may be simplifiable; re-read ADVICE r17"
+    )
