@@ -61,7 +61,11 @@ def freshness_map() -> tuple[dict[str, int], int]:
     return newest, max_round
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
+    # argv is injectable so the suite can run the audit IN-PROCESS
+    # (tests/test_relational.py) instead of paying a subprocess
+    # interpreter + registry import per run (VERDICT r18 watch item).
+    argv = sys.argv[1:] if argv is None else argv
     from tp1_distribuidos_mapreduce_spark import registry
 
     newest, max_round = freshness_map()
@@ -96,7 +100,7 @@ def main() -> int:
     for n in sorted(oracled):
         byround[newest.get(n, 0)].append(n)
 
-    if "--json" in sys.argv:
+    if "--json" in argv:
         print(
             json.dumps(
                 {
@@ -113,13 +117,17 @@ def main() -> int:
         )
         return 1 if problems else 0
 
+    def label_of(rnd: int) -> str:
+        # round 0 means "never green" — share one label rule with the
+        # histogram so the stalest print can't drift (ADVICE r18)
+        return f"r{rnd}" if rnd else "never"
+
     print(f"oracled queries: {len(oracled)}; newest artifact: r{max_round}")
     print("freshness histogram (newest full-green driver row):")
     for rnd in sorted(byround):
-        label = f"r{rnd}" if rnd else "never"
-        print(f"  {label}: {len(byround[rnd])}")
+        print(f"  {label_of(rnd)}: {len(byround[rnd])}")
     stalest = min(r for r in byround if byround[r])
-    print(f"\nstalest cohort (r{stalest}, front-of-line next round):")
+    print(f"\nstalest cohort ({label_of(stalest)}, front-of-line next round):")
     for n in byround[stalest]:
         mark = " [in current window]" if n in window else ""
         print(f"  {n}{mark}")

@@ -122,10 +122,13 @@ def test_q11_threshold_compare_is_wrap_proof_at_overflow_magnitude(spark):
     drops the cast fails here, not at 100 TB."""
     from pyspark.sql import functions as F
 
-    # Both operands are BIGINT in the real plan (q11's __vu/__tot are
-    # BIGINT sums), so tot stays within int64; the overflow lives in the
-    # ×1000 product. Session config pins spark.sql.ansi.enabled=false
-    # (session.py), so the raw product WRAPS rather than errors.
+    # r19 (ADVICE r18): in the real plan __vu/__tot are now DECIMAL(38,0)
+    # SUMS (the per-row product is cast before F.sum), so the compare's
+    # operands can no longer wrap upstream either; this test keeps BIGINT
+    # operands deliberately to pin the compare KERNEL at the magnitudes
+    # where a raw product provably wraps. Session config pins
+    # spark.sql.ansi.enabled=false (session.py), so the raw product WRAPS
+    # rather than errors.
     rows = [
         # (vu, tot): vu * 1000 vs tot decided by exact Python ints
         (1 << 60, 9_000_000_000_000_000_000),  # qualifies (1.15e21 > 9e18);
@@ -157,4 +160,36 @@ def test_q11_threshold_compare_is_wrap_proof_at_overflow_magnitude(spark):
         "expected the raw BIGINT x1000 compare to wrap (and drop rows) "
         "at 2^60 magnitudes — if Spark now errors or widens instead, "
         "the DECIMAL cast in q11 may be simplifiable; re-read ADVICE r17"
+    )
+
+
+def test_q11_sum_is_wrap_proof_at_overflow_magnitude(spark):
+    """ADVICE r18 regression pin: the compare above was hardened in r18,
+    but the BIGINT sums FEEDING it could still wrap silently past
+    ~9.2e18 (Spark non-ANSI F.sum over long) while DuckDB's sum is
+    HUGEINT-exact — a cross-engine divergence the driver hash compare
+    would catch only at magnitudes no fixture reaches. r19 moved the
+    DECIMAL(38,0) cast below the aggregation (q11 sums
+    (cost × qty).cast(decimal(38,0))); this pins that SHAPE at true
+    overflow magnitudes: two rows of 9e18 sum to 1.8e19 — past int64 —
+    and the decimal sum agrees with exact Python arithmetic while the
+    raw BIGINT sum demonstrably wraps."""
+    from pyspark.sql import functions as F
+
+    rows = [(9_000_000_000_000_000_000, 1), (9_000_000_000_000_000_000, 1)]
+    df = spark.createDataFrame(rows, "cost long, qty long")
+    exact = sum(c * q for c, q in rows)
+    got = df.agg(
+        F.sum((F.col("cost") * F.col("qty")).cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    assert int(got) == exact, (got, exact)
+    # The hazard is real: the raw BIGINT sum wraps negative under
+    # non-ANSI mode at these magnitudes.
+    raw = df.agg(F.sum(F.col("cost") * F.col("qty")).alias("s")).collect()[0][
+        "s"
+    ]
+    assert raw != exact, (
+        "expected the raw BIGINT sum to wrap at 1.8e19 — if Spark now "
+        "errors or widens instead, q11's pre-aggregation DECIMAL cast "
+        "may be simplifiable; re-read ADVICE r18"
     )

@@ -1120,17 +1120,19 @@ def q11_important_stock(
     frame cross-broadcast back (the idle_customers_opportunity
     pattern) — never a window over the whole frame, never a second
     derivation. Exactness: value = supplycost_cents × availqty is a
-    pure BIGINT product summed as BIGINT, and the threshold compare is
-    the integer cross-multiplication value×1000 > total — no float
-    enters until the final /100.0 display division, so both engines
-    agree to the digit. The compare itself runs in DECIMAL(38,0) on
-    the Spark side and HUGEINT on the DuckDB side (ADVICE r17): a raw
-    BIGINT ×1000 would wrap silently in Spark's default non-ANSI mode
-    once the global total passes ~9.2e15 (~1.4e9 derived pairs) while
-    DuckDB errors — exactly the scale this plan targets — so the
-    headroom is now enforced branch-free (DECIMAL(38,0) is exact to
-    1e38; a Spark decimal overflow yields NULL, which the > rejects,
-    never a wrapped wrong answer) instead of documented-and-assumed.
+    pure BIGINT product (bounded per row by ~10,099 × 100, never near
+    int64), and from the first aggregation onward EVERYTHING runs in
+    DECIMAL(38,0) on the Spark side / HUGEINT on the DuckDB side — the
+    per-row product is cast before F.sum, so the per-part values, the
+    global total, AND the ×1000 threshold compare are all exact to
+    1e38 (ADVICE r17 hardened the compare; ADVICE r18 noted the BIGINT
+    sums feeding it still wrapped silently past ~9.2e18 in Spark's
+    non-ANSI mode while DuckDB's sum is HUGEINT-exact — the cast now
+    sits below the aggregation, so there is no int64 ceiling anywhere
+    in the arithmetic). A Spark decimal overflow yields NULL, which
+    the > rejects — never a wrapped wrong answer. No float enters
+    until the final /100.0 display division, so both engines agree to
+    the digit.
 
     At 100 TB this query never touches a fact table: every frame is
     bounded by the part dimension."""
@@ -1151,19 +1153,18 @@ def q11_important_stock(
         ps.join(F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("ps_partkey")
         .agg(
-            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias(
-                "__vu"
-            )
+            F.sum(
+                (F.col("ps_supplycost_cents") * F.col("ps_availqty")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("__vu")
         )
         .localCheckpoint(eager=True)
     )
     total = vals.agg(F.sum("__vu").alias("__tot"))
     return (
         vals.crossJoin(F.broadcast(total))
-        .where(
-            F.col("__vu").cast("decimal(38,0)") * 1000
-            > F.col("__tot").cast("decimal(38,0)")
-        )
+        .where(F.col("__vu") * 1000 > F.col("__tot"))
         .select(
             "ps_partkey",
             (F.col("__vu") / 100.0).alias("stock_value"),
