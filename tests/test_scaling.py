@@ -521,3 +521,76 @@ def test_tpch_partsupp_queries_scale_linearly(spark):
     assert results[1][4] > 0
     # q16: non-empty at BOTH scales (cell-bounded output, see above)
     assert results[2][4] > 0 and results[2][5] > 0
+
+
+def test_q21_scales_linearly(spark):
+    """r19 entrant: q21 is the registry's only existential-self-join
+    member and its rewrite exists for exactly this drill — the plan is
+    ONE fact shuffle (status-pruned orders⨝lineitem on orderkey) with
+    both per-order aggregates riding that partitioning, so 10× jointly
+    key-shifted copies (o_orderkey/l_orderkey by cp·omax,
+    s_suppkey/l_suppkey by cp·smax, every copy a self-consistent world
+    whose per-order supplier sets never cross copies) must cost
+    ~linearly. NATION_19's supplier population scales ×10 with the
+    copies, so the qualifying output must GROW at 10× (unlike the
+    cell-bounded q16) — the literal l2/l3 self-join formulation this
+    rewrite replaces would show its quadratic here."""
+    from tp1_distribuidos_mapreduce_spark.plans import tpch_more as TM
+
+    nation = load_table(spark, SF_BENCH, "nation")
+    supp = load_table(spark, SF_BENCH, "supplier")
+    orders = load_table(spark, SF_BENCH, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    li = load_table(spark, SF_BENCH, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    omax = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    smax = supp.agg(F.max("s_suppkey")).collect()[0][0] + 1
+
+    def world(copies):
+        copies_df = spark.range(copies).select(F.col("id").alias("cp"))
+
+        def shifted(df, shifts):
+            out = df.crossJoin(F.broadcast(copies_df))
+            for c, m in shifts.items():
+                out = out.withColumn(c, F.col(c) + F.col("cp") * m)
+            return out.drop("cp").localCheckpoint(eager=True)
+
+        return (
+            shifted(supp, {"s_suppkey": smax}),
+            shifted(li, {"l_orderkey": omax, "l_suppkey": smax}),
+            shifted(orders, {"o_orderkey": omax}),
+        )
+
+    w1 = world(1)
+    w10 = world(COPIES)
+    results: list = []
+    _drill(
+        "q21_waiting_suppliers",
+        lambda t: TM.q21_waiting_suppliers(t[0], t[1], t[2], nation),
+        w1,
+        w10,
+        results,
+    )
+    n1, n10 = results[0][4], results[0][5]
+    assert n1 > 0, "q21 must qualify suppliers at 1x (NATION_19 fixture)"
+    # Output ROWS are name-bounded, not copy-bounded: the key shift
+    # leaves s_name verbatim, so all 10 copies of a supplier merge into
+    # one groupBy(s_name) row (42 names at both scales, under the LIMIT
+    # 100). The ×10 growth lives in the COUNTS: every copy is an
+    # identical world modulo shift, so each contributes the same
+    # qualifying late rows per name and total numwait is EXACTLY ×10 —
+    # a falsifiable equality, not a loose bound.
+    assert n10 == n1, (n1, n10)
+    sum1 = (
+        TM.q21_waiting_suppliers(w1[0], w1[1], w1[2], nation)
+        .agg(F.sum("numwait"))
+        .collect()[0][0]
+    )
+    sum10 = (
+        TM.q21_waiting_suppliers(w10[0], w10[1], w10[2], nation)
+        .agg(F.sum("numwait"))
+        .collect()[0][0]
+    )
+    assert sum10 == COPIES * sum1, (sum1, sum10)

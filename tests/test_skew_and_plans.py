@@ -484,6 +484,10 @@ DOCUMENTED_SCAN_COUNTS = {
     # broadcast complaint anti-join build, the 1-row null-key guard).
     # No fact table at any scale.
     "q16_supplier_part_counts": 5,
+    # q21: a single-consumer linear pipeline (the rewrite exists so the
+    # per-pair frame never needs a second consumer) — each of the four
+    # tables is scanned exactly once, nothing is re-derived
+    "q21_waiting_suppliers": 4,
 }
 
 
@@ -597,3 +601,54 @@ def test_chunk_documents_pushes_empty_doc_filter(spark):
     plan = plan_of(spark, "chunk_documents")
     scan = [l for l in plan.splitlines() if "DataFilters" in l]
     assert scan and any("size(split" in l for l in scan), scan
+
+
+def test_q21_aggregates_ride_the_join_partitioning(spark):
+    """Q21's whole reason to exist (r19): the EXISTS/NOT EXISTS
+    correlated self-joins are rewritten into per-order aggregates so
+    the plan has ONE fact shuffle — the orders⨝lineitem join — and the
+    (orderkey, suppkey) and per-order aggregates both satisfy their
+    clustering from that join's orderkey hash partitioning (orderkey is
+    a subset of both grouping key sets). At SF_SMOKE AQE broadcasts the
+    orders side (which voids the partitioning and re-shuffles the
+    aggregates — correct there, wrong at scale), so this pin disables
+    auto-broadcast to get the 100 TB plan: a SortMergeJoin on orderkey
+    followed by ZERO exchanges until the supplier-bounded final
+    aggregate. A hashpartitioning(l_orderkey, l_suppkey) exchange here
+    is the regression this test exists to catch — it means the pair
+    aggregate stopped riding the join and added a second fact-sized
+    shuffle."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.queries()["q21_waiting_suppliers"](spark, SF_SMOKE)
+        df.collect()  # finalize the AQE plan before reading it
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for key, val in (
+            ("spark.sql.autoBroadcastJoinThreshold", old),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe),
+        ):
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    assert "SortMergeJoin" in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    keys = {k.split("#")[0] for k in exchanges}
+    # AQE keeps the pre- and post-adaptive plans in the string; the KEY
+    # SET is what's pinned: the two join sides and the final supplier
+    # aggregate, and nothing keyed by (orderkey, suppkey) or orderkey
+    # alone downstream of the join.
+    assert keys == {"l_orderkey", "o_orderkey", "s_name"}, sorted(exchanges)
+    pair_exchanges = [
+        e for e in re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+        if "l_suppkey" in e
+    ]
+    assert not pair_exchanges, pair_exchanges

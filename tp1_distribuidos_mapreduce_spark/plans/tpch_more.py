@@ -1389,3 +1389,146 @@ WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
+
+
+# --------------------------------------------------------------------------
+# Q21: suppliers who kept waiting orders — EXISTS + NOT EXISTS correlated
+# self-joins on the fact table (r19)
+# --------------------------------------------------------------------------
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Suppliers in one nation who were the SOLE late supplier on a
+    finished multi-supplier order, counted by late line item — TPC-H
+    Q21, the existential-self-join classic: EXISTS (another supplier
+    also shipped on this order) + NOT EXISTS (no OTHER supplier was
+    late on it).
+
+    Fixture adaptations, documented: lateness is
+    ``l_shipdate > o_orderdate + INTERVAL 60 DAYS`` — the Q4 precedent
+    for the fixture's missing l_commitdate/l_receiptdate pair (the
+    proxy is per-line-item and constant across an order's lines, so the
+    correlated comparisons keep their TPC-H structure); SAUDI ARABIA →
+    NATION_19 (suppliers with qualifying rows at every fixture SF).
+    o_orderstatus = 'F' and the LIMIT 100 keep TPC-H verbatim (the
+    ORDER BY numwait DESC, s_name is a total order — s_name is unique —
+    so the limit is deterministic).
+
+    The trap is the pair of correlated self-joins on lineitem: taken
+    literally they are two more fact-vs-fact joins (TPC-H's l2/l3).
+    Both collapse into ONE per-order aggregate instead — the
+    equivalence, derived once:
+
+    - over an order's line items let S = distinct suppliers and
+      L = distinct LATE suppliers;
+    - ``EXISTS l2 (l2.supp <> l1.supp)`` for a late l1 ⟺ |S| ≥ 2;
+    - ``NOT EXISTS l3 (l3.supp <> l1.supp AND l3 late)`` for a late
+      l1 ⟺ L = {l1.supp} ⟺ |L| = 1 (l1's own supplier is in L by
+      hypothesis, so "no other late supplier" is exactly "one late
+      supplier");
+    - therefore when |L| = 1 the single late supplier IS l1's, and
+      numwait's per-(order, supplier) contribution is that supplier's
+      late-row count — both carried out of the same aggregate
+      (``max(CASE WHEN late...)`` is well-defined precisely because
+      the |L| = 1 filter guarantees one candidate).
+
+    Plan shape: orders is status-filtered at the scan and joins
+    lineitem on orderkey — the ONE fact shuffle. Every later step rides
+    that same orderkey hash partitioning: the (orderkey, suppkey)
+    partial aggregate and the per-order aggregate both satisfy their
+    clustering from the join's partitioning (orderkey is a subset of
+    both grouping keys), so Catalyst inserts NO further exchange until
+    the final supplier-bounded groupBy; the suite's plan audit pins
+    this (a second fact-sized exchange here is the failure mode that
+    motivates the rewrite — the literal l2/l3 joins would each add
+    one). The nation dimension broadcasts; the closing aggregate is
+    bounded by |suppliers of one nation|. Zero windows, zero
+    multi-consumer frames (the single-aggregate formulation exists so
+    per-pair never needs a checkpoint), zero driver-side state.
+
+    Reference scope note: the reference engine
+    (kmu01/TP1-Distribuidos-MapReduce, rpc/work.proto + worker.go)
+    would express this as three chained map/reduce plugin rounds
+    (pair-grain reduce, order-grain reduce, supplier-grain reduce);
+    here it is one declarative plan whose shuffles Catalyst places."""
+    lf = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("__late"),
+        )
+    )
+    per_pair = lf.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("__late").cast("long")).alias("__late_rows")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("__n_supp"),
+        F.sum((F.col("__late_rows") > 0).cast("long")).alias("__n_late"),
+        F.max(
+            F.when(F.col("__late_rows") > 0, F.col("l_suppkey"))
+        ).alias("__late_supp"),
+        F.sum(
+            F.when(F.col("__late_rows") > 0, F.col("__late_rows"))
+        ).alias("__late_cnt"),
+    )
+    nat_supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_19")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        per_order.where(
+            (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
+        )
+        .join(F.broadcast(nat_supp), F.col("__late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("__late_cnt").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# The oracle deliberately keeps TPC-H's LITERAL correlated EXISTS /
+# NOT EXISTS formulation (DuckDB decorrelates it internally) — a
+# genuinely independent derivation from the Spark side's per-order
+# aggregate rewrite, so a mistake in the equivalence argument above
+# cannot cancel out.
+Q21_ORACLE = """
+WITH lf AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lf l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_19'
+  AND l1.late
+  AND EXISTS (
+    SELECT 1 FROM lf l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lf l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""

@@ -1986,6 +1986,26 @@ def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q21_waiting_suppliers", oracle=TM.Q21_ORACLE)
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 waiting suppliers (plans/tpch_more.py, r19): the
+    existential-self-join classic — EXISTS + NOT EXISTS correlated
+    self-joins on the fact table, both collapsed into ONE per-order
+    aggregate (|suppliers| >= 2 is the EXISTS; |late suppliers| == 1 is
+    the NOT EXISTS, and then the single late supplier is l1's own — the
+    equivalence derived in the plan docstring). One fact shuffle total:
+    the status-pruned orders⨝lineitem join; both downstream aggregates
+    ride its orderkey partitioning with no further exchange. The oracle
+    keeps the literal correlated EXISTS/NOT EXISTS form — an
+    independent derivation from the rewrite."""
+    return TM.q21_waiting_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 @register("q14_promo_effect", oracle=TM.Q14_ORACLE)
 def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion share (plans/tpch_more.py): broadcast part
