@@ -594,3 +594,59 @@ def test_q21_scales_linearly(spark):
         .collect()[0][0]
     )
     assert sum10 == COPIES * sum1, (sum1, sum10)
+
+
+def test_q22_scales_linearly(spark):
+    """r19 entrant: q22's fact-sized work is ONE date-pruned anti-join
+    on custkey; 10× jointly key-shifted copies of (customer, orders)
+    must cost ~linearly. The copies are identical worlds modulo the key
+    shift (balances and order dates are copied verbatim), so the
+    positive-balance average over 10× candidates EQUALS the 1× average,
+    each copy qualifies the same customers, and — since output rows are
+    bounded by the 7-value country-code domain — per-group numcust and
+    totacctbal are EXACTLY ×10: a falsifiable equality on both the
+    integer count and the display division of an exact cents sum."""
+    from tp1_distribuidos_mapreduce_spark.plans import tpch_more as TM
+
+    cust = load_table(spark, SF_BENCH, "customer")
+    orders = load_table(spark, SF_BENCH, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cmax = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+
+    def world(copies):
+        copies_df = spark.range(copies).select(F.col("id").alias("cp"))
+
+        def shifted(df, col):
+            return (
+                df.crossJoin(F.broadcast(copies_df))
+                .withColumn(col, F.col(col) + F.col("cp") * cmax)
+                .drop("cp")
+                .localCheckpoint(eager=True)
+            )
+
+        return (shifted(cust, "c_custkey"), shifted(orders, "o_custkey"))
+
+    c1, o1 = world(1)
+    c10, o10 = world(COPIES)
+    results: list = []
+    _drill(
+        "q22_global_sales_opportunity",
+        lambda t: TM.q22_global_sales_opportunity(t[0], t[1]),
+        (c1, o1),
+        (c10, o10),
+        results,
+    )
+    r1 = {
+        r["cntrycode"]: (r["numcust"], r["totacctbal"])
+        for r in TM.q22_global_sales_opportunity(c1, o1).collect()
+    }
+    r10 = {
+        r["cntrycode"]: (r["numcust"], r["totacctbal"])
+        for r in TM.q22_global_sales_opportunity(c10, o10).collect()
+    }
+    assert r1 and set(r10) == set(r1)
+    for code, (n, tot) in r1.items():
+        n10, tot10 = r10[code]
+        assert n10 == COPIES * n, (code, n, n10)
+        assert abs(tot10 - COPIES * tot) < 1e-6, (code, tot, tot10)

@@ -310,6 +310,9 @@ NESTED_LOOP_ALLOWED = {
                                    # plus the 1-row null-key guard that
                                    # reproduces NOT IN's empty-on-NULL
                                    # semantics (r18)
+    "q22_global_sales_opportunity",  # single-row broadcast (Σcents⁺, n)
+                                     # frame — the scalar-avg subquery's
+                                     # exact integer form (r19)
     "incremental_dedup_bloom",     # same 32 KB single-row bitmap broadcast
     "numeric_histogram",           # single-row broadcast min/max aggregate
     "rolling_7d_active_users",     # single-row broadcast max-day aggregate
@@ -484,6 +487,11 @@ DOCUMENTED_SCAN_COUNTS = {
     # broadcast complaint anti-join build, the 1-row null-key guard).
     # No fact table at any scale.
     "q16_supplier_part_counts": 5,
+    # q22: the candidate frame (7-nation filter, 3 columns) feeds two
+    # consumers (the 1-row positive-balance average and the anti-join
+    # probe) and is checkpointed at build, so the final job's ONLY scan
+    # is the date-pruned orders read feeding the LEFT ANTI join
+    "q22_global_sales_opportunity": 1,
     # q21: a single-consumer linear pipeline (the rewrite exists so the
     # per-pair frame never needs a second consumer) — each of the four
     # tables is scanned exactly once, nothing is re-derived

@@ -1532,3 +1532,105 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+# --------------------------------------------------------------------------
+# Q22: global sales opportunity — scalar-avg subquery + NOT EXISTS
+# anti-join (r19, the second of the round's two capped adds)
+# --------------------------------------------------------------------------
+
+
+def q22_global_sales_opportunity(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Wealthy-but-lapsed customers per country — TPC-H Q22, the last
+    distinctive classic join shape: a scalar AVG subquery gating the
+    probe rows plus a NOT EXISTS anti-join against the orders fact.
+
+    Fixture adaptations, documented: the fixture customer has no
+    c_phone, so country code = c_nationkey and TPC-H's seven literal
+    codes map mod 25 into the fixture's 0..24 nation space
+    (13,31,23,29,30,18,17 → 13,6,23,4,5,18,17 — all seven populated at
+    every SF); the fixture has essentially NO customer without orders
+    (0 at sf0.001/sf0.01, 1 at sf0.1 — its order generator draws
+    custkeys near-uniformly), so TPC-H's "no orders at all" NOT EXISTS
+    becomes "no order since 2000-06-01" (the last ~14 months of the
+    fixture's 1995–2001 span) — the lapsed-customer intent and,
+    critically, the NOT EXISTS shape survive: a correlated anti-join
+    against orders with the date predicate pushed to the scan.
+
+    The TPC-H traps are (a) the scalar AVG subquery — a float mean
+    feeding a > gate, where a one-ulp cross-engine difference in sum
+    order flips ROWS, not digits — and (b) NOT EXISTS against a fact
+    table. (a) is solved by never dividing: c_acctbal carries exactly 2
+    decimals, so cents = CAST(round(bal×100) AS BIGINT) is exact, and
+    ``bal > avg(bal⁺)`` is evaluated as the integer cross-multiplication
+    ``cents × n > Σcents⁺`` — both sides exact in DECIMAL(38,0) (Spark)
+    / HUGEINT (DuckDB), the q11 discipline, so both engines agree to
+    the row. No float exists anywhere until the final /100.0 display
+    division of an exact BIGINT group sum. (b) is one LEFT ANTI join on
+    custkey with the date filter pushed into the orders scan — the only
+    fact-sized work in the plan.
+
+    Plan shape: the candidate frame (7-nation filter, 3 columns) feeds
+    TWO consumers — the 1-row positive-balance average and the
+    anti-join probe — so it is eagerly checkpointed (the multi-consumer
+    discipline; the final job then scans ONLY the date-pruned orders,
+    pinned in DOCUMENTED_SCAN_COUNTS). The 1-row (Σ, n) frame
+    cross-broadcasts back; the closing aggregate is bounded by the
+    7-value country-code domain. At 100 TB: one pruned customer scan at
+    build, one date-pruned orders scan + one custkey anti-join shuffle
+    in the job, zero windows, zero driver-side state."""
+    cand = (
+        customer.where(F.col("c_nationkey").isin(13, 6, 23, 4, 5, 18, 17))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("__cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    avgf = cand.where(F.col("__cents") > 0).agg(
+        F.sum(F.col("__cents").cast("decimal(38,0)")).alias("__s"),
+        F.count("*").alias("__n"),
+    )
+    lapsed = cand.join(
+        orders.where(F.col("o_orderdate") >= "2000-06-01").select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        lapsed.crossJoin(F.broadcast(avgf))
+        .where(F.col("__cents").cast("decimal(38,0)") * F.col("__n") > F.col("__s"))
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            (F.sum("__cents") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_ORACLE = """
+WITH cand AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+  WHERE c_nationkey IN (13, 6, 23, 4, 5, 18, 17)
+),
+avgf AS (
+  SELECT sum(cents) AS s, count(*) AS n FROM cand WHERE cents > 0
+)
+SELECT c_nationkey AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+FROM cand, avgf
+WHERE CAST(cents AS HUGEINT) * n > s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = cand.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+  )
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""

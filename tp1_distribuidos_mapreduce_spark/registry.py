@@ -2006,6 +2006,23 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q22_global_sales_opportunity", oracle=TM.Q22_ORACLE)
+def q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (plans/tpch_more.py, r19): the
+    scalar-AVG-subquery + NOT-EXISTS-anti-join classic. The float mean
+    never exists: bal > avg(bal⁺) runs as the exact integer
+    cross-multiplication cents × n > Σcents⁺ in DECIMAL(38,0)/HUGEINT
+    (the q11 discipline), so a one-ulp sum-order difference can never
+    flip a row. NOT EXISTS is one LEFT ANTI join on custkey with the
+    date predicate pushed to the orders scan; the candidate frame is
+    checkpointed (two consumers), the (Σ, n) frame broadcasts back,
+    and the closing aggregate is bounded by the 7-nation code domain."""
+    return TM.q22_global_sales_opportunity(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 @register("q14_promo_effect", oracle=TM.Q14_ORACLE)
 def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion share (plans/tpch_more.py): broadcast part
