@@ -51,118 +51,123 @@ _STREAM_Q_SEQ = itertools.count()
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
-    # ---- round-18 window (exactly 50 names), rotated per VERDICT r17
-    # "Next round" #1. After the r17 rows the oracled freshness map is
-    # r13×13, r14×44, r15×43, r16×45, r17×50 — this window refreshes
-    # ALL 13 deferred r13-era members (the VERDICT r17 front-of-line
-    # list, verbatim) and 29 of the 44 r14-era members, with ONE new
-    # oracled addition (VERDICT r17 #2 caps adds at 1-2 and names it:
-    # TPC-H Q16, the LAST derived-partsupp tier member). Composition:
+    # ---- round-19 window (exactly 50 names), rotated per VERDICT r18
+    # "Next round" #1. After the r18 rows the oracled freshness map is
+    # r14×15, r15×43, r16×45, r17×43, r18×50 (freshness.py reproduces
+    # it) — this window refreshes ALL 15 deferred r14-era members (the
+    # VERDICT r18 front-of-line list, verbatim) and 27 of the 43
+    # r15-era members, with TWO new oracled additions (VERDICT r18 #2
+    # caps adds at 1-2 and names both: TPC-H Q21, the existential
+    # self-join shape, and TPC-H Q22, the scalar-avg-subquery +
+    # NOT-EXISTS-anti-join shape — together the last two distinctive
+    # TPC-H join shapes the registry lacked). Composition:
     # 1) the 5 reference-parity pins (always);
-    # 2) TWO tier-2 members — queries whose code changed after their
-    #    newest driver row ("code changed -> driver re-confirmation",
-    #    no silent exemptions):
-    #    - bloom_pruned_join: the '1-URGENT' key-set predicate moved
-    #      into the shared _urgent_keys builder (ADVICE r17 — the
-    #      bitmap-build predicate and the exact semi-join predicate can
-    #      no longer drift). Plan-equivalent, re-verified vs oracle at
-    #      sf0.001 before the window closed.
-    #    - q11_important_stock: the HAVING threshold compare now runs
-    #      in DECIMAL(38,0) (Spark) / HUGEINT (oracle) per ADVICE r17,
-    #      so the documented BIGINT headroom is enforced branch-free
-    #      instead of assumed. Same rows at every SF, but the predicate
-    #      expression changed — a driver row re-confirms it.
-    #    No other oracled query's code changed this round (Q16 is a NEW
-    #    function in plans/tpch_more.py; the streaming
-    #    read_bloom_pruned_revenue shares the kernel but is rows-only,
-    #    covered by the differential + the exact-equality pin).
-    # 3) ONE new oracled addition: q16_supplier_part_counts — the
-    #    null-aware NOT IN anti-join + grouped count(DISTINCT) shapes
-    #    nothing else covers, landing the round it is written (the
-    #    Q11/Q20 precedent);
-    # 4) ALL 13 deferred r13-era members (VERDICT r17 #1, verbatim);
-    # 5) 29 of the 44 r14-era members, keeping the higher-risk shapes
-    #    per the rotation rule (money/float arithmetic, stats-model
-    #    floats, window/session/streaming shapes, connector/layout,
-    #    calendar). The 15 deferred r14 members (bfs_distances,
-    #    benchmark_contamination, corpus_card, cross_source_span_matrix,
-    #    data_quality_checks, dedup_clusters, degree_distribution,
-    #    detgen_bucket_stats, funnel_conversion, numeric_histogram,
-    #    pareto_frontier_parts, prefix_duplicates, q4_order_priority,
-    #    source_vocab_overlap, user_state_islands) are exact
-    #    integer-count / set-semantic / deterministic shapes — the three
-    #    carrying any float at all (benchmark_contamination,
-    #    corpus_card, funnel_conversion) emit only display ratios
-    #    rounded from exact integer counts, no money aggregation or
-    #    percentile selection — every one differential-covered at
-    #    sf0.001 each pytest run, at sf0.01 each driver-sim replay, and
-    #    at sf0.1 in DIFFERENTIAL_r18.json; they are r19's front of
-    #    line with the 43-member r15 cohort.
+    # 2) ONE tier-2 member — the only oracled query whose code changed
+    #    after its newest driver row ("code changed -> driver
+    #    re-confirmation", no silent exemptions):
+    #    - q11_important_stock: the DECIMAL(38,0) cast moved BELOW the
+    #      aggregation (ADVICE r18 — the BIGINT sums feeding the
+    #      hardened compare could still wrap silently past ~9.2e18;
+    #      now the per-row product is cast before F.sum, so no int64
+    #      ceiling exists anywhere in the arithmetic). Same rows at
+    #      every SF, but the aggregate expression changed — a driver
+    #      row re-confirms it. No other oracled query's code changed
+    #      this round (Q21 is a NEW function in plans/tpch_more.py;
+    #      freshness.py and the suite changes touch no query).
+    # 3) TWO new oracled additions, landing the round they are written
+    #    (the Q11/Q20/Q16 precedent): q21_waiting_suppliers (EXISTS +
+    #    NOT EXISTS correlated self-joins on the fact table) and
+    #    q22_global_sales_opportunity (scalar-avg subquery as exact
+    #    integer cross-multiplication + NOT EXISTS anti-join);
+    # 4) ALL 15 deferred r14-era members (VERDICT r18 #1, verbatim);
+    # 5) 27 of the 43 r15-era members, keeping the higher-risk shapes
+    #    per the rotation rule (money/float aggregation, quantile
+    #    selection, calendar/gapfill, connector/layout, streaming-
+    #    adjacent). The 15 deferred r15 members were classified
+    #    mechanically (the oracle executed at sf0.001, any float64
+    #    column → higher-risk): 11 are pure integer/string shapes
+    #    (bpe_pair_counts, hard_negative_mining,
+    #    incremental_dedup_bloom, market_basket_pairs,
+    #    props_variant_census, purchase_asof_last_click,
+    #    top_event_paths, triangle_count, trigram_topk,
+    #    views_before_purchase, weighted_token_sample) and 5 carry
+    #    only display ratios computed from exact integers at the last
+    #    SELECT (sequence_packing: round(Σtokens/2048, 4);
+    #    url_domain_stats / event_transition_matrix: count-over-count
+    #    shares; events_json_stats and weekday_order_stats — the slot
+    #    Q22 takes — integer half-up division of exact cent/count
+    #    sums) —
+    #    no money aggregation, no percentile selection, no float
+    #    accumulation order-sensitivity; every one stays
+    #    differential-covered at sf0.001 each pytest run, at sf0.01
+    #    each driver-sim replay, and at sf0.1 in DIFFERENTIAL_r19; they
+    #    are r20's front of line with the r16 cohort.
     "wc",
     "wc_textfiles",
     "ii",
     "mr_wc",
     "mr_ii",
-    # tier 2: code changed after the newest driver row (ADVICE r17
-    # fixes: the shared _urgent_keys builder; the DECIMAL(38,0) compare)
-    "bloom_pruned_join",
+    # tier 2: code changed after the newest driver row (ADVICE r18 fix:
+    # the DECIMAL(38,0) cast below the aggregation)
     "q11_important_stock",
-    # new oracled r18 (the VERDICT r17 #2 cap allows 1-2): TPC-H Q16
-    # over the derived partsupp relation — the null-aware NOT IN
-    # reproduced branch-free and the grouped count(DISTINCT ps_suppkey),
-    # completing the derived-partsupp tier (Q2/Q9 r16, Q11/Q20 r17).
-    "q16_supplier_part_counts",
-    # tier 3: the 13 deferred r13-era members (VERDICT r17 #1, verbatim)
-    "bitmap_distinct_users",
-    "chunk_documents",
-    "language_id",
-    "latest_event_per_user",
-    "phrase_search",
-    "positional_index",
-    "q13_custdist",
-    "sentence_stats",
-    "stratified_sample",
-    "supplier_part_variety",
-    "train_val_test_split",
-    "trigram_novelty",
-    "tumbling_event_counts",
-    # tier 4: 29 of the 44 r14-era members, higher-risk shapes kept
-    "association_rules",
-    "cohort_retention",
-    "corpus_curation",
-    "customer_ltv_pareto",
-    "event_value_quartiles_by_type",
-    "lang_fertility_stats",
-    "language_confusion",
-    "linear_attribution",
-    "monthly_metrics_unpivot",
-    "open_orders_by_month",
-    "orders_yoy_growth",
-    "pii_scrub",
-    "q14_promo_effect",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "quantity_price_spearman",
-    "repeat_purchase_intervals",
-    "rfm_segmentation",
-    "source_mix_weights",
-    "star_revenue_rollup",
-    "stream_ivm_user_totals",
-    "supplier_balance_percentiles",
-    "table_profile",
-    "time_to_convert_stats",
-    "type_widening_census",
-    "weighted_median_price",
-    "weighted_p90_price",
+    # new oracled r19 (the VERDICT r18 cap allows 1-2): TPC-H Q21 —
+    # EXISTS + NOT EXISTS correlated self-joins on lineitem collapsed
+    # into one per-order aggregate, one fact shuffle total — and TPC-H
+    # Q22 — the scalar-avg gate as exact integer cross-multiplication,
+    # NOT EXISTS as a date-pruned anti-join on orders
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # tier 3: the 15 deferred r14-era members (VERDICT r18 #1, verbatim)
+    "benchmark_contamination",
+    "bfs_distances",
+    "corpus_card",
+    "cross_source_span_matrix",
+    "data_quality_checks",
+    "dedup_clusters",
+    "degree_distribution",
+    "detgen_bucket_stats",
+    "funnel_conversion",
+    "numeric_histogram",
+    "pareto_frontier_parts",
+    "prefix_duplicates",
+    "q4_order_priority",
+    "source_vocab_overlap",
+    "user_state_islands",
+    # tier 4: 28 of the 43 r15-era members, higher-risk shapes kept
+    "benford_price_audit",
+    "brand_qty_price_corr",
+    "bucketed_colocated_join",
+    "customer_order_gaps",
+    "daily_revenue_moving_avg",
+    "hourly_event_gapfill",
+    "idle_customers_opportunity",
+    "monthly_order_stats",
+    "order_price_quantiles",
+    "order_value_deciles",
+    "purchases_by_browsing_state",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "returned_item_revenue",
+    "revenue_autocorrelation",
+    "rollup_lineitem_flags",
+    "rowdir_pruned_scan",
+    "rowdir_roundtrip",
+    "rowdir_time_travel",
+    "sql_grouping_sets",
+    "sql_revenue_by_region",
+    "sql_top_balances_per_nation",
+    "time_weighted_value",
+    "top_customers_per_nation",
+    "top_parts_by_revenue",
 ]
 
-# Historical windows: the r8-r17 _WINDOW lists (and their per-round
+# Historical windows: the r8-r18 _WINDOW lists (and their per-round
 # rotation rationale) live in git history — see the round closing
-# commits (r13: 0503cb5, r14: 2b59de0, r16: 7030070, r17: 7fd2047)
-# rather than retained parallel lists an edit could land in by mistake
-# (ADVICE r14).
+# commits (r13: 0503cb5, r14: 2b59de0, r16: 7030070, r17: 7fd2047,
+# r18: 230a993) rather than retained parallel lists an edit could land
+# in by mistake (ADVICE r14).
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
