@@ -636,7 +636,9 @@ def test_q21_aggregates_ride_the_join_partitioning(spark):
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
         df = registry.queries()["q21_waiting_suppliers"](spark, SF_SMOKE)
-        df.collect()  # finalize the AQE plan before reading it
+        # the INITIAL physical plan (no execution) already carries the
+        # whole pinned shape — executing a broadcast-disabled q21 in the
+        # shared session would buy nothing but suite seconds
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         for key, val in (
@@ -650,10 +652,9 @@ def test_q21_aggregates_ride_the_join_partitioning(spark):
     assert "SortMergeJoin" in plan, plan
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     keys = {k.split("#")[0] for k in exchanges}
-    # AQE keeps the pre- and post-adaptive plans in the string; the KEY
-    # SET is what's pinned: the two join sides and the final supplier
-    # aggregate, and nothing keyed by (orderkey, suppkey) or orderkey
-    # alone downstream of the join.
+    # The KEY SET is what's pinned: the two join sides and the final
+    # supplier aggregate, and nothing keyed by (orderkey, suppkey) or
+    # orderkey alone downstream of the join.
     assert keys == {"l_orderkey", "o_orderkey", "s_name"}, sorted(exchanges)
     pair_exchanges = [
         e for e in re.findall(r"Exchange hashpartitioning\(([^)]+)\)", plan)
