@@ -650,3 +650,60 @@ def test_q22_scales_linearly(spark):
         n10, tot10 = r10[code]
         assert n10 == COPIES * n, (code, n, n10)
         assert abs(tot10 - COPIES * tot) < 1e-6, (code, tot, tot10)
+
+
+def test_q12_scales_linearly(spark):
+    """r20 entrant: q12's only fact-sized work is the single pruned
+    orderkey equi-join; 10× jointly key-shifted copies of (orders,
+    lineitem) must cost ~linearly. Output rows are bounded by the
+    2-value mode domain (the key shift leaves l_returnflag verbatim,
+    so all copies merge into the same two groups) and every copy is an
+    identical world modulo the shift, so per-mode high_line_count and
+    low_line_count are EXACTLY ×10 — a falsifiable integer equality,
+    the Q21/Q22 drill discipline."""
+    from tp1_distribuidos_mapreduce_spark.plans import tpch_more as TM
+
+    orders = load_table(spark, SF_BENCH, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, SF_BENCH, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    omax = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    def world(copies):
+        copies_df = spark.range(copies).select(F.col("id").alias("cp"))
+
+        def shifted(df, col):
+            return (
+                df.crossJoin(F.broadcast(copies_df))
+                .withColumn(col, F.col(col) + F.col("cp") * omax)
+                .drop("cp")
+                .localCheckpoint(eager=True)
+            )
+
+        return (shifted(orders, "o_orderkey"), shifted(li, "l_orderkey"))
+
+    o1, l1 = world(1)
+    o10, l10 = world(COPIES)
+    results: list = []
+    _drill(
+        "q12_shipmode_priority",
+        lambda t: TM.q12_shipmode_priority(t[0], t[1]),
+        (o1, l1),
+        (o10, l10),
+        results,
+    )
+    r1 = {
+        r["shipmode"]: (r["high_line_count"], r["low_line_count"])
+        for r in TM.q12_shipmode_priority(o1, l1).collect()
+    }
+    r10 = {
+        r["shipmode"]: (r["high_line_count"], r["low_line_count"])
+        for r in TM.q12_shipmode_priority(o10, l10).collect()
+    }
+    assert set(r1) == {"A", "R"} and set(r10) == set(r1)
+    for mode, (hi, lo) in r1.items():
+        hi10, lo10 = r10[mode]
+        assert hi10 == COPIES * hi, (mode, hi, hi10)
+        assert lo10 == COPIES * lo, (mode, lo, lo10)

@@ -496,6 +496,10 @@ DOCUMENTED_SCAN_COUNTS = {
     # per-pair frame never needs a second consumer) — each of the four
     # tables is scanned exactly once, nothing is re-derived
     "q21_waiting_suppliers": 4,
+    # q12: single-consumer linear pipeline — one pruned lineitem scan
+    # (returnflag IN + shipdate-year pushed) + one orders scan feeding
+    # the single fact shuffle; the 2-value-domain aggregate adds none
+    "q12_shipmode_priority": 2,
 }
 
 

@@ -1634,3 +1634,76 @@ WHERE CAST(cents AS HUGEINT) * n > s
 GROUP BY c_nationkey
 ORDER BY cntrycode
 """
+
+
+# --------------------------------------------------------------------------
+# Q12: shipmode priority check — conditional two-way aggregate over the
+# orders⨝lineitem join (r20, the last of the 22 classic TPC-H shapes)
+# --------------------------------------------------------------------------
+
+
+def q12_shipmode_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Late line items by ship mode, split into high- vs low-priority
+    order counts — TPC-H Q12, the conditional two-way aggregate over an
+    orders⨝lineitem join. With this, every one of the 22 classic TPC-H
+    query shapes has a registry member.
+
+    Fixture adaptations, documented: the fixture lineitem has no
+    l_shipmode, so the two-of-N ship-mode filter + group key is played
+    by l_returnflag IN ('A', 'R') — the fixture's only line-grain
+    categorical with more than two values (A/N/R), filtered to two of
+    three exactly as TPC-H filters two of seven modes; the missing
+    l_commitdate/l_receiptdate pair means "received late despite an
+    on-time commitment" becomes the Q4/Q21 lateness-proxy precedent,
+    ``l_shipdate > o_orderdate + INTERVAL 60 DAYS``; the receipt-year
+    window maps to ``year(l_shipdate) = 1996``. The two-way CASE
+    aggregate over o_orderpriority — the shape that makes Q12 Q12 — is
+    TPC-H verbatim (1-URGENT/2-HIGH vs the rest), and both counts are
+    exact BIGINTs: no float exists anywhere in the query.
+
+    Plan shape: lineitem is pruned at the scan (the returnflag IN and
+    shipdate-year predicates both push down, and only 3 columns are
+    read); the orderkey equi-join with orders is the ONE fact shuffle,
+    with the lateness inequality a post-join filter exactly as in Q4;
+    the closing aggregate is bounded by the 2-value mode domain with a
+    map-side partial. Single-consumer linear pipeline — each table
+    scanned exactly once, zero windows, zero driver-side state. At
+    100 TB the only cost is the one pruned fact-fact join, which rides
+    whatever orderkey clustering the layout already has.
+
+    Reference scope note: the reference engine
+    (kmu01/TP1-Distribuidos-MapReduce, rpc/work.proto + worker.go)
+    would express this as a map round emitting (mode, priority-class)
+    pairs after a keyed join round, then a reduce round summing the two
+    classes; here it is one declarative plan."""
+    li = lineitem.where(
+        F.col("l_returnflag").isin("A", "R") & (F.year("l_shipdate") == 1996)
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag AS shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND year(l_shipdate) = 1996
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY shipmode
+"""

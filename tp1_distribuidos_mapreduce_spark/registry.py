@@ -51,116 +51,106 @@ _STREAM_Q_SEQ = itertools.count()
 # not listed follows after the window — oracle-bearing before rows-only —
 # and stays covered by tests/test_relational.py's full oracle differential.
 _WINDOW: list[str] = [
-    # ---- round-19 window (exactly 50 names), rotated per VERDICT r18
-    # "Next round" #1. After the r18 rows the oracled freshness map is
-    # r14×15, r15×43, r16×45, r17×43, r18×50 (freshness.py reproduces
-    # it) — this window refreshes ALL 15 deferred r14-era members (the
-    # VERDICT r18 front-of-line list, verbatim) and 27 of the 43
-    # r15-era members, with TWO new oracled additions (VERDICT r18 #2
-    # caps adds at 1-2 and names both: TPC-H Q21, the existential
-    # self-join shape, and TPC-H Q22, the scalar-avg-subquery +
-    # NOT-EXISTS-anti-join shape — together the last two distinctive
-    # TPC-H join shapes the registry lacked). Composition:
+    # ---- round-20 window (exactly 50 names), rotated per VERDICT r19
+    # "Next round" #1. After the r19 rows the oracled freshness map is
+    # r15×16, r16×45, r17×43, r18×44, r19×50 (freshness.py reproduces
+    # it) — this window refreshes ALL 16 r15-era stragglers (the
+    # VERDICT r19 front-of-line list, verbatim) and 28 of the 45
+    # r16-era members, with ONE new oracled addition (VERDICT r19 #2
+    # caps adds at 1-2 and names it: TPC-H Q12, the shipmode
+    # conditional two-way aggregate — the last absent classic, closing
+    # the full 22/22 TPC-H shape set). Composition:
     # 1) the 5 reference-parity pins (always);
-    # 2) ONE tier-2 member — the only oracled query whose code changed
-    #    after its newest driver row ("code changed -> driver
-    #    re-confirmation", no silent exemptions):
-    #    - q11_important_stock: the DECIMAL(38,0) cast moved BELOW the
-    #      aggregation (ADVICE r18 — the BIGINT sums feeding the
-    #      hardened compare could still wrap silently past ~9.2e18;
-    #      now the per-row product is cast before F.sum, so no int64
-    #      ceiling exists anywhere in the arithmetic). Same rows at
-    #      every SF, but the aggregate expression changed — a driver
-    #      row re-confirms it. No other oracled query's code changed
-    #      this round (Q21 is a NEW function in plans/tpch_more.py;
-    #      freshness.py and the suite changes touch no query).
-    # 3) TWO new oracled additions, landing the round they are written
-    #    (the Q11/Q20/Q16 precedent): q21_waiting_suppliers (EXISTS +
-    #    NOT EXISTS correlated self-joins on the fact table) and
-    #    q22_global_sales_opportunity (scalar-avg subquery as exact
-    #    integer cross-multiplication + NOT EXISTS anti-join);
-    # 4) ALL 15 deferred r14-era members (VERDICT r18 #1, verbatim);
-    # 5) 27 of the 43 r15-era members, keeping the higher-risk shapes
-    #    per the rotation rule (money/float aggregation, quantile
-    #    selection, calendar/gapfill, connector/layout, streaming-
-    #    adjacent). The 15 deferred r15 members were classified
-    #    mechanically (the oracle executed at sf0.001, any float64
-    #    column → higher-risk): 11 are pure integer/string shapes
-    #    (bpe_pair_counts, hard_negative_mining,
-    #    incremental_dedup_bloom, market_basket_pairs,
-    #    props_variant_census, purchase_asof_last_click,
-    #    top_event_paths, triangle_count, trigram_topk,
-    #    views_before_purchase, weighted_token_sample) and 5 carry
-    #    only display ratios computed from exact integers at the last
-    #    SELECT (sequence_packing: round(Σtokens/2048, 4);
-    #    url_domain_stats / event_transition_matrix: count-over-count
-    #    shares; events_json_stats and weekday_order_stats — the slot
-    #    Q22 takes — integer half-up division of exact cent/count
-    #    sums) —
-    #    no money aggregation, no percentile selection, no float
-    #    accumulation order-sensitivity; every one stays
-    #    differential-covered at sf0.001 each pytest run, at sf0.01
-    #    each driver-sim replay, and at sf0.1 in DIFFERENTIAL_r19; they
-    #    are r20's front of line with the r16 cohort.
+    # 2) tier 2 (oracled queries whose code changed after their newest
+    #    driver row — "code changed -> driver re-confirmation", no
+    #    silent exemptions): EMPTY this round. The r20 product diff
+    #    adds Q12 (a NEW function in plans/tpch_more.py + its
+    #    registration) and touches no existing query's code; the
+    #    registry window change is comment + list-literal only.
+    # 3) ONE new oracled addition, landing the round it is written
+    #    (the Q11/Q20/Q16/Q21/Q22 precedent): q12_shipmode_priority
+    #    (orders⨝lineitem with the two-way priority CASE aggregate by
+    #    ship mode — pure BIGINT counts, no float anywhere);
+    # 4) ALL 16 r15-era stragglers (VERDICT r19 #1, verbatim — the
+    #    mechanically-classified low-risk list deferred in r19);
+    # 5) 28 of the 45 r16-era members, keeping the higher-risk shapes
+    #    per the rotation rule. The 45 were classified mechanically
+    #    (the oracle executed at sf0.001, any float64 column →
+    #    higher-risk): 32 carry a float64 column, 13 are pure
+    #    integer/string shapes (click_purchase_attribution,
+    #    cms_heavy_hitters, cms_heavy_hitters_by_source,
+    #    dedup_embedding_cosine, dedup_survivors, fuzzy_part_match,
+    #    knn_bruteforce, rolling_28d_users_exact, sessionize_events,
+    #    shared_span_pairs, stream_dedup_counts, subtree_rollup,
+    #    waiting_suppliers). 32 > the 28 free slots, so the 4 deferred
+    #    float carriers are drawn from the display-ratio-only subclass
+    #    (the r19 precedent: the float exists only as a final-SELECT
+    #    division of exact integer sums — no float accumulation, no
+    #    order sensitivity): language_rebalance (integer half-up
+    #    permille of counts / 10.0), sliding_event_stats (half-up
+    #    division of exact milli-sums / 10000.0), session_window_stats
+    #    (exact milli-sum / 1000.0), cube_order_status_priority (exact
+    #    cent sum / 100.0). The other display-ratio members stay IN the
+    #    window (slots permit). All 17 deferrals remain differential-
+    #    covered at sf0.001 each pytest run, at sf0.01 each driver-sim
+    #    replay, and at sf0.1 in DIFFERENTIAL_r20; they are r21's
+    #    front of line with the r17 cohort.
     "wc",
     "wc_textfiles",
     "ii",
     "mr_wc",
     "mr_ii",
-    # tier 2: code changed after the newest driver row (ADVICE r18 fix:
-    # the DECIMAL(38,0) cast below the aggregation)
-    "q11_important_stock",
-    # new oracled r19 (the VERDICT r18 cap allows 1-2): TPC-H Q21 —
-    # EXISTS + NOT EXISTS correlated self-joins on lineitem collapsed
-    # into one per-order aggregate, one fact shuffle total — and TPC-H
-    # Q22 — the scalar-avg gate as exact integer cross-multiplication,
-    # NOT EXISTS as a date-pruned anti-join on orders
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # tier 3: the 15 deferred r14-era members (VERDICT r18 #1, verbatim)
-    "benchmark_contamination",
-    "bfs_distances",
-    "corpus_card",
-    "cross_source_span_matrix",
-    "data_quality_checks",
-    "dedup_clusters",
-    "degree_distribution",
-    "detgen_bucket_stats",
-    "funnel_conversion",
-    "numeric_histogram",
-    "pareto_frontier_parts",
-    "prefix_duplicates",
-    "q4_order_priority",
-    "source_vocab_overlap",
-    "user_state_islands",
-    # tier 4: 28 of the 43 r15-era members, higher-risk shapes kept
-    "benford_price_audit",
-    "brand_qty_price_corr",
-    "bucketed_colocated_join",
-    "customer_order_gaps",
-    "daily_revenue_moving_avg",
-    "hourly_event_gapfill",
-    "idle_customers_opportunity",
-    "monthly_order_stats",
-    "order_price_quantiles",
-    "order_value_deciles",
-    "purchases_by_browsing_state",
-    "q15_top_supplier",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "returned_item_revenue",
-    "revenue_autocorrelation",
-    "rollup_lineitem_flags",
-    "rowdir_pruned_scan",
-    "rowdir_roundtrip",
-    "rowdir_time_travel",
-    "sql_grouping_sets",
-    "sql_revenue_by_region",
-    "sql_top_balances_per_nation",
-    "time_weighted_value",
-    "top_customers_per_nation",
-    "top_parts_by_revenue",
+    # (tier 2 empty this round — no oracled query's code changed)
+    # new oracled r20 (the VERDICT r19 cap allows 1-2; one used):
+    # TPC-H Q12 — the conditional two-way aggregate over the
+    # orders⨝lineitem join, closing the 22/22 classic shape set
+    "q12_shipmode_priority",
+    # tier 3: ALL 16 r15-era stragglers (VERDICT r19 #1, verbatim)
+    "bpe_pair_counts",
+    "event_transition_matrix",
+    "events_json_stats",
+    "hard_negative_mining",
+    "incremental_dedup_bloom",
+    "market_basket_pairs",
+    "props_variant_census",
+    "purchase_asof_last_click",
+    "sequence_packing",
+    "top_event_paths",
+    "triangle_count",
+    "trigram_topk",
+    "url_domain_stats",
+    "views_before_purchase",
+    "weekday_order_stats",
+    "weighted_token_sample",
+    # tier 4: 28 of the 45 r16-era members, higher-risk shapes kept
+    "anova_price_by_priority",
+    "bm25_top_terms",
+    "brand_stats_having",
+    "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard",
+    "disjunctive_brand_revenue",
+    "event_type_entropy",
+    "event_weekday_chi2",
+    "event_weekday_mutual_info",
+    "kaplan_meier_repurchase",
+    "ks_returned_price",
+    "mannwhitney_quantity",
+    "merge_upsert_orders",
+    "nation_revenue_trend",
+    "nation_trend_significance",
+    "partitioned_pruned_daily",
+    "parts_above_brand_avg",
+    "promo_revenue_by_month",
+    "published_events_census",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "stream_static_enrichment",
+    "text_quality",
+    "tfidf_top_terms",
+    "value_outliers",
+    "weekday_seasonality_index",
+    "welch_price_ttest",
+    "zorder_pruned_scan",
 ]
 
 # Historical windows: the r8-r18 _WINDOW lists (and their per-round
@@ -2025,6 +2015,23 @@ def q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFram
     return TM.q22_global_sales_opportunity(
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register("q12_shipmode_priority", oracle=TM.Q12_ORACLE)
+def q_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipmode priority check (plans/tpch_more.py, r20): the
+    conditional two-way aggregate over the orders⨝lineitem join — the
+    last absent classic, closing the full 22/22 TPC-H shape set. The
+    mode filter + group key is l_returnflag IN ('A','R') (the fixture
+    has no l_shipmode; two of three values as TPC-H takes two of seven
+    modes) and lateness is the Q4/Q21 60-day proxy — both adaptations
+    documented in the plan docstring. One pruned fact shuffle, a
+    2-value-domain closing aggregate, and pure BIGINT counts: no float
+    anywhere."""
+    return TM.q12_shipmode_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
     )
 
 
