@@ -625,8 +625,19 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # Broadcast the node-cardinality label frame into the per-round edge
+    # join while it fits executor memory (r21 — the PageRank/BFS/k-core
+    # broadcast-with-guard discipline, graph.py): checkpointed frames
+    # report no size estimate, so without the hint every round SORT-MERGE
+    # joins — shuffling the EDGE table per round. Past the limit both
+    # joins degrade gracefully to the shuffled equi-join.
+    _bcast_labels = (
+        F.broadcast if labels.count() <= 1_000_000 else (lambda df: df)
+    )
+
     def step(labels: DataFrame, jump: bool) -> DataFrame:
-        msgs = edges.join(labels, edges.s == labels.id).select(
+        lb = _bcast_labels(labels)
+        msgs = edges.join(lb, edges.s == lb.id).select(
             F.col("d").alias("id"), "label"
         )
         stepped = labels.unionAll(msgs).groupBy("id").agg(F.min("label").alias("label"))
@@ -636,8 +647,10 @@ def connected_components(
             # so the self-join resolves each label's own label; chasing it
             # squares propagation distance, closing a diameter-D chain in
             # O(log D) rounds where plain neighbor-min needs O(D).
-            lol = stepped.select(
-                F.col("id").alias("lid"), F.col("label").alias("label2")
+            lol = _bcast_labels(
+                stepped.select(
+                    F.col("id").alias("lid"), F.col("label").alias("label2")
+                )
             )
             stepped = stepped.join(lol, stepped.label == lol.lid, "left").select(
                 "id",

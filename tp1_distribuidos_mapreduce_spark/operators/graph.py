@@ -323,19 +323,33 @@ def triangle_count(lineitem: DataFrame) -> DataFrame:
     """
     edges = copurchase_edges(lineitem)
     undirected = edges.where(F.col("src") < F.col("dst")).localCheckpoint()
-    # full degree per node over the undirected edge set
+    # full degree per node over the undirected edge set — checkpointed
+    # (r21): the orientation join consumes it twice and n_nodes counts
+    # it, so without the checkpoint the degree aggregate re-runs three
+    # times; its count also drives the broadcast guard below.
     deg = (
         undirected.select(F.col("src").alias("v"))
         .unionByName(undirected.select(F.col("dst").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
+    # node-cardinality frames (deg, adj) broadcast into the edge joins
+    # under the shared PageRank/BFS/k-core 1M-node guard; past it they
+    # degrade to shuffled equi-joins (checkpointed frames report no size
+    # estimate, so the explicit hint is what keeps the edge table from
+    # shuffling — the auto-broadcast threshold cannot see them).
+    bcast = _maybe_broadcast(deg.count())
     # orient toward the higher-(degree, id) endpoint
     with_deg = (
         undirected.join(
-            deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg")), "src"
+            bcast(deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg"))),
+            "src",
         )
-        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+        .join(
+            bcast(deg.select(F.col("v").alias("dst"), F.col("deg").alias("ddeg"))),
+            "dst",
+        )
     )
     lower_first = (F.col("sdeg") < F.col("ddeg")) | (
         (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
@@ -344,15 +358,25 @@ def triangle_count(lineitem: DataFrame) -> DataFrame:
         F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("w"),
     ).localCheckpoint()
-    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("w")).alias("nbrs"))
+    # adjacency is consumed by BOTH sides of the closing join: build the
+    # collect_list aggregate ONCE and checkpoint it (r21 — the previous
+    # shape re-ran the ObjectHashAggregate over the full oriented edge
+    # set twice, once per join side; the plan now has one adjacency
+    # aggregate and two broadcast reuses of its result). Out-degrees are
+    # degeneracy-bounded (docstring above), so adj rows stay small.
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("w")).alias("nbrs"))
+        .localCheckpoint()
+    )
     common = (
         oriented.alias("e")
         .join(
-            adj.select(F.col("u").alias("a"), F.col("nbrs").alias("na")),
+            bcast(adj.select(F.col("u").alias("a"), F.col("nbrs").alias("na"))),
             F.col("e.u") == F.col("a"),
         )
         .join(
-            adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nb")),
+            bcast(adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nb"))),
             F.col("e.w") == F.col("b"),
         )
         .select(F.size(F.array_intersect("na", "nb")).alias("c"))

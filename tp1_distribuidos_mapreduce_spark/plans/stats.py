@@ -479,6 +479,12 @@ def ks_returned_price(lineitem: DataFrame) -> DataFrame:
             F.sum(1 - F.col("is_r")).alias("c2"),
         )
         .withColumn("bkt", F.shiftright("cents", 17))
+        # cent-domain checkpoint (r21, the winsorized/iqr/spearman
+        # discipline): per_bkt, tot, and cum all consume this frame, and
+        # without it each lineage re-derived the collapse — the final
+        # plan scanned the FACT table 3×; now it is scanned exactly once,
+        # at build (the pass that dominates at 100 TB).
+        .localCheckpoint()
     )
     per_bkt = per_v.groupBy("bkt").agg(
         F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
@@ -1360,6 +1366,12 @@ def theil_sen_revenue_trend(orders: DataFrame) -> DataFrame:
             ).alias("slope")
         )
     )
+    # NOT checkpointed (r21 A/B): materializing the ~2.9M-row pair frame
+    # costs as much as the 3 rebuilds it would save (3.6s vs 3.8s at
+    # sf0.1, adjacent 5-repeat medians) — the rebuild is a broadcast
+    # nested-loop join over the CHECKPOINTED calendar-bounded daily
+    # frame, so the re-derivation is cheap and constant-size at any
+    # fact-table scale.
     med = (
         _selected_lower_median(slopes, "slope")
         .select(F.col("med").alias("slope"), F.col("n").alias("n_pairs"))
@@ -2312,13 +2324,28 @@ def winsorized_mean_price(lineitem: DataFrame) -> DataFrame:
     ranked = cum.crossJoin(F.broadcast(tot))
     kl = F.expr("(5 * n_rows + 99) div 100")
     kh = F.expr("(95 * n_rows + 99) div 100")
-    lo = ranked.where(
-        (F.col("prior") < kl) & (kl <= F.col("prior") + F.col("cnt"))
-    ).select(F.col("c").alias("lo"))
-    hi = ranked.where(
-        (F.col("prior") < kh) & (kh <= F.col("prior") + F.col("cnt"))
-    ).select(F.col("c").alias("hi"))
-    cuts = F.broadcast(lo.crossJoin(hi))
+    # Both cut elements selected in ONE conditional aggregate over the
+    # cumulative frame (r21): exactly one cell satisfies each rank
+    # predicate, so max(when(...)) IS that element — value-identical to
+    # the previous two-filter crossJoin, but the plan evaluates the
+    # priors/window cumulative once instead of once per cut (the
+    # formatted plan drops from 30 to ~half the Exchanges).
+    cuts = F.broadcast(
+        ranked.agg(
+            F.max(
+                F.when(
+                    (F.col("prior") < kl) & (kl <= F.col("prior") + F.col("cnt")),
+                    F.col("c"),
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    (F.col("prior") < kh) & (kh <= F.col("prior") + F.col("cnt")),
+                    F.col("c"),
+                )
+            ).alias("hi"),
+        )
+    )
     clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("c")))
     s = (
         cells.crossJoin(cuts)
@@ -2504,13 +2531,26 @@ def iqr_price_fences(lineitem: DataFrame) -> DataFrame:
     ranked = cum.crossJoin(F.broadcast(tot))
     k1 = F.expr("(25 * n_rows + 99) div 100")
     k3 = F.expr("(75 * n_rows + 99) div 100")
-    q1 = ranked.where(
-        (F.col("prior") < k1) & (k1 <= F.col("prior") + F.col("cnt"))
-    ).select(F.col("c").alias("q1"))
-    q3 = ranked.where(
-        (F.col("prior") < k3) & (k3 <= F.col("prior") + F.col("cnt"))
-    ).select(F.col("c").alias("q3"))
-    cuts = F.broadcast(q1.crossJoin(q3))
+    # Both quartile elements selected in ONE conditional aggregate (the
+    # winsorized_mean_price r21 fusion — exactly one cell satisfies each
+    # rank predicate, so max(when(...)) IS that element): the cumulative
+    # subplan runs once instead of once per quartile.
+    cuts = F.broadcast(
+        ranked.agg(
+            F.max(
+                F.when(
+                    (F.col("prior") < k1) & (k1 <= F.col("prior") + F.col("cnt")),
+                    F.col("c"),
+                )
+            ).alias("q1"),
+            F.max(
+                F.when(
+                    (F.col("prior") < k3) & (k3 <= F.col("prior") + F.col("cnt")),
+                    F.col("c"),
+                )
+            ).alias("q3"),
+        )
+    )
     iqr = F.col("q3") - F.col("q1")
     f_lo = 2 * F.col("q1") - 3 * iqr  # doubled units: 2·(q1 − 1.5·iqr)
     f_hi = 2 * F.col("q3") + 3 * iqr

@@ -1662,8 +1662,10 @@ def q12_shipmode_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     exact BIGINTs: no float exists anywhere in the query.
 
     Plan shape: lineitem is pruned at the scan (the returnflag IN and
-    shipdate-year predicates both push down, and only 3 columns are
-    read); the orderkey equi-join with orders is the ONE fact shuffle,
+    the shipdate range — year()=1996 expressed as a half-open date
+    range so the Parquet reader prunes row groups on it — both push
+    down, and only 3 columns are read); the orderkey equi-join with
+    orders is the ONE fact shuffle,
     with the lateness inequality a post-join filter exactly as in Q4;
     the closing aggregate is bounded by the 2-value mode domain with a
     map-side partial. Single-consumer linear pipeline — each table
@@ -1677,7 +1679,14 @@ def q12_shipmode_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     pairs after a keyed join round, then a reduce round summing the two
     classes; here it is one declarative plan."""
     li = lineitem.where(
-        F.col("l_returnflag").isin("A", "R") & (F.year("l_shipdate") == 1996)
+        F.col("l_returnflag").isin("A", "R")
+        # year(l_shipdate) = 1996 rewritten as a half-open date range:
+        # value-identical for DATE inputs, but the range form pushes down
+        # to the Parquet reader (PushedFilters gains both GreaterThanOr-
+        # Equal and LessThan on l_shipdate → row-group min/max pruning)
+        # while year() stayed a post-scan DataFilter (ADVICE r20).
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
     ).select("l_orderkey", "l_returnflag", "l_shipdate")
     j = li.join(
         orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
