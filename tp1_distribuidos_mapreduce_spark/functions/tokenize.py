@@ -28,6 +28,26 @@ def tokenize(text: Column | str) -> Column:
     return F.split(F.lower(col), TOKEN_SPLIT_REGEX)
 
 
+def bind_once(col: Column, f) -> Column:
+    """Evaluate ``col`` once per row and pass it to ``f`` as a bound
+    lambda variable — the anti-inlining barrier for per-position fan-outs.
+
+    Catalyst INLINES (never CSEs) an expression referenced from inside a
+    higher-order-function lambda: ``transform(sequence(1, size(t)-k+1),
+    i -> ...slice(t, i, k)...)`` with ``t`` a projected tokenize composite
+    re-runs the whole regex split ONCE PER POSITION — O(tokens ×
+    tokenize) per row (measured r21: the 8-token md5 span build over the
+    sf0.1 corpus dropped 4.2s → 1.2s from this binding alone, identical
+    output hash). Wrapping the composite as the single element of an
+    array and transforming over it makes every reference inside ``f`` a
+    lambda-variable lookup, which Catalyst cannot inline into.
+    ``minhash_signature_expr`` (functions/hashing.py) has used this shape
+    since r6; this helper makes it reusable by every span/bigram/shingle
+    builder so the discipline cannot drift.
+    """
+    return F.get(F.transform(F.array(col), f), 0)
+
+
 def words_from(df: DataFrame, text_col: str = "value", *carry: str) -> DataFrame:
     """Explode ``text_col`` into one lowercase word per row (O5+O6+O14).
 

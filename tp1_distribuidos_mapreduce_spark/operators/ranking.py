@@ -276,20 +276,33 @@ def phrase_search(
     Spark's `sequence(a, b)` REVERSES when a > b (it never returns empty),
     so short documents need the explicit CASE guard, not sequence arithmetic.
     """
+    from functools import reduce
+
+    from ..functions.tokenize import bind_once
+
     L = len(phrase)
     t = F.filter(tokenize("text"), lambda x: x != "")
-    eqs = " AND ".join(
-        f"element_at(t, i + {j}) = '{w}'" for j, w in enumerate(phrase)
-    )
-    n_occ = F.expr(
-        f"""
-        CASE WHEN size(t) < {L} THEN 0
-             ELSE size(filter(sequence(1, size(t) - {L} + 1), i -> {eqs}))
-        END
-        """
-    )
+
+    # Token array bound as a lambda variable before the per-offset scan
+    # (r21, bind_once rationale): the tokenize composite would otherwise
+    # be inlined into the candidate-offset lambda and re-run once per
+    # start position.
+    def _n_occ_of(tk: F.Column) -> F.Column:
+        def match_at(i: F.Column) -> F.Column:
+            return reduce(
+                lambda a, b: a & b,
+                [
+                    F.element_at(tk, i + j) == F.lit(w)
+                    for j, w in enumerate(phrase)
+                ],
+            )
+
+        return F.when(F.size(tk) < L, F.lit(0)).otherwise(
+            F.size(F.filter(F.sequence(F.lit(1), F.size(tk) - (L - 1)), match_at))
+        )
+
     occ = documents.select("source", t.alias("t")).select(
-        "source", n_occ.alias("n_occ")
+        "source", bind_once(F.col("t"), _n_occ_of).alias("n_occ")
     )
     return (
         occ.groupBy("source")

@@ -187,15 +187,29 @@ def _bigrams_expr() -> F.Column:
     """In-row bigram array over a ``t`` token-array column — the single
     bigram definition shared by repetition_stats and source_quality_gates
     (and both hard-coded oracles); a drift between copies would silently
-    desynchronize the two registered queries."""
-    return F.expr(
-        """
-        CASE WHEN size(t) < 2 THEN array()
-             ELSE transform(sequence(0, size(t) - 2),
-                            i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))
-        END
-        """
-    )
+    desynchronize the two registered queries.
+
+    The array is bound as a lambda variable before the per-position
+    fan-out (r21, bind_once rationale): callers project ``t`` from a
+    tokenize composite, which Catalyst would inline into the element
+    lambda — re-running the regex split once per bigram position."""
+    from ..functions.tokenize import bind_once
+
+    def bi_of(tk: F.Column) -> F.Column:
+        return F.when(
+            F.size(tk) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.concat(
+                    F.element_at(tk, i + 1),
+                    F.lit(" "),
+                    F.element_at(tk, i + 2),
+                ),
+            )
+        )
+
+    return bind_once(F.col("t"), bi_of)
 
 
 def _top_run_expr() -> F.Column:

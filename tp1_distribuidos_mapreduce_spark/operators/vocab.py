@@ -236,11 +236,29 @@ def _trigrams_expr() -> F.Column:
     """In-row word trigrams over a ``toks`` array column — the single
     trigram definition shared by trigram_topk and trigram_novelty (and
     both hard-coded oracles); a drift between the two copies would
-    silently desynchronize two registered queries."""
-    return F.expr(
-        "transform(sequence(0, size(toks) - 3), "
-        "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
-    )
+    silently desynchronize two registered queries.
+
+    The array is bound as a lambda variable before the per-position
+    fan-out (r21, bind_once rationale): both callers project ``toks``
+    from a tokenize composite, which Catalyst would inline into the
+    element lambda — re-running the regex split once per trigram.
+    element_at is 1-based where the previous toks[i] was 0-based; the
+    i+1..i+3 offsets over sequence(0, size-3) address the same windows.
+    """
+    from ..functions.tokenize import bind_once
+
+    def tri_of(tk: F.Column) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+                F.element_at(tk, i + 3),
+            ),
+        )
+
+    return bind_once(F.col("toks"), tri_of)
 
 
 def trigram_topk(documents: DataFrame, k: int = TRIGRAM_TOP_K) -> DataFrame:
