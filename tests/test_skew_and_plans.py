@@ -497,9 +497,20 @@ DOCUMENTED_SCAN_COUNTS = {
     # tables is scanned exactly once, nothing is re-derived
     "q21_waiting_suppliers": 4,
     # q12: single-consumer linear pipeline — one pruned lineitem scan
-    # (returnflag IN + shipdate-year pushed) + one orders scan feeding
-    # the single fact shuffle; the 2-value-domain aggregate adds none
+    # (returnflag IN + the shipdate RANGE both pushed — r21 rewrote
+    # year()=1996 as the equivalent half-open range so it reaches
+    # PushedFilters) + one orders scan feeding the single fact shuffle;
+    # the 2-value-domain aggregate adds none
     "q12_shipmode_priority": 2,
+    # r21 checkpoint batch — each of these collapses its fact input to a
+    # domain-bounded frame consumed by several branches; the checkpoint
+    # makes the final job scan NO source (fact scanned exactly once, at
+    # build). Before: ks 3 scans, chi2/MI 4/8, kaplan 12, q2 12.
+    "ks_returned_price": 0,
+    "event_weekday_chi2": 0,
+    "event_weekday_mutual_info": 0,
+    "kaplan_meier_repurchase": 0,
+    "q2_min_cost_supplier": 0,
 }
 
 

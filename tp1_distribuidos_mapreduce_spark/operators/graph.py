@@ -57,22 +57,37 @@ def _maybe_broadcast(n_nodes: int):
     return lambda df: df
 
 
-def copurchase_edges(lineitem: DataFrame) -> DataFrame:
-    """Undirected co-purchase edge list as directed rows (a→b and b→a),
-    deduplicated: (src, dst)."""
+def undirected_copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct undirected co-purchase edges with src < dst (one row per
+    edge): the basket build → in-row pair expansion → distinct pipeline.
+    Lazy — callers decide whether to checkpoint."""
     baskets = (
         lineitem.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .where(F.size("parts") >= 2)
     )
-    pairs = baskets.select(F.explode(_pairs_within("parts")).alias("p")).select(
-        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    return (
+        baskets.select(F.explode(_pairs_within("parts")).alias("p"))
+        .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+        .distinct()
     )
-    undirected = pairs.distinct()
-    return undirected.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(undirected.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase edge list as directed rows (a→b and b→a),
+    deduplicated: (src, dst).
+
+    Both union branches re-derive the undirected pipeline; checkpointing
+    it first was tried and REVERTED (r21 adjacent A/B: pagerank 6.5→7.7s,
+    bfs 4.1→4.7s, kcore 3.1→4.6s) — the two branches evaluate as
+    parallel subtrees of one job, so the duplicate work hides in idle
+    cores while the eager checkpoint serializes an extra materialization
+    in front of every consumer's own checkpoint."""
+    undirected = undirected_copurchase_edges(lineitem)
+    return undirected.unionByName(
+        undirected.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
 
 def pagerank_copurchase(
@@ -189,6 +204,9 @@ def copurchase_jaccard(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
         lineitem.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        # NOT checkpointed (r21 A/B: 1.83→2.15s) — the two consumers
+        # evaluate as parallel subtrees of one job at this scale; see
+        # copurchase_edges.
     )
     pair_counts = (
         baskets.where(F.size("parts") >= 2)
@@ -321,8 +339,10 @@ def triangle_count(lineitem: DataFrame) -> DataFrame:
     100 TB graph tractable — bounded adjacency pinned on a synthetic
     star graph in tests/test_graph.py.
     """
-    edges = copurchase_edges(lineitem)
-    undirected = edges.where(F.col("src") < F.col("dst")).localCheckpoint()
+    # src < dst by construction — use the undirected half directly (r21:
+    # the previous shape built the both-directions union and immediately
+    # filtered one direction back out).
+    undirected = undirected_copurchase_edges(lineitem).localCheckpoint()
     # full degree per node over the undirected edge set — checkpointed
     # (r21): the orientation join consumes it twice and n_nodes counts
     # it, so without the checkpoint the degree aggregate re-runs three

@@ -192,6 +192,11 @@ def bm25_top_terms(documents: DataFrame, top_k: int = 3) -> DataFrame:
     (N, avgdl) Catalyst folds as literals. No UDFs.
     """
     terms = _doc_terms(documents)
+    # NOT checkpointed (r21 A/B: checkpointing the (doc, term) frame
+    # measured 2.0-3.2s → 4.3-4.5s) — tf is DATA-sized (term strings),
+    # so materializing it costs more than the parallel-subtree
+    # re-derivations it saves; only domain-bounded frames win from the
+    # checkpoint discipline (see OPTIMIZATION_r21.md).
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -291,6 +291,11 @@ def _weighted_percentile_price(
         .withColumn(
             "bkt", F.floor(F.col("l_extendedprice") / bucket_width).cast("long")
         )
+        # (flag, price)-domain checkpoint (r21, the ks_returned_price
+        # discipline): the bucket cumulative (consumed twice by the
+        # locator) and the in-bucket probe all re-derived this collapse —
+        # 3 fact scans in the final plan; now one, at build.
+        .localCheckpoint()
     )
     per_bkt = wp.groupBy("l_returnflag", "bkt").agg(F.sum("wt").alias("bwt"))
     cum_b = (
@@ -525,6 +530,11 @@ def association_rules(lineitem: DataFrame, min_support: int = RULE_MIN_SUPPORT) 
         lineitem.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        # NOT checkpointed (r21 A/B: 1.82→2.25s with a checkpoint) — the
+        # three consumers evaluate as parallel subtrees of one job at
+        # this scale, so the duplicate collect_set work hides in idle
+        # cores while an eager checkpoint serializes; see
+        # copurchase_edges for the same measured trade.
     )
     n_baskets = baskets.agg(F.count("*").cast("long").alias("n_total"))
     pair_counts = (

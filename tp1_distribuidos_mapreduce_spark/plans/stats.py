@@ -172,10 +172,20 @@ def event_weekday_chi2(events: DataFrame) -> DataFrame:
     explicitly in BOTH plans, matching the sibling queries'
     zero-denominator discipline.
     """
-    cells = events.groupBy(
-        F.col("event_type"),
-        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = (
+        events.groupBy(
+            F.col("event_type"),
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # contingency-cell checkpoint (r21, the cent-domain discipline):
+        # the row/column/grand totals and the joined term fold all
+        # consume this types×7 frame — without it each consumer
+        # re-derived the fact scan (4-8 scans in the final plans of the
+        # chi²/MI pair; now the fact table is scanned exactly once, at
+        # build).
+        .localCheckpoint()
+    )
     row_tot = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     col_tot = cells.groupBy("dow").agg(F.sum("o").alias("c"))
     n_total = cells.agg(F.sum("o").alias("N"))
@@ -1118,25 +1128,31 @@ def kaplan_meier_repurchase(orders: DataFrame) -> DataFrame:
         "o_orderdate",
         F.lead("o_orderdate").over(w).alias("next_date"),
     )
-    events = paired.where(F.col("next_date").isNotNull()).select(
-        F.datediff("next_date", "o_orderdate").cast("long").alias("dur"),
-        F.lit(1).alias("observed"),
-    )
-    censored = (
-        paired.where(F.col("next_date").isNull())
-        .crossJoin(F.broadcast(max_day))
-        .select(
-            F.datediff("max_date", "o_orderdate").cast("long").alias("dur"),
-            F.lit(0).alias("observed"),
-        )
-    )
+    # Events and censored tails in ONE projection (r21): dur =
+    # days-to-next-order, or days-to-max-date where no next order exists
+    # (observed = next_date present). The previous union of two filtered
+    # branches re-derived the per-customer lead() window — and its orders
+    # scan — once per branch; value-identical row set, same groupBy.
     per_t = (
-        events.unionByName(censored)
+        paired.crossJoin(F.broadcast(max_day))
+        .select(
+            F.datediff(
+                F.coalesce("next_date", "max_date"), F.col("o_orderdate")
+            ).cast("long").alias("dur"),
+            F.col("next_date").isNotNull().cast("int").alias("observed"),
+        )
         .groupBy("dur")
         .agg(
             F.sum(F.col("observed")).cast("long").alias("d"),
             F.sum(1 - F.col("observed")).cast("long").alias("c"),
         )
+        # day-domain checkpoint (the winsorized/ks discipline): total,
+        # risk, steps, the collect_list fold, and the final projection
+        # all consume this ≤ calendar-bounded frame; without it the
+        # final plan re-derived the fact scan + window 12× (r21 smell
+        # scan) — now orders is scanned exactly twice (max_date + the
+        # window pass), at build.
+        .localCheckpoint()
     )
     # risk set: subjects whose duration >= t — total minus everything
     # that left strictly before t. Window over the day-domain-bounded
@@ -1451,10 +1467,20 @@ def event_weekday_mutual_info(events: DataFrame) -> DataFrame:
     weekday) has min-entropy 0 and emits norm_mi = 0.0 explicitly in
     both engines (the chi² cramers_v discipline).
     """
-    cells = events.groupBy(
-        F.col("event_type"),
-        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = (
+        events.groupBy(
+            F.col("event_type"),
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # contingency-cell checkpoint (r21, the cent-domain discipline):
+        # the row/column/grand totals and the joined term fold all
+        # consume this types×7 frame — without it each consumer
+        # re-derived the fact scan (4-8 scans in the final plans of the
+        # chi²/MI pair; now the fact table is scanned exactly once, at
+        # build).
+        .localCheckpoint()
+    )
     row_tot = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     col_tot = cells.groupBy("dow").agg(F.sum("o").alias("c"))
     n_total = cells.agg(F.sum("o").alias("N"))

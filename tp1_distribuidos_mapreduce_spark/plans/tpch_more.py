@@ -1015,9 +1015,16 @@ def q2_min_cost_supplier(
     std = part.where(F.col("p_type") == "STANDARD").select(
         "p_partkey", "p_brand"
     )
-    cand = ps.join(
-        F.broadcast(std), F.col("ps_partkey") == F.col("p_partkey")
-    ).join(F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey"))
+    # candidate-frame checkpoint (r21): the per-part min AND the tie-back
+    # equi-join both consume cand — without it the derived-partsupp md5
+    # pair build and the dimension joins ran once per consumer (12 scans
+    # in the final plan; now each dimension is scanned exactly once, at
+    # build). The frame is dimension-bounded (4 pairs per part).
+    cand = (
+        ps.join(F.broadcast(std), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .localCheckpoint()
+    )
     mins = cand.groupBy(F.col("p_partkey").alias("__mk")).agg(
         F.min("ps_supplycost_cents").alias("__min_cost")
     )
