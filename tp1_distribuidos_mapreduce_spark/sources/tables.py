@@ -47,13 +47,38 @@ def fixture_cache_tag(sf_dir: str, name: str, *extra: object) -> str:
     return hashlib.md5(key.encode()).hexdigest()[:12]
 
 
+# Per-process parquet SCHEMA cache keyed on (path, size, mtime_ns) — pure
+# metadata, the same class as Spark's own file-listing cache (filesource
+# PartitionFileCacheSize): footer-based schema inference costs ~110 ms per
+# spark.read.parquet() call vs ~17 ms with an explicit schema (measured
+# r21, single-file fixture parquet), and every registered query pays it
+# per table per invocation. A regenerated fixture (same path, new bytes)
+# changes the key and re-infers — never a stale schema. No data and no
+# results are cached; the scan itself always reads the parquet.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)
-    return spark.read.parquet(path)
+    return read_parquet_cached_schema(spark, path)
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
@@ -78,8 +103,22 @@ def _usec_events_path(spark: SparkSession, path: str) -> str:
 
     from pyspark.sql import functions as F
 
+    # resolved-path cache keyed on the SOURCE file identity (r21): the
+    # NANOS probe is itself a footer read (~110 ms) paid on every events
+    # load; the conversion decision is a pure function of the source
+    # bytes, so a (path, size, mtime_ns) hit skips the probe entirely.
+    try:
+        st = os.stat(path)
+        ckey = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        ckey = None
+    if ckey is not None and ckey in _EVENTS_PATH_CACHE:
+        return _EVENTS_PATH_CACHE[ckey]
+
     try:
         if dict(spark.read.parquet(path).dtypes).get("ts") != "bigint":
+            if ckey is not None:
+                _EVENTS_PATH_CACHE[ckey] = path
             return path
         # ts reads as bigint only when some caller turned nanosAsLong on
         # globally — still convert so our output dtype stays timestamp.
@@ -110,14 +149,23 @@ def _usec_events_path(spark: SparkSession, path: str) -> str:
     from .artifacts import build_once
 
     build_once(out, _build)
+    if ckey is not None:
+        _EVENTS_PATH_CACHE[ckey] = out
     return out
+
+
+# (source path, size, mtime_ns) → resolved read path; see _usec_events_path.
+_EVENTS_PATH_CACHE: dict[tuple[str, int, int], str] = {}
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects — read via the µs-converted artifact (see
-    _usec_events_path)."""
-    return _normalize_ts(spark.read.parquet(_usec_events_path(spark, path)))
+    _usec_events_path), with the r21 cached-schema read (the converted
+    artifact is immutable once its build_once marker lands)."""
+    return _normalize_ts(
+        read_parquet_cached_schema(spark, _usec_events_path(spark, path))
+    )
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
@@ -146,7 +194,7 @@ def stream_events(
     splits a bounded replay into multiple micro-batches (used by tests to
     exercise watermarks and cross-batch state)."""
     src = _usec_events_path(spark, path)
-    schema = spark.read.parquet(src).schema
+    schema = read_parquet_cached_schema(spark, src).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -164,7 +212,7 @@ def stream_documents(
     batch footer so batch and streaming plans see an identical shape.
     ``max_files_per_trigger`` splits a bounded replay into micro-batches
     (tests use it to exercise the cross-batch fold)."""
-    schema = spark.read.parquet(path).schema
+    schema = read_parquet_cached_schema(spark, path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -181,7 +229,7 @@ def stream_parquet(
     the schema is read from the batch footer so batch and streaming plans
     see an identical shape. ``max_files_per_trigger`` splits a bounded
     replay into micro-batches (tests exercise the cross-batch fold)."""
-    schema = spark.read.parquet(path).schema
+    schema = read_parquet_cached_schema(spark, path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
