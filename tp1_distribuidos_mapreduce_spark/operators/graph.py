@@ -495,12 +495,16 @@ def bfs_distances(lineitem: DataFrame) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        # per-round checkpoint of settled measured A/B-neutral-to-worse
-        # vs a PageRank-style stride-2 (two adjacent subset pairs at
-        # sf0.1: 10.2/9.4s strided vs 10.2/8.3s per-round) — the settled
-        # table is node-cardinality and its copy cost is below the extra
-        # planning the stride introduces; keep the simple form.
-        settled = settled.unionByName(nxt).localCheckpoint()
+        # settled is a UNION OF CHECKPOINTED LEAVES (the root row and
+        # each round's nxt are materialized above), so re-checkpointing
+        # the union bought nothing but one extra copy job per round —
+        # r21 A/B: 5.7 → 4.9s without it, identical distance table. The
+        # plan stays shallow: after k rounds it is a k-leaf union of
+        # ExistingRDDs, and the per-round broadcast build just reads the
+        # materialized leaves. (An earlier stride experiment — 10.2/9.4s
+        # strided vs 10.2/8.3s per-round — compared checkpoint CADENCE,
+        # not dropping the redundant union checkpoint outright.)
+        settled = settled.unionByName(nxt)
         frontier = nxt
     else:
         raise RuntimeError(
@@ -508,7 +512,11 @@ def bfs_distances(lineitem: DataFrame) -> DataFrame:
             "graph diameter exceeds the bound; raise BFS_MAX_ROUNDS"
         )
     return (
-        nodes.join(settled, "part_id", "left")
+        # settled is node-cardinality and checkpointed (no size estimate):
+        # the same broadcast guard as the loop joins keeps the closing
+        # left join from planning sort-merge (r21 — this was the final
+        # plan's one SortMergeJoin).
+        nodes.join(bcast(settled), "part_id", "left")
         .select(
             "part_id",
             F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
