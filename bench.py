@@ -107,6 +107,18 @@ def main() -> None:
             except Exception as ex:
                 print(f"bench: warmup {warm} failed: {ex}", file=sys.stderr)
     warmup_sec = round(time.perf_counter() - t_warm0, 3)
+    # Load flag (VERDICT r21 #2, additions-only): the warmup runs the same
+    # fixed work every time, so it is a built-in load canary — a warmup far
+    # above the documented 22-33s idle band (BENCH_NOISE.md rule 2) marks
+    # the whole run as contended and its per-query numbers as
+    # non-comparable at face value. The band is calibrated for the
+    # FULL-registry sf0.1 warmup on a warm /tmp; subset runs, other SFs and
+    # warmup-off runs get loaded=null (band not applicable). A cold-/tmp
+    # first run also flags loaded=true — correct, since its numbers carry
+    # one-time artifact builds and are equally non-comparable.
+    warmup_band = [22.0, 33.0]
+    band_applicable = do_warmup and sf == 0.1 and not only
+    loaded = (warmup_sec > warmup_band[1]) if band_applicable else None
 
     # SPARK_GRAFT_BENCH_REPEATS=N (default 1): time each query N times and
     # record the per-query MEDIAN (BENCH_NOISE.md / VERDICT r11 #7). Two
@@ -158,6 +170,8 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "warmup_sec": warmup_sec,
+            "warmup_band": warmup_band,
+            "loaded": loaded,
             "n_failed": n_failed,
             "repeats": repeats,
         }
@@ -205,6 +219,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "warmup_sec": warmup_sec,
+                "warmup_band": warmup_band,
+                "loaded": loaded,
                 "n_queries": len(timings),
                 "n_failed": n_failed,
                 "repeats": repeats,

@@ -1,0 +1,40 @@
+"""Dump .explain('formatted') for named registry queries into
+plans/r22/<query>_<tag>.txt — the before/after plan evidence for the
+r22 optimization round (the judge checks plan claims against these).
+
+Usage: python plans/r22/dump_plans.py <before|after> q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from tp1_distribuidos_mapreduce_spark import registry  # noqa: E402
+from tp1_distribuidos_mapreduce_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.dirname(os.path.abspath(__file__))
+    spark = get_spark("plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

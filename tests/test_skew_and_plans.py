@@ -8,6 +8,8 @@ nested-loop join or a row-at-a-time Python UDF.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -560,7 +562,13 @@ def test_tokenize_never_inside_per_position_lambda(spark):
             stack: list[bool] = []
             for j, ch in enumerate(line):
                 if ch == "(":
-                    if line[:j].endswith("split") and any(stack):
+                    # word boundary (ADVICE r21): a suffix match alone
+                    # would flag any *split( function (regexp_split,
+                    # str_split, ...) inside any lambda — only the bare
+                    # tokenizer split( is the pinned pattern.
+                    if any(stack) and re.search(
+                        r"(?<![A-Za-z0-9_])split$", line[:j]
+                    ):
                         bad.append(line.strip()[:160])
                     stack.append(line[:j].endswith("lambdafunction"))
                 elif ch == ")" and stack:

@@ -631,9 +631,14 @@ def connected_components(
     # report no size estimate, so without the hint every round SORT-MERGE
     # joins — shuffling the EDGE table per round. Past the limit both
     # joins degrade gracefully to the shuffled equi-join.
-    _bcast_labels = (
-        F.broadcast if labels.count() <= 1_000_000 else (lambda df: df)
-    )
+    # Shared guard from graph.py (ADVICE r21): one threshold policy for
+    # ALL four iterative-join users (PageRank/BFS/k-core/CC) — a local
+    # copy of the 1M constant would silently diverge on a policy change.
+    # Import at call time: graph.py imports _pairs_within from this
+    # module, so a module-level import here would be circular.
+    from .graph import _maybe_broadcast
+
+    _bcast_labels = _maybe_broadcast(labels.count())
 
     def step(labels: DataFrame, jump: bool) -> DataFrame:
         lb = _bcast_labels(labels)

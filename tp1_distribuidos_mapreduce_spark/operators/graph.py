@@ -78,16 +78,28 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected co-purchase edge list as directed rows (a→b and b→a),
     deduplicated: (src, dst).
 
-    Both union branches re-derive the undirected pipeline; checkpointing
-    it first was tried and REVERTED (r21 adjacent A/B: pagerank 6.5→7.7s,
-    bfs 4.1→4.7s, kcore 3.1→4.6s) — the two branches evaluate as
-    parallel subtrees of one job, so the duplicate work hides in idle
-    cores while the eager checkpoint serializes an extra materialization
-    in front of every consumer's own checkpoint."""
+    r22: the directed rows come from an IN-ROW explode of each undirected
+    edge into its two orientations — not a union of two re-derivations of
+    the basket pipeline. The union shape evaluated the whole baskets →
+    pairs → distinct subtree once per branch and pushed BOTH copies
+    through the distinct's exchange; the explode shape runs the subtree
+    once, shuffles HALF the rows, and mirrors in-row after the distinct
+    (guide §2.3 — shuffle fewer bytes). Checkpointing the undirected half
+    instead was tried and REVERTED in r21 (pagerank 6.5→7.7s, bfs
+    4.1→4.7s, kcore 3.1→4.6s): the eager materialization serialized what
+    parallel subtrees hid; the explode shares the subtree WITHOUT a
+    checkpoint. Measured adjacent interleaved A/B at sf0.1 (edge set
+    verified identical, 2.392M rows; pagerank 6dp output identical):
+    pagerank 6.54→5.58s, bfs 5.07→3.96s, kcore 4.04→3.33s medians."""
     undirected = undirected_copurchase_edges(lineitem)
-    return undirected.unionByName(
-        undirected.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    return undirected.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank_copurchase(

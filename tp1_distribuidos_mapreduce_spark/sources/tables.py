@@ -113,7 +113,14 @@ def _usec_events_path(spark: SparkSession, path: str) -> str:
     except OSError:
         ckey = None
     if ckey is not None and ckey in _EVENTS_PATH_CACHE:
-        return _EVENTS_PATH_CACHE[ckey]
+        cached = _EVENTS_PATH_CACHE[ckey]
+        # ADVICE r21: the cached entry may name a DERIVED artifact that was
+        # deleted externally while the source stayed unchanged — returning
+        # it would hand callers a nonexistent path. Fall through to the
+        # probe/build path (build_once rebuilds) instead.
+        if os.path.exists(cached):
+            return cached
+        del _EVENTS_PATH_CACHE[ckey]
 
     try:
         if dict(spark.read.parquet(path).dtypes).get("ts") != "bigint":
