@@ -727,3 +727,21 @@ def test_q21_aggregates_ride_the_join_partitioning(spark):
         if "l_suppkey" in e
     ]
     assert not pair_exchanges, pair_exchanges
+
+
+def test_widen_probe_matches_public_partition_count(spark):
+    """r22 pin for widen_to_shuffle_parallelism's partition probe: the
+    JVM-side InternalRow RDD count must equal the public df.rdd count
+    (df.rdd is a partition-preserving map over it) — on a raw scan, a
+    derived projection, and an explicitly repartitioned frame. If the
+    private queryExecution().toRdd() API ever drifts, the helper falls
+    back to df.rdd, but this pin is what notices the drift."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    frames = [
+        docs,
+        docs.select("doc_id", "text"),
+        docs.repartition(5),
+    ]
+    for df in frames:
+        jvm_n = df._jdf.queryExecution().toRdd().getNumPartitions()
+        assert jvm_n == df.rdd.getNumPartitions()

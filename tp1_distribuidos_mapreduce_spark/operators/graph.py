@@ -372,7 +372,12 @@ def triangle_count(lineitem: DataFrame) -> DataFrame:
     # estimate, so the explicit hint is what keeps the edge table from
     # shuffling — the auto-broadcast threshold cannot see them).
     bcast = _maybe_broadcast(deg.count())
-    # orient toward the higher-(degree, id) endpoint
+    # orient toward the higher-(degree, id) endpoint. The two aliased
+    # deg projections LOOK like two broadcast builds, but AQE's runtime
+    # stage canonicalization already dedups them — the executed plan
+    # carries a ReusedExchange for the second side (r22 probe,
+    # plans/r22/triangle_count_before.txt; a shared-frame rewrite
+    # measured flat in order-controlled 5-repeat A/Bs and was reverted).
     with_deg = (
         undirected.join(
             bcast(deg.select(F.col("v").alias("src"), F.col("deg").alias("sdeg"))),
@@ -610,6 +615,9 @@ def kcore_members(lineitem: DataFrame, k: int = 3) -> DataFrame:
         if n_now == 0:
             break
         bcast = _maybe_broadcast(n_now)
+        # the two keep broadcasts dedup at runtime (AQE stage
+        # canonicalization strips the rename) — probed in r22, shared-
+        # frame rewrite measured flat and was reverted; see triangle.
         edges = (
             edges.join(bcast(keep), "src", "left_semi")
             .join(

@@ -192,6 +192,19 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> Data
 
     Rows-only by nature (iterative argmax is not ANSI-SQL-expressible —
     DuckDB's recursive CTEs cannot re-aggregate per round).
+
+    Delta-updating the pair counts between merges (maintain a
+    checkpointed (l, r, n) table; per round, re-count only the words
+    containing the winning pair and fold the ± delta in) was tried in
+    r22 and REVERTED: the rule sequence is identical, but the adjacent
+    3-repeat A/B read 2.31s full-aggregate vs 5.77s delta (and 2.65 vs
+    4.09s for a lighter variant without the affected-set checkpoint) —
+    the per-round pc re-aggregate + extra materializations cost more
+    than the full vocabulary explode saves at any scale where the
+    distinct-pair table is within ~10× of the vocabulary (here ~30k
+    words). The delta shape only wins when |affected words| ≪ |vocab|
+    AND the pair table is much smaller than the per-round explode — at
+    that point revisit the r22 prototype (identical rules verified).
     """
     from ..functions.tokenize import words_from
 

@@ -162,7 +162,7 @@ def _ivm_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
     if committed is not None:
-        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        cur = _read_state(spark, state_path, committed["dir"])
         b = cur.select(
             "user_id",
             F.col("n_events").alias("b_n"),
@@ -193,6 +193,7 @@ def _ivm_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         merged = delta
     new_dir = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _record_state_schema(state_path, merged)
     _commit_ivm_pointer(state_path, new_dir, batch_id)
     # Retention: keep the CURRENT and the PREVIOUS committed version. A
     # reader that resolved the pointer before this commit holds a lazy
@@ -234,6 +235,46 @@ def _commit_ivm_pointer(state_path: str, version_dir: str, batch_id: int) -> Non
     os.replace(tmp, os.path.join(state_path, "CURRENT"))
 
 
+# state_path → the written state frame's schema, nullability normalized to
+# the parquet reader's all-nullable convention (r22, guide §6 / the r21
+# schema-cache discipline): every fold and every read path re-opened its
+# versioned state dir with footer schema inference (~110 ms per read, the
+# r21-measured constant) even though the schema is a fixed constant per
+# sink and the SAME process just wrote it. Recording the schema at write
+# time and passing it explicitly on read removes one inference job per
+# fold + one per read path, value-identically (the normalized schema is
+# exactly what inference returns for a Spark-written parquet dir). Pure
+# METADATA caching — no data, no results; a fresh read-only process falls
+# back to inference on its first read.
+_STATE_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _record_state_schema(state_path: str, df: DataFrame) -> None:
+    from pyspark.sql.types import StructField, StructType
+
+    _STATE_SCHEMA_CACHE[state_path] = StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    )
+
+
+def _read_state(spark: SparkSession, state_path: str, version_dir: str) -> DataFrame:
+    """Read a committed versioned state dir, passing the schema recorded
+    at the last write under this state_path when available (the file
+    bytes are still read fresh every time — only the footer-inference
+    pass is skipped)."""
+    import os
+
+    path = os.path.join(state_path, version_dir)
+    schema = _STATE_SCHEMA_CACHE.get(state_path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        # the reader's inferred schema is already all-nullable — safe to
+        # reuse for later reads of the same sink's state
+        _STATE_SCHEMA_CACHE[state_path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def read_ivm_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Final IVM state as (user_id, n_events, total_value) with cents
     divided once at the edge. Follows the CURRENT pointer, so a reader
@@ -249,7 +290,7 @@ def read_ivm_state(spark: SparkSession, state_path: str) -> DataFrame:
     if committed is None:
         raise FileNotFoundError(f"no committed IVM state under {state_path}")
     return (
-        spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        _read_state(spark, state_path, committed["dir"])
         .select(
             "user_id",
             "n_events",
@@ -321,7 +362,7 @@ def _hll_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         # idempotent anyway; the fence keeps the pointer truthful)
     delta = daily_hll_sketches(batch_df)
     if committed is not None:
-        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        cur = _read_state(spark, state_path, committed["dir"])
         b = cur.select(F.col("day").alias("b_day"), F.col("regs").alias("b_regs"))
         d = delta.select(
             F.col("day").alias("d_day"), F.col("regs").alias("d_regs")
@@ -341,6 +382,7 @@ def _hll_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         merged = delta
     new_dir = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _record_state_schema(state_path, merged)
     _commit_ivm_pointer(state_path, new_dir, batch_id)
     keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
     for d in os.listdir(state_path):
@@ -365,7 +407,7 @@ def read_hll_rolling(
     committed = _read_ivm_pointer(state_path)
     if committed is None:
         raise FileNotFoundError(f"no committed sketch state under {state_path}")
-    daily = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+    daily = _read_state(spark, state_path, committed["dir"])
     max_day = daily.agg(F.max("day").alias("max_day"))
     return rolling_estimates_from_sketches(
         daily, max_day, days if days is not None else ROLLING_HLL_DAYS
@@ -424,7 +466,7 @@ def _kmv_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         return  # replayed epoch — fenced (and the merge is idempotent)
     delta = kmv_type_sketches(batch_df)
     if committed is not None:
-        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        cur = _read_state(spark, state_path, committed["dir"])
         b = cur.select(
             F.col("event_type").alias("b_t"), F.col("sk").alias("b_sk")
         )
@@ -451,6 +493,7 @@ def _kmv_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         merged = delta
     new_dir = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _record_state_schema(state_path, merged)
     _commit_ivm_pointer(state_path, new_dir, batch_id)
     keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
     for d in os.listdir(state_path):
@@ -470,7 +513,7 @@ def read_kmv_overlap(spark: SparkSession, state_path: str) -> DataFrame:
     if committed is None:
         raise FileNotFoundError(f"no committed sketch state under {state_path}")
     return overlap_from_kmv_sketches(
-        spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        _read_state(spark, state_path, committed["dir"])
     )
 
 
@@ -527,7 +570,7 @@ def _dd_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         return  # replayed epoch — MUST skip: a re-fold would double-count
     delta = dd_value_buckets(batch_df)
     if committed is not None:
-        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        cur = _read_state(spark, state_path, committed["dir"])
         b = cur.select(F.col("idx").alias("b_idx"), F.col("cnt").alias("b_cnt"))
         d = delta.select(F.col("idx").alias("d_idx"), F.col("cnt").alias("d_cnt"))
         merged = b.join(d, b["b_idx"] == d["d_idx"], "full_outer").select(
@@ -540,6 +583,7 @@ def _dd_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         merged = delta
     new_dir = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _record_state_schema(state_path, merged)
     _commit_ivm_pointer(state_path, new_dir, batch_id)
     keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
     for d in os.listdir(state_path):
@@ -559,7 +603,7 @@ def read_dd_quantiles(spark: SparkSession, state_path: str) -> DataFrame:
     if committed is None:
         raise FileNotFoundError(f"no committed sketch state under {state_path}")
     return quantiles_from_dd_buckets(
-        spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        _read_state(spark, state_path, committed["dir"])
     )
 
 
@@ -608,7 +652,7 @@ def _dd_fold_by_type(batch_df: DataFrame, batch_id: int, state_path: str) -> Non
         return  # replayed epoch — MUST skip: a re-fold would double-count
     delta = dd_value_buckets_by_type(batch_df)
     if committed is not None:
-        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        cur = _read_state(spark, state_path, committed["dir"])
         b = cur.select(
             F.col("event_type").alias("b_t"),
             F.col("idx").alias("b_idx"),
@@ -634,6 +678,7 @@ def _dd_fold_by_type(batch_df: DataFrame, batch_id: int, state_path: str) -> Non
         merged = delta
     new_dir = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _record_state_schema(state_path, merged)
     _commit_ivm_pointer(state_path, new_dir, batch_id)
     keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
     for d in os.listdir(state_path):
@@ -652,7 +697,7 @@ def read_dd_quantiles_by_type(spark: SparkSession, state_path: str) -> DataFrame
     if committed is None:
         raise FileNotFoundError(f"no committed sketch state under {state_path}")
     return quantiles_from_dd_buckets_by_type(
-        spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        _read_state(spark, state_path, committed["dir"])
     )
 
 
@@ -718,7 +763,7 @@ def _cms_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         words_from(batch_df, "text"), ["word"], CMS_DEPTH, CMS_WIDTH
     )
     if committed is not None:
-        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        cur = _read_state(spark, state_path, committed["dir"])
         b = cur.select(
             F.col("d").alias("b_d"),
             F.col("pos").alias("b_pos"),
@@ -744,6 +789,7 @@ def _cms_fold(batch_df: DataFrame, batch_id: int, state_path: str) -> None:
         merged = delta
     new_dir = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _record_state_schema(state_path, merged)
     _commit_ivm_pointer(state_path, new_dir, batch_id)
     keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
     for dd in os.listdir(state_path):
@@ -811,7 +857,7 @@ def _bloom_fold(
         return  # replayed epoch — fenced (and the OR merge is idempotent)
     delta = _bloom_words(batch_df.select(key_col), key_col)
     if committed is not None:
-        cur = spark.read.parquet(os.path.join(state_path, committed["dir"]))
+        cur = _read_state(spark, state_path, committed["dir"])
         b = cur.select(
             F.col("word").alias("b_w"), F.col("bits").alias("b_bits")
         )
@@ -828,6 +874,7 @@ def _bloom_fold(
         merged = delta
     new_dir = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_dir))
+    _record_state_schema(state_path, merged)
     _commit_ivm_pointer(state_path, new_dir, batch_id)
     keep = {new_dir} | ({committed["dir"]} if committed is not None else set())
     for dd in os.listdir(state_path):
@@ -862,9 +909,7 @@ def read_bloom_pruned_revenue(
     committed = _read_ivm_pointer(state_path)
     if committed is None:
         raise FileNotFoundError(f"no committed sketch state under {state_path}")
-    words = spark.read.parquet(
-        os.path.join(state_path, committed["dir"])
-    ).collect()
+    words = _read_state(spark, state_path, committed["dir"]).collect()
     bitmap = [0] * (M_BITS // 64)
     for r in words:
         bitmap[r["word"]] = r["bits"]
@@ -901,9 +946,7 @@ def read_cms_heavy_hitters(
     committed = _read_ivm_pointer(state_path)
     if committed is None:
         raise FileNotFoundError(f"no committed sketch state under {state_path}")
-    cells = spark.read.parquet(
-        os.path.join(state_path, committed["dir"])
-    ).collect()
+    cells = _read_state(spark, state_path, committed["dir"]).collect()
     grid = _cms_grid_from_cells(cells, CMS_DEPTH, CMS_WIDTH)
     return _cms_exact_counts_from_grid(
         words_from(documents, "text"), ["word"], grid, threshold,
