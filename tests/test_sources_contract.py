@@ -595,3 +595,40 @@ def test_rowdir_merge_null_key_replaces_and_dup_keys_refused(spark, tmp_path):
             spark.createDataFrame([(7, "x"), (7, "y")], "id long, tag string"),
             "id",
         )
+
+
+def test_load_table_view_reuse_fresh_ids_and_regeneration(spark, tmp_path):
+    """r22 pin for load_table's per-session temp-view reuse: (a) two
+    load_table frames of the same table must still self-join (each
+    spark.table() call re-instantiates the plan with fresh attribute
+    ids — the q21 two-lineitem-role pattern); (b) a REGENERATED fixture
+    (same path, new bytes/mtime) must get a fresh view, never a stale
+    plan."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    a = load_table(spark, SF_SMOKE, "nation")
+    b = load_table(spark, SF_SMOKE, "nation")
+    joined = (
+        a.alias("x")
+        .join(b.alias("y"), F.col("x.n_regionkey") == F.col("y.n_regionkey"))
+        .count()
+    )
+    assert joined > a.count()  # region groups multiply — a real join ran
+
+    # regeneration: copy the fixture dir, load, rewrite the table, reload
+    sf2 = str(tmp_path / "sf")
+    shutil.copytree(SF_SMOKE, sf2)
+    first = load_table(spark, sf2, "nation")
+    n_first = first.count()
+    rows = first.limit(3).collect()
+    spark.createDataFrame(rows, first.schema).toPandas().to_parquet(
+        os.path.join(sf2, "nation.parquet")
+    )
+    # ensure a new mtime_ns even on coarse filesystems
+    _time.sleep(0.01)
+    os.utime(os.path.join(sf2, "nation.parquet"))
+    again = load_table(spark, sf2, "nation")
+    assert again.count() == 3 != n_first
