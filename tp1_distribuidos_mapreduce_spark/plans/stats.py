@@ -1365,6 +1365,20 @@ def theil_sen_revenue_trend(orders: DataFrame) -> DataFrame:
         )
         .groupBy("x")
         .agg(F.sum("cents").alias("y"))
+        # Pin the checkpointed frame's partition count to the session's
+        # shuffle parallelism (r22, guide §2.5): AQE rightly coalesces
+        # the ~2.4k-row aggregate to ONE post-shuffle partition, but this
+        # frame is the STREAM side of the pairwise-slope nested-loop
+        # join, so every median-selection pass over the ~2.9M-pair frame
+        # was running as a single task (measured 0.55-0.6s per pass × 3
+        # passes at sf0.1). An explicit-count hash repartition is exempt
+        # from AQE coalescing, so the O(days²) slope work fans out
+        # across the cores; the extra exchange moves only the
+        # calendar-bounded rows, once, at build. Selection is
+        # partitioning-invariant (the k-th element of the sorted
+        # multiset — see _selected_lower_median), verified hash-
+        # identical vs the oracle.
+        .repartition(default_parallelism(), "x")
         # checkpoint the calendar-bounded collapse (~2.4k rows): the
         # median selection's three passes then rebuild the pair frame
         # from this frame, and the FACT table is scanned exactly once —
